@@ -1,0 +1,56 @@
+"""Query registry: every operator from SURVEY §2 (plus the LLM-data-
+pipeline operators) exposed as a named (spark_fn, oracle_sql) pair.
+
+``spark_fn(spark, sf_dir) -> DataFrame`` is the engine's DataFrame-first
+implementation; ``oracle`` is the ANSI-SQL equivalent DuckDB runs on the
+same parquet tables for the driver's correctness gate. Column names and
+aliases MUST match pairwise — the driver sorts columns by name before
+value-hashing.
+
+Determinism rules applied throughout (so Spark and DuckDB hash-match):
+- every ``LIMIT`` is preceded by a total order (unique tiebreaker column);
+- money sums are compared as integer cents
+  (``CAST(round(sum(x)*100) AS BIGINT)``) — no float-hash ambiguity;
+- averages/ratios are ``round(x, 4)``;
+- epoch math uses floor-to-second semantics on both sides
+  (Spark ``cast(ts as long)`` == DuckDB ``CAST(floor(epoch(ts)) AS BIGINT)``);
+- array aggregations are sorted with explicit tiebreakers before joining.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+_LOADED = False
+
+
+def all_queries() -> dict[str, QueryDef]:
+    global _LOADED
+    if not _LOADED:
+        from . import logq, relational, servingq, textq, vectorq  # noqa: F401
+
+        _LOADED = True
+    return REGISTRY

@@ -1,0 +1,537 @@
+"""Relational operator library — SURVEY §7 Phase 3.
+
+Every §2 operator family expressible in ANSI SQL, run on the TPC-H-ish
+star schema: filters (P3-P10), joins (J1-J5 + inner/semi/anti/broadcast),
+aggregations (A1-A14), windows/sorts/limits/top-k (W1-W8), scalar
+functions (F1-F19), set ops (§2.6), grouping sets.
+
+Scale notes: joins declare the small side for broadcast where the dim is
+bounded (region/nation — reference J4's 2-row weight map pattern);
+everything else is left to Catalyst + AQE (skew-join, runtime broadcast).
+Money is compared as integer cents; see package docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from . import register
+
+
+def _cents(col: F.Column) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+# --- aggregations -----------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+             AS sum_disc_cents,
+           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100)
+             AS BIGINT) AS sum_charge_cents,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "A5", "A6", "tpch"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            _cents(F.sum("l_extendedprice")).alias("sum_base_cents"),
+            _cents(F.sum(disc)).alias("sum_disc_cents"),
+            _cents(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge_cents"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+             AS revenue_cents,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_cents DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "J1", "W4", "tpch"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .select("o_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+             AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg", "broadcast", "J1", "J4", "tpch"),
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+    )
+
+
+@register(
+    "rollup_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "group_having_active_customers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 3
+    """,
+    tags=("agg", "having", "A5"),
+)
+def group_having_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "distinct_count_segments",
+    oracle="""
+    SELECT count(DISTINCT c_mktsegment) AS n_segments,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers
+    FROM customer
+    """,
+    tags=("agg", "A8", "A12"),
+)
+def distinct_count_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "case_bucket_order_price",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n,
+           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "F7", "case"),
+)
+def case_bucket_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _cents(F.sum("o_totalprice")).alias("total_cents"),
+        )
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+@register(
+    "join_left_customer_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey) AS n_orders,
+           CAST(round(coalesce(sum(o.o_totalprice), 0) * 100) AS BIGINT)
+             AS spend_cents
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join", "J1", "J2"),
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _cents(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("spend_cents"),
+        )
+    )
+
+
+@register(
+    "join_anti_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "J3", "anti"),
+)
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — the reference's train = all − test split (nb:587)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "J5", "semi"),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — the reference's IN-list membership as a scalable semi-join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_nationkey")
+
+
+# --- windows / sorts / top-k ------------------------------------------------
+
+
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           o_orderdate
+    FROM orders
+    ORDER BY price_cents DESC, o_orderkey
+    LIMIT 15
+    """,
+    tags=("topk", "W4", "W8"),
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/W8: Spark compiles orderBy().limit() to TakeOrderedAndProject —
+    the principled version of the reference's over-scan + python sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            _cents(F.col("o_totalprice")).alias("price_cents"),
+            "o_orderdate",
+        )
+        .orderBy(F.desc("price_cents"), "o_orderkey")
+        .limit(15)
+    )
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn
+    FROM (SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window", "W1", "topk"),
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 made real: the reference declares Window.partitionBy(...).orderBy(...)
+    and never applies it (nb:345); we use it for per-key top-k."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@register(
+    "window_lag_event_gaps",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))) AS BIGINT)
+             AS gap_sec
+    FROM events
+    """,
+    tags=("window", "W1", "lag"),
+)
+def window_lag_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps per user — lag over the W1 window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+        ).alias("gap_sec"),
+    )
+
+
+@register(
+    "window_running_value",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS running_value
+    FROM events
+    """,
+    tags=("window", "running"),
+)
+def window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+# --- set operations (§2.6 — absent in reference, shipped for coverage) ------
+
+
+@register(
+    "setop_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "union"),
+)
+def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@register(
+    "setop_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "intersect"),
+)
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "setop_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "except"),
+)
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT (distinct) semantics
+
+
+# --- scalar functions -------------------------------------------------------
+
+
+@register(
+    "date_parts_orders",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           count(*) AS n,
+           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    tags=("scalar", "F4", "F5", "dates"),
+)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _cents(F.sum("o_totalprice")).alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "string_funcs_customer",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           substr(c_name, 1, 8) AS prefix,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS tag
+    FROM customer
+    """,
+    tags=("scalar", "F6", "F15", "strings"),
+)
+def string_funcs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("tag"),
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id, CAST(props ->> '$.k' AS INTEGER) AS k
+    FROM events
+    WHERE CAST(props ->> '$.k' AS INTEGER) >= 50
+    """,
+    tags=("scalar", "F17", "json"),
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: JSON decode at the boundary — get_json_object, Catalyst-native."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") >= 50)

@@ -1,0 +1,198 @@
+"""Vector similarity over ``embeddings`` (array<float>, dim 64) — the
+similarity-search surface of the training-data pipeline: brute-force
+cosine top-k baseline plus LSH-bucketed candidate generation (the scale
+path) built from sign-bit sketches.
+
+Determinism: all arithmetic is promoted to double and folded left-to-right
+on both engines (Spark ``aggregate`` fold vs DuckDB ``list_aggregate``),
+then rounded to 4 decimals; orderings always carry the unique ``vec_id``
+tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+QUERY_VEC_ID = 0
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_DOT_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+_NORM_SQL = (
+    "sqrt(list_aggregate(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round({_NORM_SQL.format(a="embedding")}, 4) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("vector", "norm"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(norm(F.col("embedding")), 4).alias("l2_norm"),
+    )
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    sims AS (
+      SELECT e.vec_id, e.label,
+             round({_DOT_SQL.format(a="e.embedding", b="q.qv")}
+                   / ({_NORM_SQL.format(a="e.embedding")}
+                      * {_NORM_SQL.format(a="q.qv")}), 4) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cosine
+    FROM sims
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("vector", "ann", "cosine", "topk"),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    Plan shape at scale: the query side is a 1-row broadcast; similarity
+    is a narrow map stage fused into the scan; top-k is
+    TakeOrderedAndProject — no shuffle of the corpus. For batched query
+    sets, broadcast the whole query block and let AQE pick the join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    e = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    sim = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (norm(F.col("embedding")) * norm(F.col("qv"))),
+        4,
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "simhash_buckets",
+    oracle="""
+    SELECT (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bucket,
+           count(*) AS n,
+           min(vec_id) AS min_vec_id
+    FROM embeddings
+    GROUP BY 1
+    """,
+    tags=("vector", "lsh", "simhash"),
+)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit (hyperplane-LSH) bucketing on the first 4 dimensions —
+    the candidate-generation stage of approximate NN: at 100 TB the
+    corpus is grouped/bucket-joined on this key so each query only scans
+    its bucket, never the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bucket = sum(
+        F.when(e.getItem(i) >= 0, 1 << (3 - i)).otherwise(0) for i in range(4)
+    )
+    return emb.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+@register(
+    "ann_bucketed_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qbucket
+          FROM b WHERE vec_id = {QUERY_VEC_ID}),
+    sims AS (
+      SELECT b.vec_id, b.label,
+             round({_DOT_SQL.format(a="b.embedding", b="q.qv")}
+                   / ({_NORM_SQL.format(a="b.embedding")}
+                      * {_NORM_SQL.format(a="q.qv")}), 4) AS cosine
+      FROM b JOIN q ON b.bucket = q.qbucket
+      WHERE b.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cosine
+    FROM sims
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("vector", "ann", "lsh", "topk"),
+)
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: restrict the scan to the query's LSH bucket
+    (2 sign bits here → ~1/4 of the corpus), then exact cosine top-k
+    within the bucket. The IVF/LSH scale path vs cosine_topk's baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bucket = (
+        F.when(e.getItem(0) >= 0, 2).otherwise(0)
+        + F.when(e.getItem(1) >= 0, 1).otherwise(0)
+    ).alias("bucket")
+    b = emb.select("vec_id", "label", "embedding", bucket)
+    q = b.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    sim = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (norm(F.col("embedding")) * norm(F.col("qv"))),
+        4,
+    )
+    return (
+        b.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "label", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+One place to pin every config that affects correctness (session time zone)
+or scale behavior (AQE, shuffle partitions, Arrow). The reference creates
+its session ad-hoc per notebook (`jobs/batch_layer/batch_analysis/notebook/
+prepare_data_batch.ipynb` cell 1); we centralize so batch, streaming and
+tests agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "log_analysis_bigdata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    Defaults are sized for the local[N] dev harness but every knob is the
+    one you'd tune on a 1000-executor cluster too: AQE on (runtime
+    coalesce + skew-join splitting), shuffle partitions ~ cores locally
+    (on a real cluster leave AQE to coalesce from a higher initial
+    number), UTC session zone so epoch math and oracle comparisons are
+    reproducible, Arrow for every pandas boundary.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver's events.parquet carries TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and convert in catalog
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
