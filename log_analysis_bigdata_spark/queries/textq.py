@@ -21,13 +21,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.text import minhash_component, shingles, tokens
 from . import register
 
-N_MINHASH = 4  # signature width; 2 bands × 2 rows
+N_MINHASH = 8  # signature width; 2 bands × 4 rows
 
 
 def _tokens(col: str = "text") -> Column:
-    return F.split(F.trim(F.col(col)), " +")
+    return tokens(F.col(col))
 
 
 def _dup_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,17 +48,19 @@ _DUP_CORPUS_SQL = """
 """
 
 
-def minhash_sig(col: Column, seed: int) -> Column:
-    """One MinHash component: min over tokens of md5(seed-prefixed token).
-    Hex-string min is engine-independent, unlike builtin hash()."""
-    return F.array_min(
-        F.transform(col, lambda x: F.md5(F.concat(F.lit(f"s{seed}|"), x)))
-    )
+# DuckDB twins of functions.text.tokens / shingles / minhash_component.
+_TOK_SQL = "string_split_regex(trim(text), ' +')"
+_SHINGLE_SQL = (
+    f"(CASE WHEN len({_TOK_SQL}) >= 3 THEN "
+    f"list_transform(range(1, len({_TOK_SQL}) - 1), "
+    f"i -> {_TOK_SQL}[i] || ' ' || {_TOK_SQL}[i+1] || ' ' || {_TOK_SQL}[i+2]) "
+    "ELSE CAST([] AS VARCHAR[]) END)"
+)
 
 
-def _sig_sql(seed: int) -> str:
+def _sig_sql(seed: int, shingle_expr: str = "sh") -> str:
     return (
-        "list_aggregate(list_transform(string_split_regex(trim(text), ' +'), "
+        f"list_aggregate(list_transform({shingle_expr}, "
         f"x -> md5('s{seed}|' || x)), 'min')"
     )
 
@@ -107,35 +110,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_signatures",
     oracle=f"""
+    WITH sh_t AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents)
     SELECT doc_id,
            {_sig_sql(0)} AS sig0,
            {_sig_sql(1)} AS sig1,
            {_sig_sql(2)} AS sig2,
            {_sig_sql(3)} AS sig3
-    FROM documents
+    FROM sh_t
     """,
     tags=("dedup", "minhash"),
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature matrix (k=4) over whitespace tokens."""
+    """MinHash signature matrix (k=4 shown) over word-3-gram shingles.
+    Shingles, not unigrams: the shingle space is |vocab|³ so unrelated
+    documents rarely collide (unigram minhash over a small vocabulary
+    marks everything similar)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    return docs.select(
+    sh = docs.select("doc_id", shingles(_tokens()).alias("sh"))
+    return sh.select(
         "doc_id",
-        *[minhash_sig(toks, i).alias(f"sig{i}") for i in range(N_MINHASH)],
+        *[minhash_component(F.col("sh"), i).alias(f"sig{i}") for i in range(4)],
     )
+
+
+_BANDS_SQL = f"""
+      SELECT doc_id,
+             md5({_sig_sql(0)} || '|' || {_sig_sql(1)} || '|'
+                 || {_sig_sql(2)} || '|' || {_sig_sql(3)}) AS band0,
+             md5({_sig_sql(4)} || '|' || {_sig_sql(5)} || '|'
+                 || {_sig_sql(6)} || '|' || {_sig_sql(7)}) AS band1
+      FROM sh_t
+"""
 
 
 @register(
     "minhash_dup_pairs",
     oracle=f"""
     WITH corpus AS ({_DUP_CORPUS_SQL}),
-    sigs AS (
-      SELECT doc_id,
-             md5({_sig_sql(0)} || {_sig_sql(1)}) AS band0,
-             md5({_sig_sql(2)} || {_sig_sql(3)}) AS band1
-      FROM corpus
-    )
+    sh_t AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM corpus),
+    sigs AS ({_BANDS_SQL})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM sigs a JOIN sigs b
       ON a.band0 = b.band0 OR a.band1 = b.band1
@@ -144,21 +157,35 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh"),
 )
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: band signatures → per-band equi-join
-    (bucket join), union of bands, distinct. The OR-join in the oracle is
-    expressed in Spark as a union of two equi-joins so each stays a
-    shuffle-hash/broadcast join — the scalable LSH plan."""
-    corpus = _dup_corpus_spark(spark, sf_dir)
-    toks = _tokens()
-    sigs = corpus.select(
-        "doc_id",
-        F.md5(F.concat(minhash_sig(toks, 0), minhash_sig(toks, 1))).alias("band0"),
-        F.md5(F.concat(minhash_sig(toks, 2), minhash_sig(toks, 3))).alias("band1"),
+    """MinHash-LSH candidate pairs: shingle → 8-component signature →
+    2 bands × 4 rows → per-band equi-join, union, distinct.
+
+    The oracle's OR-join is expressed as a union of two equi-joins so
+    each band join stays hash-partitioned (never quadratic). The band
+    table is persisted before the self-join — at 100 TB you'd write the
+    signature table out and bucket it by band; persist is the local-mode
+    stand-in for that materialization.
+    """
+    # repartition: the doc corpus is one small input split locally —
+    # spread the shingle+md5-heavy stages across all cores. persist(sh):
+    # pins the computed shingle arrays so CollapseProject can't re-inline
+    # the shingle construction into each of the 8 signature components
+    # (8× recompute), and the band self-join reads the cache instead of
+    # recomputing the whole pipeline per side.
+    corpus = _dup_corpus_spark(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    sh = corpus.select("doc_id", shingles(_tokens()).alias("sh")).persist()
+    sigs = [minhash_component(F.col("sh"), i) for i in range(N_MINHASH)]
+    bands = sh.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", *sigs[0:4])).alias("band0"),
+        F.md5(F.concat_ws("|", *sigs[4:8])).alias("band1"),
+    ).persist()
     pairs = None
     for band in ("band0", "band1"):
-        a = sigs.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("b"))
-        b = sigs.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("b"))
+        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("b"))
+        b = bands.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("b"))
         p = a.join(b, "b").filter(F.col("doc_a") < F.col("doc_b")).select(
             "doc_a", "doc_b"
         )
@@ -171,7 +198,7 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH corpus AS ({_DUP_CORPUS_SQL}),
     toks AS (
-      SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS tok
+      SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS tok
       FROM corpus
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -183,12 +210,13 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard", "ngram"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard verification over the known dup pairs (original,
-    +1M re-key): the verify stage of the dedup pipeline. At scale the
-    pair list comes from the LSH candidates, keeping this linear."""
+    """Shingle-set Jaccard verification over the known dup pairs
+    (original, +1M re-key): the verify stage of the dedup pipeline. At
+    scale the pair list comes from the LSH candidates, keeping this
+    linear in candidates, never quadratic in corpus."""
     corpus = _dup_corpus_spark(spark, sf_dir)
     toks = corpus.select(
-        "doc_id", F.array_distinct(_tokens()).alias("tok")
+        "doc_id", F.array_distinct(shingles(_tokens())).alias("tok")
     )
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
