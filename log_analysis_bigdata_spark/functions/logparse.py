@@ -51,12 +51,15 @@ def event_time(value: Column) -> Column:
 def parse_log_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Parse raw log lines into the typed parsed-log table.
 
-    Output columns: ``value, datetime, pid, level, component, message,
-    block_id`` — the reference's parsed-log schema (SURVEY §1.1) with one
-    shared parser for both timestamp formats.
+    Adds columns ``datetime, pid, level, component, message, block_id``
+    (the reference's parsed-log schema, SURVEY §1.1) with one shared
+    parser for both timestamp formats; any other input columns are
+    preserved (so streaming can carry message keys through the parse).
     """
     v = F.col(value_col)
+    passthrough = [c for c in df.columns if c != value_col]
     return df.select(
+        *passthrough,
         v.alias("value"),
         event_time(v).alias("datetime"),
         F.nullif(F.regexp_extract(v, RE_PID, 1), F.lit("")).cast("int").alias("pid"),

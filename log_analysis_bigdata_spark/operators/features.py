@@ -80,12 +80,14 @@ def feature_counts_hof(
     ``size(filter(seq, x -> x = e))`` per event id — semantically equal
     to its ``aggregate(filter(...), 0, acc+1)`` but without 29 stacked
     withColumns."""
+    def eq(e: str):
+        # closure factory: a 2-arg lambda would receive (element, index)
+        return lambda x: x == F.lit(e)
+
     return traces.select(
         F.col(key_col),
         *[
-            F.size(F.filter(F.col(seq_col), lambda x, e=e: x == F.lit(e)))
-            .cast("int")
-            .alias(e)
+            F.size(F.filter(F.col(seq_col), eq(e))).cast("int").alias(e)
             for e in event_ids
         ],
     )

@@ -50,7 +50,7 @@ _LOADED = False
 def all_queries() -> dict[str, QueryDef]:
     global _LOADED
     if not _LOADED:
-        from . import logq, relational, servingq, textq, vectorq  # noqa: F401
+        from . import logq, relational, servingq, streamq, textq, vectorq  # noqa: F401
 
         _LOADED = True
     return REGISTRY

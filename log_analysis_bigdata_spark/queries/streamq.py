@@ -1,0 +1,88 @@
+"""Batch twins of the streaming window operators (queries/streamq.py).
+
+Structured Streaming windows have exact batch semantics; running the
+same ``streaming.windows`` functions over the bounded events table gives
+oracle-checkable coverage of tumbling/sliding/session windows (T5/T6).
+The genuinely-streaming behaviors (watermark expiry, incremental state)
+are exercised in tests/test_streaming.py instead — not SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
+from . import register
+
+
+@register(
+    "tumbling_window_events",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "T6"),
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_window_events",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 30]) AS off_min),
+    slots AS (
+      SELECT date_trunc('hour', ts - to_minutes(off_min))
+               + to_minutes(off_min) AS window_start
+      FROM events, offsets
+      WHERE ts >= date_trunc('hour', ts - to_minutes(off_min))
+                    + to_minutes(off_min)
+    )
+    SELECT window_start, count(*) AS n
+    FROM slots
+    GROUP BY window_start
+    """,
+    tags=("streaming", "window", "sliding", "T6"),
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h window sliding every 30min: each event lands in 2 windows."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "session_window_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess
+    """,
+    tags=("streaming", "window", "session", "T5"),
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min): Spark session_window vs the classic
+    lag/cumsum SQL sessionization — same partitions, same gap rule
+    (a gap ≥ the threshold starts a new session)."""
+    return session_windows(load_table(spark, sf_dir, "events"))

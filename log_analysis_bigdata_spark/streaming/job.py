@@ -1,0 +1,169 @@
+"""The speed-layer streaming job, Spark-first.
+
+Reference pipeline (per message, kafka_consumer.py:27-40):
+  transform.py:8-97   JSON decode → split lines → regex fields → template
+                      match → group → E1..E29 counts
+  ML_predict.py:78-115  per-line template count → float32 row → LightGBM
+                      predict_proba ≥ 0.83
+  insert_data_to_HBase.py:6-46  stringify + put (last-write-wins upsert)
+
+Engine rendering: one Structured Streaming query. The parse/template/
+feature transform is the SAME batch code (functions.logparse /
+functions.templates / operators.features) applied to the exploded
+``log_full`` lines — this kills Skew-1..4 by construction. Scoring is a
+column expression (or the ml.inference pandas-UDF for a real model);
+the sink is a keyed last-write-wins parquet upsert via foreachBatch
+(locally; Delta MERGE on a real deployment).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.logparse import parse_log_lines
+from ..functions.templates import event_id_expr
+from ..schemas import SESSION_MESSAGE
+
+
+def decode_messages(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka/file JSON payload → typed columns (from_json with the
+    declared schema — the engine fix for the reference's duck-typed
+    consumer, SURVEY §1.3)."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), SESSION_MESSAGE).alias("m")
+    ).select("m.*")
+
+
+def parse_message_lines(messages: DataFrame) -> DataFrame:
+    """Explode each session message's log_full into parsed lines —
+    the shared batch parser over the stream (Skew-3 fixed: the parser
+    accepts both timestamp formats), carrying the message key through."""
+    lines = messages.select(
+        F.col("block_id").alias("message_block_id"),
+        "start_ts",
+        F.explode(F.split("log_full", "\n")).alias("value"),
+    )
+    return parse_log_lines(lines, "value")
+
+
+def message_features(
+    messages: DataFrame,
+    templates: Sequence[tuple[str, str]],
+    event_ids: Sequence[str],
+) -> DataFrame:
+    """Per-message E-counts (A10/A11 stream semantics).
+
+    Each message is a self-contained session snapshot (transform.py:75-86
+    keys the feature row by the *message's* BlockId), so counts are
+    computed per row with array HOFs — split → per-line template tag →
+    size(filter(...)) per event id. Completely stateless: no shuffle, no
+    streaming aggregation state, so redelivery of a key REPLACES instead
+    of accumulating (the reference's HBase-put semantics), and the
+    stream stage stays a narrow map at any scale.
+    """
+    from ..functions.logparse import RE_MESSAGE
+
+    eids = F.transform(
+        F.split("log_full", "\n"),
+        lambda v: event_id_expr(
+            templates, F.regexp_extract(v, RE_MESSAGE, 1)
+        ),
+    )
+    def eq(e: str):
+        # closure factory: a 2-arg lambda would receive (element, index)
+        return lambda x: x == F.lit(e)
+
+    counts = [
+        F.size(F.filter(eids, eq(e))).cast("int").alias(e) for e in event_ids
+    ]
+    return messages.select("block_id", *counts)
+
+
+def score_expr(event_ids: Sequence[str], weights: dict[str, float], bias: float):
+    """Linear + sigmoid scoring as a pure column expression — the
+    cheapest correct rendering of M9 when the model is linear; for
+    tree models use ml.inference.pandas_udf_scorer."""
+    z = F.lit(bias)
+    for e in event_ids:
+        w = weights.get(e, 0.0)
+        if w:
+            z = z + F.col(e) * F.lit(w)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def upsert_sink(target_dir: str, key_col: str, order_col: str):
+    """foreachBatch last-write-wins upsert into a local parquet dir.
+
+    Semantics = the reference's HBase put keyed by BlockId
+    (insert_data_to_HBase.py:43): newest ``order_col`` wins per key.
+    Local parquet + atomic dir swap stands in for Delta MERGE; the
+    logical plan (union old+new → row_number desc → keep 1) is exactly
+    what MERGE compiles to.
+    """
+
+    def do_upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        spark = batch_df.sparkSession
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            old = spark.read.parquet(target_dir)
+            merged = old.unionByName(batch_df)
+        else:
+            merged = batch_df
+        w = W.partitionBy(key_col).orderBy(F.desc(order_col))
+        deduped = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tmp = target_dir.rstrip("/") + ".tmp"
+        deduped.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+
+    return do_upsert
+
+
+def run_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    templates: Sequence[tuple[str, str]],
+    event_ids: Sequence[str],
+    weights: dict[str, float] | None = None,
+    bias: float = -2.0,
+    watermark: str = "5 minutes",
+):
+    """Dev harness: JSON-file source standing in for Kafka (identical
+    downstream plan; swap ``readStream.format('kafka')`` in prod).
+
+    Applies the T4 watermark for real and runs one availableNow pass.
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    raw = (
+        spark.readStream.schema(SESSION_MESSAGE)
+        .json(source_dir)
+    )
+    msgs = raw.withWatermark("start_ts", watermark)
+    feats = message_features(msgs, templates, event_ids)
+    scored = feats.withColumn(
+        "score", score_expr(event_ids, weights or {}, bias)
+    ).withColumn("prediction", (F.col("score") >= 0.83).cast("int")).withColumn(
+        "ts_ms", F.unix_millis(F.current_timestamp())
+    )
+    return (
+        scored.writeStream.outputMode("append")
+        .foreachBatch(upsert_sink(target_dir, "block_id", "ts_ms"))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

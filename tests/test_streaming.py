@@ -1,0 +1,152 @@
+"""End-to-end Structured Streaming tests: file-source stand-in for
+Kafka → shared batch transform → score → foreachBatch keyed upsert.
+Covers T1 (pipeline), T3 (idempotent last-write-wins), T4 (watermark
+applied), plus incremental window state via availableNow replays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_bigdata_spark.streaming.job import (
+    decode_messages,
+    message_features,
+    run_file_stream,
+    upsert_sink,
+)
+from log_analysis_bigdata_spark.streaming.windows import tumbling_counts
+
+TEMPLATES = [
+    ("E1", "Receiving block[*]src:[*]"),
+    ("E2", "PacketResponder[*]terminating"),
+    ("E3", "Verification succeeded for[*]"),
+]
+EVENT_IDS = ["E1", "E2", "E3"]
+
+
+def _write_messages(path: str, msgs: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "batch0.json"), "w") as f:
+        for m in msgs:
+            f.write(json.dumps(m) + "\n")
+
+
+def _msg(block_id: str, n1: int, n2: int, ts: str = "2008-11-09 20:35:18") -> dict:
+    lines = []
+    for i in range(n1):
+        lines.append(
+            f"{ts} 143 INFO dfs.DataNode$DataXceiver: Receiving block {block_id} "
+            f"src: /10.0.0.{i} dest: /10.0.0.9"
+        )
+    for i in range(n2):
+        lines.append(
+            f"081109 203519 145 INFO dfs.DataNode$PacketResponder: "
+            f"PacketResponder {i} for block {block_id} terminating"
+        )
+    return {
+        "block_id": block_id,
+        "start_ts": ts,
+        "end_ts": ts,
+        "duration_sec": 0,
+        "log_full": "\n".join(lines),
+        "num_lines": len(lines),
+    }
+
+
+def test_stream_pipeline_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "detections")
+    ckpt = str(tmp_path / "ckpt")
+    _write_messages(src, [_msg("blk_-1", 3, 2), _msg("blk_-2", 1, 0)])
+
+    q = run_file_stream(
+        spark, src, tgt, ckpt, TEMPLATES, EVENT_IDS,
+        weights={"E1": 0.9, "E2": 0.5}, bias=-1.0,
+    )
+    q.awaitTermination(120)
+
+    out = {r["block_id"]: r.asDict() for r in spark.read.parquet(tgt).collect()}
+    assert set(out) == {"blk_-1", "blk_-2"}
+    # mixed raw/ISO timestamp lines both parse; counts reflect templates
+    assert out["blk_-1"]["E1"] == 3 and out["blk_-1"]["E2"] == 2
+    assert out["blk_-2"]["E1"] == 1 and out["blk_-2"]["E2"] == 0
+    # sigmoid(-1 + 3*0.9 + 2*0.5) ≈ 0.937 ≥ 0.83 → anomaly
+    assert out["blk_-1"]["prediction"] == 1
+    assert out["blk_-2"]["prediction"] == 0  # sigmoid(-0.1) ≈ 0.475
+
+
+def test_stream_upsert_last_write_wins(spark, tmp_path):
+    """T3: re-delivery of a key keeps the newest record (idempotent
+    upsert, the reference's HBase-put semantics)."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "detections")
+    ckpt = str(tmp_path / "ckpt")
+    _write_messages(src, [_msg("blk_-7", 2, 0)])
+    q = run_file_stream(spark, src, tgt, ckpt, TEMPLATES, EVENT_IDS)
+    q.awaitTermination(120)
+    first = spark.read.parquet(tgt).collect()
+    assert len(first) == 1 and first[0]["E1"] == 2
+
+    # second delivery for the same key, different payload
+    with open(os.path.join(src, "batch1.json"), "w") as f:
+        f.write(json.dumps(_msg("blk_-7", 5, 1)) + "\n")
+    q = run_file_stream(spark, src, tgt, ckpt, TEMPLATES, EVENT_IDS)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(tgt).collect()
+    assert len(rows) == 1
+    assert rows[0]["E1"] == 5 and rows[0]["E2"] == 1
+
+
+def test_decode_messages_declared_schema(spark):
+    raw = spark.createDataFrame(
+        [(json.dumps(_msg("blk_-3", 1, 1)),)], ["value"]
+    )
+    m = decode_messages(raw).collect()[0]
+    assert m["block_id"] == "blk_-3" and m["num_lines"] == 2
+    assert str(m["start_ts"]) == "2008-11-09 20:35:18"
+
+
+def test_message_features_batch_stream_shared(spark):
+    msgs = spark.createDataFrame(
+        [_msg("blk_-4", 2, 3)],
+        "block_id string, start_ts string, end_ts string, duration_sec long,"
+        " log_full string, num_lines int",
+    )
+    row = message_features(msgs, TEMPLATES, EVENT_IDS).collect()[0]
+    assert (row["E1"], row["E2"], row["E3"]) == (2, 3, 0)
+
+
+def test_tumbling_window_streaming_matches_batch(spark, tmp_path):
+    """The same windows code gives identical results in streaming
+    (memory sink, availableNow) and batch over the same rows."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from log_analysis_bigdata_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "events_parquet")
+    ev.write.parquet(src)
+
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in tumbling_counts(ev).collect()
+    }
+
+    stream_df = spark.readStream.schema(ev.schema).parquet(src)
+    agg = tumbling_counts(stream_df, watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    assert streamed == batch
