@@ -1,0 +1,82 @@
+"""Model inference as Arrow-batched pandas UDFs (SURVEY §2.8 M9).
+
+The reference scores one message at a time through a pickled LightGBM on
+the consumer thread (`jobs/stream_layer/ML_predict.py:96-115`: build a
+1×28 float32 row, `predict_proba`, threshold 0.83). The Spark rendering
+is a scalar pandas UDF: the model is broadcast once per executor and each
+call scores an Arrow batch of thousands of rows — the ~10-100× batch win
+over row-at-a-time loops.
+
+Two scorers:
+- :func:`logistic_scorer_udf` — a deterministic linear-logistic model on
+  an ``array<float>`` column, fully specified by (weights, bias). Used by
+  the oracle-checked catalog query (DuckDB can replay the same dot+sigmoid)
+  and as the stand-in where the reference would load its LightGBM pickle.
+- :func:`model_scorer_udf` — the general wrapper: broadcast any object
+  with ``predict_proba`` (sklearn/LightGBM-style) and score feature
+  columns in training order, mirroring `ML_predict.py:96-113` including
+  the float32 matrix build. The model libs aren't in this container, so
+  this is exercised in tests with a small duck-typed model.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def logistic_scorer_udf(weights: Sequence[float], bias: float = 0.0):
+    """Scalar pandas UDF: sigmoid(w·x + b) over an array<float> column.
+
+    Weights are captured in the closure (small → task-serialized; for a
+    real multi-MB model use :func:`model_scorer_udf` with a broadcast).
+    Arithmetic is float64 end-to-end so the DuckDB oracle reproduces it.
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    b = float(bias)
+
+    @pandas_udf("double")
+    def score(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        z = x @ w + b
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    return score
+
+
+def model_scorer_udf(
+    spark: SparkSession, model, feature_cols: Sequence[str], proba_index: int = 1
+):
+    """Broadcast `model` and return (udf, column-builder) for batch scoring.
+
+    ``model`` needs ``predict_proba(ndarray) -> ndarray`` (sklearn /
+    LightGBM API). Features are assembled in `feature_cols` order and cast
+    to float32 exactly like `ML_predict.py:109`'s row build — but for the
+    whole Arrow batch at once.
+
+    Usage::
+
+        udf = model_scorer_udf(spark, clf, ["E1", ..., "E29"])
+        df = df.withColumn("score", udf(F.array(*feature_cols)))
+    """
+    bc = spark.sparkContext.broadcast(model)
+    idx = int(proba_index)
+
+    @pandas_udf("double")
+    def score(features: pd.Series) -> pd.Series:
+        x = np.vstack(features.to_numpy()).astype(np.float32)
+        proba = bc.value.predict_proba(x)
+        return pd.Series(np.asarray(proba, dtype=np.float64)[:, idx])
+
+    return score
+
+
+def threshold_prediction(score: Column, threshold: float = 0.83) -> Column:
+    """score ≥ t → 1 else 0 (`ML_predict.py:113`, t from
+    `kafka_consumer.py:35`)."""
+    return (score >= F.lit(float(threshold))).cast("int")

@@ -1,0 +1,101 @@
+"""Training pipeline: stratified split, balanced class weights, weighted
+logistic regression, PR-AUC / F1 evaluation.
+
+Reference parity (citations into `/root/reference/`):
+- stratified split `sampleBy('label_index', {l: f}, seed)` + left-anti
+  train complement — `prepare_data_batch.ipynb` cells 18 (`nb:582-587`)
+  → :func:`stratified_split` (M1 + J3).
+- balanced class weight `w = N / (K * n_class)` joined back to every row
+  — `nb:597-607` (cell 19) → :func:`balanced_class_weights` (A5–A7, J4).
+- `LogisticRegression(weightCol, maxIter=200, regParam=0.01,
+  elasticNetParam=0)` — `nb:641-652` (cell 22) → :func:`train_weighted_lr`.
+- `BinaryClassificationEvaluator(areaUnderPR)` +
+  `MulticlassClassificationEvaluator(f1)` — `nb:630-631` (cell 21)
+  → :func:`evaluate_binary`.
+
+Scale notes: the split is one seeded Bernoulli sample per class (narrow,
+no shuffle) plus a left-anti join on the key — at 100 TB that anti join
+shuffles both sides once on the key; the weight map is K rows and always
+broadcast. LR itself is Spark ML's L-BFGS: each iteration is one
+tree-aggregated gradient pass, no per-row driver traffic.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_split(
+    df: DataFrame,
+    label_col: str = "label_index",
+    key_col: str = "vec_id",
+    test_fraction: float = 0.2,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) via per-class seeded sampling; train = df ∖ test by key.
+
+    Mirrors `nb:582-587`: `sampleBy` over the distinct label values, then
+    a left-anti join on the row key for the complement.
+    """
+    labels = [r[0] for r in df.select(label_col).distinct().collect()]
+    test = df.sampleBy(label_col, {l: test_fraction for l in labels}, seed=seed)
+    train = df.join(test.select(key_col), key_col, "left_anti")
+    return train, test
+
+
+def balanced_class_weights(
+    train: DataFrame, label_col: str = "label_index", weight_col: str = "weight"
+) -> DataFrame:
+    """Attach `weight = N / (K * n_class)` to every row (`nb:597-607`).
+
+    The per-class count table is K rows — broadcast so the join back is
+    map-side at any scale.
+    """
+    cnt = train.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    n_total = cnt.agg(F.sum("n")).first()[0]
+    k = cnt.count()
+    weights = cnt.select(
+        label_col, (F.lit(float(n_total)) / (F.lit(k) * F.col("n"))).alias(weight_col)
+    )
+    return train.join(F.broadcast(weights), label_col)
+
+
+def train_weighted_lr(
+    train: DataFrame,
+    features_col: str = "features",
+    label_col: str = "label_index",
+    weight_col: str = "weight",
+    max_iter: int = 200,
+    reg_param: float = 0.01,
+    elastic_net: float = 0.0,
+) -> LogisticRegressionModel:
+    """Weighted LR with the reference's hyperparameters (`nb:641-652`)."""
+    lr = LogisticRegression(
+        featuresCol=features_col,
+        labelCol=label_col,
+        weightCol=weight_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        elasticNetParam=elastic_net,
+        standardization=True,
+    )
+    return lr.fit(train)
+
+
+def evaluate_binary(
+    predictions: DataFrame, label_col: str = "label_index"
+) -> dict[str, float]:
+    """PR-AUC + F1, the reference's two metrics (`nb:630-631`)."""
+    pr = BinaryClassificationEvaluator(
+        labelCol=label_col, metricName="areaUnderPR"
+    ).evaluate(predictions)
+    f1 = MulticlassClassificationEvaluator(
+        labelCol=label_col, metricName="f1"
+    ).evaluate(predictions)
+    return {"pr_auc": pr, "f1": f1}

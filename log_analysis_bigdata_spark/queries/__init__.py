@@ -50,7 +50,15 @@ _LOADED = False
 def all_queries() -> dict[str, QueryDef]:
     global _LOADED
     if not _LOADED:
-        from . import logq, relational, servingq, streamq, textq, vectorq  # noqa: F401
+        from . import (  # noqa: F401
+            logq,
+            mlq,
+            relational,
+            servingq,
+            streamq,
+            textq,
+            vectorq,
+        )
 
         _LOADED = True
     return REGISTRY

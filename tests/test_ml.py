@@ -1,0 +1,106 @@
+"""ML pipeline + pandas-UDF inference unit tests (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from log_analysis_bigdata_spark.catalog import load_table
+from log_analysis_bigdata_spark.ml.inference import (
+    logistic_scorer_udf,
+    model_scorer_udf,
+    threshold_prediction,
+)
+from log_analysis_bigdata_spark.ml.pipeline import (
+    balanced_class_weights,
+    stratified_split,
+)
+from log_analysis_bigdata_spark.queries.mlq import (
+    SCORE_BIAS,
+    SCORE_WEIGHTS,
+    ml_lr_train_confusion,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_logistic_scorer_matches_numpy(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    rows = emb.select("vec_id", "embedding").collect()
+    udf = logistic_scorer_udf(SCORE_WEIGHTS, SCORE_BIAS)
+    got = {
+        r["vec_id"]: r["s"]
+        for r in emb.select("vec_id", udf(F.col("embedding")).alias("s")).collect()
+    }
+    w = np.asarray(SCORE_WEIGHTS)
+    for r in rows:
+        z = np.asarray(r["embedding"], dtype=np.float64) @ w + SCORE_BIAS
+        expect = 1.0 / (1.0 + np.exp(-z))
+        assert abs(got[r["vec_id"]] - expect) < 1e-12
+
+
+class _StubModel:
+    """Duck-typed predict_proba model (stands in for the LightGBM pickle)."""
+
+    def predict_proba(self, x):
+        p = 1.0 / (1.0 + np.exp(-x.sum(axis=1, dtype=np.float64)))
+        return np.stack([1.0 - p, p], axis=1)
+
+
+def test_model_scorer_udf_broadcast_batch(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, -3.0, 0.5)], ["id", "f1", "f2"]
+    )
+    udf = model_scorer_udf(spark, _StubModel(), ["f1", "f2"])
+    out = {
+        r["id"]: r["score"]
+        for r in df.withColumn(
+            "score", udf(F.array("f1", "f2").cast("array<float>"))
+        ).collect()
+    }
+    assert abs(out[1] - 1.0 / (1.0 + np.exp(-3.0))) < 1e-6
+    assert abs(out[2] - 1.0 / (1.0 + np.exp(2.5))) < 1e-6
+
+
+def test_threshold_prediction(spark):
+    df = spark.range(1).select(
+        threshold_prediction(F.lit(0.84), 0.83).alias("hi"),
+        threshold_prediction(F.lit(0.82), 0.83).alias("lo"),
+    )
+    r = df.first()
+    assert (r["hi"], r["lo"]) == (1, 0)
+
+
+def test_stratified_split_partitions_df(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", (F.col("label") % 2).cast("double").alias("label_index")
+    )
+    train, test = stratified_split(emb, "label_index", "vec_id", 0.25, seed=7)
+    n, tr, te = emb.count(), train.count(), test.count()
+    assert tr + te == n and 0 < te < n
+    # disjoint by key
+    assert train.join(test, "vec_id").count() == 0
+
+
+def test_balanced_class_weights_sum(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", (F.col("label") % 2).cast("double").alias("label_index")
+    )
+    w = balanced_class_weights(emb, "label_index")
+    # per-class: n * (N / (K*n)) = N/K → both classes contribute equally
+    sums = {
+        r["label_index"]: r["s"]
+        for r in w.groupBy("label_index").agg(F.sum("weight").alias("s")).collect()
+    }
+    vals = list(sums.values())
+    assert abs(vals[0] - vals[1]) < 1e-6
+
+
+def test_lr_learns_separable_target(spark):
+    conf = {(r["label_index"], r["prediction"]): r["n"]
+            for r in ml_lr_train_confusion(spark, SF_SMOKE).collect()}
+    total = sum(conf.values())
+    diag = conf.get((0, 0), 0) + conf.get((1, 1), 0)
+    # sign(x0) with 63 noise dims and ~400 train rows: boundary rows
+    # (x0 near 0) can flip — 85% floor still catches a broken pipeline.
+    assert total > 0 and diag / total >= 0.85
