@@ -1,0 +1,225 @@
+"""Binary asset table + mapInPandas operators.
+
+The asset table is derived deterministically from ``documents`` (the only
+corpus in the driver testdata): payload = UTF-8 bytes of the text (opaque
+to every operator below — nothing assumes it is text), media_type cycles
+image/audio/video by doc_id, and the metadata struct carries the typed
+fields a real ingest would stamp (byte size, fake dimensions/duration).
+
+Operator shapes (all narrow — no shuffle, linear scale-out):
+- :func:`byte_stats` — per-asset feature extraction over the raw bytes
+  via ``mapInPandas`` (Arrow batches of binary → numpy byte arrays).
+- :func:`frame_sample` — 1→N row explosion: every ``stride``-th slice of
+  a video payload becomes a frame row. The mapInPandas generator yields
+  multiple output rows per input row, the real plumbing a frame sampler
+  needs; at scale each task samples only its partition's assets.
+- :func:`decode_image_stub` — the codec seam. Real decoding needs
+  PIL/ffmpeg (absent here); the stub raises unless ``fake=True``, in
+  which case it emits a deterministic pseudo-decode so the downstream
+  schema/batch contract is testable.
+- :func:`resize_plan` — pure-column resize arithmetic (target dims,
+  scale factors) that would parameterize the decoder.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_TYPES = ["image", "audio", "video"]
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → asset table with opaque binary payload + typed meta.
+
+    Fake-but-deterministic metadata: width/height derived from doc_id,
+    duration from payload size (8 bytes/ms) — stable across engines so
+    oracles can recompute it.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("int").alias("n_bytes"),
+        (F.lit(16) + F.col("doc_id") % 64).cast("int").alias("width"),
+        (F.lit(16) + F.col("doc_id") % 48).cast("int").alias("height"),
+        (F.length(payload) / 8).cast("int").alias("duration_ms"),
+    )
+
+
+BYTE_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("max_byte", IntegerType()),
+        StructField("n_distinct_bytes", IntegerType()),
+    ]
+)
+
+
+def byte_stats(assets: DataFrame) -> DataFrame:
+    """Per-asset byte-level features via mapInPandas (Arrow-batched).
+
+    The numpy work (frombuffer → mean/max/unique) is the placeholder for
+    any real per-asset feature extractor; the contract being exercised is
+    binary-in / typed-row-out over whole Arrow batches.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [a.size for a in arrs],
+                    "mean_byte": [float(a.mean()) if a.size else 0.0 for a in arrs],
+                    "max_byte": [int(a.max()) if a.size else 0 for a in arrs],
+                    "n_distinct_bytes": [
+                        int(np.unique(a).size) for a in arrs
+                    ],
+                }
+            )
+
+    return assets.select(
+        "asset_id", "media_type", "payload"
+    ).mapInPandas(extract, BYTE_STATS_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_len", IntegerType()),
+    ]
+)
+
+
+def frame_sample(assets: DataFrame, stride: int = 256) -> DataFrame:
+    """Sample every `stride` bytes of video payloads into frame rows.
+
+    1→N explosion inside mapInPandas: each input asset yields
+    ``ceil(n_bytes / stride)`` frame rows (empty payloads yield none).
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+                "frame_len": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n = len(payload)
+                for i, off in enumerate(range(0, n, stride)):
+                    chunk = payload[off : off + stride]
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(chunk)
+                    out["frame_len"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("media_type") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(frames, FRAME_SCHEMA)
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+
+def decode_image_stub(assets: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode image payloads → (dims, channel stats). STUB.
+
+    Real decoding requires an image codec (PIL / libjpeg), absent in this
+    container. With ``fake=True`` a deterministic pseudo-decode treats the
+    payload bytes as a 1×N grayscale plane so the schema/batch contract
+    and downstream plan are exercised end-to-end; with the default
+    ``fake=False`` this raises NotImplementedError at plan-build time to
+    fail fast rather than inside executors.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode needs a codec library (PIL/ffmpeg) not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": [a.size for a in arrs],
+                    "height": [1 if a.size else 0 for a in arrs],
+                    "channels": [1 if a.size else 0 for a in arrs],
+                    "mean_pixel": [
+                        float(a.mean()) if a.size else 0.0 for a in arrs
+                    ],
+                }
+            )
+
+    return (
+        assets.filter(F.col("media_type") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(decode, DECODED_SCHEMA)
+    )
+
+
+def resize_plan(assets: DataFrame, target: int = 224) -> DataFrame:
+    """Column-only resize arithmetic: aspect-preserving scale to `target`
+    on the short side — the parameters a real resizer UDF would consume."""
+    short = F.least("width", "height")
+    scale = F.lit(target) / short
+    return assets.select(
+        "asset_id",
+        "media_type",
+        "width",
+        "height",
+        F.round(scale, 4).alias("scale"),
+        F.round(F.col("width") * scale).cast("int").alias("target_w"),
+        F.round(F.col("height") * scale).cast("int").alias("target_h"),
+    )

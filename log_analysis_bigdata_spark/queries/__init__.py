@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QueryDef]:
         from . import (  # noqa: F401
             logq,
             mlq,
+            multimodalq,
             relational,
             servingq,
             streamq,

@@ -1,0 +1,83 @@
+"""Multimodal binary plumbing: byte features vs numpy, frame explosion
+row counts, decode stub contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_bigdata_spark.multimodal.assets import (
+    asset_table,
+    byte_stats,
+    decode_image_stub,
+    frame_sample,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_byte_stats_match_numpy(spark):
+    assets = asset_table(spark, SF_SMOKE).limit(20)
+    raw = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    got = {r["asset_id"]: r for r in byte_stats(assets).collect()}
+    assert set(got) == set(raw)
+    for aid, payload in raw.items():
+        a = np.frombuffer(payload, dtype=np.uint8)
+        r = got[aid]
+        assert r["n_bytes"] == a.size
+        assert abs(r["mean_byte"] - float(a.mean())) < 1e-9
+        assert r["max_byte"] == int(a.max())
+        assert r["n_distinct_bytes"] == int(np.unique(a).size)
+
+
+def test_frame_sample_explosion(spark):
+    assets = asset_table(spark, SF_SMOKE)
+    stride = 64
+    frames = frame_sample(assets, stride=stride)
+    videos = {
+        r["asset_id"]: r["n_bytes"]
+        for r in assets.filter(F.col("media_type") == "video").collect()
+    }
+    per_asset = {
+        r["asset_id"]: (r["n"], r["total"])
+        for r in frames.groupBy("asset_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("frame_len").alias("total"))
+        .collect()
+    }
+    assert set(per_asset) == {a for a, n in videos.items() if n > 0}
+    for aid, (n_frames, total) in per_asset.items():
+        n = videos[aid]
+        assert n_frames == -(-n // stride)  # ceil
+        assert total == n  # slices partition the payload exactly
+
+
+def test_frame_bytes_roundtrip(spark):
+    assets = asset_table(spark, SF_SMOKE).limit(5)
+    src = {r["asset_id"]: bytes(r["payload"])
+           for r in assets.filter(F.col("media_type") == "video").collect()}
+    rows = frame_sample(assets, stride=100).collect()
+    rebuilt: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["asset_id"], r["frame_idx"])):
+        rebuilt.setdefault(r["asset_id"], []).append(bytes(r["frame_bytes"]))
+    for aid, chunks in rebuilt.items():
+        assert b"".join(chunks) == src[aid]
+
+
+def test_decode_stub_raises_without_fake(spark):
+    assets = asset_table(spark, SF_SMOKE)
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(assets)
+
+
+def test_decode_stub_fake_contract(spark):
+    assets = asset_table(spark, SF_SMOKE).limit(10)
+    out = decode_image_stub(assets, fake=True)
+    assert [f.name for f in out.schema.fields] == [
+        "asset_id", "width", "height", "channels", "mean_pixel",
+    ]
+    rows = out.collect()
+    n_images = assets.filter(F.col("media_type") == "image").count()
+    assert len(rows) == n_images
+    for r in rows:
+        assert r["channels"] in (0, 1)
