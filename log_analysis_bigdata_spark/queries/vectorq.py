@@ -196,3 +196,71 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
+
+
+NEAR_DUP_THRESHOLD = 0.4
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+                   / ({_NORM_SQL.format(a="a.embedding")}
+                      * {_NORM_SQL.format(a="b.embedding")}), 4) AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs
+    WHERE cosine >= {NEAR_DUP_THRESHOLD!r}
+    ORDER BY cosine DESC, id_a, id_b
+    """,
+    tags=("dedup", "vector", "cosine", "lsh", "near-dup"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with LSH candidate generation.
+
+    The dedup scale path: bucket every vector by 3 sign bits (hyperplane
+    LSH), self-join only within buckets (~1/8 of the naive pair space per
+    bucket; shuffle partitions by bucket so each reducer sees one bucket's
+    candidates), then exact cosine and the similarity threshold. Like any
+    LSH dedup this trades recall for the avoided full cross-join — pairs
+    split across buckets are unseen, which is the documented ANN contract
+    (the oracle replays the identical candidate generation). At 100 TB
+    you widen recall with multiple independent bucketings (band OR), each
+    a cheap repeat of this same plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bucket = sum(
+        F.when(e.getItem(i) >= 0, 1 << (2 - i)).otherwise(0) for i in range(3)
+    )
+    b = emb.select(F.col("vec_id"), e.alias("embedding"), bucket.alias("bucket"))
+    a2 = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    b2 = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cosine = F.round(
+        dot(F.col("emb_a"), F.col("emb_b"))
+        / (norm(F.col("emb_a")) * norm(F.col("emb_b"))),
+        4,
+    )
+    return (
+        a2.join(b2, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+    )
