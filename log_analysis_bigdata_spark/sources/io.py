@@ -1,0 +1,138 @@
+"""Connector implementations for SURVEY §2.1.
+
+| Ref | Reference behavior (file:line in /root/reference/) | Here |
+|-----|-----------------------------------------------------|------|
+| S1  | `spark.read.text` raw HDFS.log (`prepare_data_batch.ipynb` cell 2) | :func:`read_text_logs` |
+| S2/S3 | CSV dims, header + inferred schema (`nb` cell 2; `transform.py:32`) | :func:`read_csv_dim` |
+| S4  | Kafka consumer, topic/group/offset opts (`kafka_consumer.py:13-25`) | :func:`kafka_source` |
+| S5  | Kafka producer, JSON value, acks=all (`kafka_producer.py:10-28`) | :func:`kafka_sink_writer` |
+| S6  | HBase keyed upsert (`insert_data_to_HBase.py:11-43`) | streaming.job.upsert_sink |
+| S7  | HBase scan (`hbase_client.py:285-298`) | plain read of the serving table |
+| S8  | `coalesce(1)` CSV export (`nb` cell 32) | :func:`write_csv_single` |
+| S9  | pandas `to_sql` → PostgreSQL (`load_data_to_sql.py:6-17`) | :func:`write_jdbc` |
+| S10 | joblib model load (`ML_predict.py:8-13`) | ml.inference.model_scorer_udf (broadcast) |
+
+Scale sink: :func:`write_parquet_partitioned` is what replaces S8 at
+100 TB — date-partitioned parquet so downstream scans partition-prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_text_logs(spark: SparkSession, path: str) -> DataFrame:
+    """S1: raw log file → DataFrame[value: string], one row per line.
+
+    Splittable text: on a cluster each 128 MB block becomes a task, so a
+    100 TB log corpus fans out to ~800k tasks with no driver involvement.
+    """
+    return spark.read.text(path)
+
+
+def read_csv_dim(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S2/S3: dimension CSV with header.
+
+    The reference uses ``inferSchema=True`` (an extra full pass over the
+    file); pass an explicit ``schema`` to skip that — mandatory hygiene
+    for anything bigger than a dim table.
+    """
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+):
+    """S4: configured Structured-Streaming Kafka reader (not yet started).
+
+    Mirrors `kafka_consumer.py:13-25` (subscribe + auto_offset_reset).
+    Returns the DataStreamReader so callers `.load()` when the connector
+    jar + broker exist; in this container that load raises (no
+    spark-sql-kafka jar), which tests assert — the dev substitute is the
+    file source in streaming.job.file_stream_source.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+
+
+def kafka_sink_writer(df: DataFrame, brokers: str, topic: str):
+    """S5: batch DataFrame → Kafka writer, JSON value per row.
+
+    `to_json(struct(*))` is the reference producer's `json.dumps(dict)`
+    (`kafka_producer.py:12`); delivery guarantees (`acks=all`) are broker
+    configs passed through the kafka. option namespace.
+    """
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("kafka.acks", "all")
+    )
+
+
+def write_csv_single(df: DataFrame, path: str) -> None:
+    """S8: single-file CSV export with header, quoted so multi-line
+    strings (the reference's `log_full`) survive the round-trip.
+
+    coalesce(1) funnels through one task — only for small exports, which
+    is also all the reference uses it for (`nb` cell 32).
+    """
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """The scale sink: parquet partitioned by (typically) event date.
+
+    Downstream filters on the partition columns become directory pruning
+    (PartitionFilters in the scan node) — at 100 TB a one-day query reads
+    ~1/2500th of the files. Pair with AQE coalesce so each partition
+    writes a few well-sized files instead of one per shuffle task.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "overwrite", **options: str
+):
+    """S9: JDBC writer (`load_data_to_sql.py:6-17`'s `to_sql`).
+
+    Returns the configured writer; `.save()` needs a driver jar +
+    database, neither present here. numPartitions bounds the connection
+    fan-in a 1000-executor write would otherwise open.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return writer

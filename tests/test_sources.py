@@ -1,0 +1,100 @@
+"""Sources/sinks: file paths run for real (round-trips, partition
+pruning); Kafka/JDBC are exercised up to the network/jar boundary."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_bigdata_spark.catalog import load_table
+from log_analysis_bigdata_spark.sources import (
+    kafka_sink_writer,
+    kafka_source,
+    read_csv_dim,
+    read_text_logs,
+    write_csv_single,
+    write_parquet_partitioned,
+    write_jdbc,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_text_roundtrip(spark, tmp_path):
+    p = tmp_path / "logs.txt"
+    p.write_text("line one\nline two\nline three\n")
+    df = read_text_logs(spark, str(p))
+    assert df.columns == ["value"]
+    assert df.count() == 3
+
+
+def test_csv_dim_with_schema(spark, tmp_path):
+    p = tmp_path / "dim.csv"
+    p.write_text("event_id,template\nE1,Receiving block\nE2,Deleting block\n")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("event_id", StringType()), StructField("template", StringType())]
+    )
+    df = read_csv_dim(spark, str(p), schema)
+    assert df.schema == schema and df.count() == 2
+
+
+def test_csv_single_roundtrip_multiline(spark, tmp_path):
+    out = str(tmp_path / "export")
+    df = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, "plain")], ["id", "log_full"]
+    )
+    write_csv_single(df, out)
+    files = glob.glob(os.path.join(out, "part-*.csv"))
+    assert len(files) == 1  # coalesce(1) → single file
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    rows = {r["id"]: r["log_full"] for r in back.collect()}
+    assert rows["1"] == "a\nb\nc"  # embedded newlines survive
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_parquet_partitioned(ev, out, ["day"])
+    days = sorted(os.path.basename(d) for d in glob.glob(out + "/day=*"))
+    assert len(days) >= 2  # actually partitioned on disk
+
+    back = spark.read.parquet(out)
+    one_day = days[0].split("=", 1)[1]
+    q = back.filter(F.col("day") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and one_day in plan
+    # pruned row count equals that day's rows
+    expect = ev.filter(F.col("day") == one_day).count()
+    assert q.count() == expect
+
+
+def test_kafka_source_configured_but_gated(spark):
+    reader = kafka_source(spark, "localhost:9092", "log_stream_topic")
+    with pytest.raises(Exception):  # connector jar absent in container
+        reader.load()
+
+
+def test_kafka_sink_writer_configured(spark):
+    df = spark.createDataFrame([(1, "x")], ["id", "v"])
+    writer = kafka_sink_writer(df, "localhost:9092", "t")
+    with pytest.raises(Exception):  # no jar/broker — fails at save()
+        writer.save()
+
+
+def test_jdbc_writer_configured(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    writer = write_jdbc(df, "jdbc:postgresql://localhost/db", "t", numPartitions="4")
+    with pytest.raises(Exception):  # no driver jar/database
+        writer.save()
