@@ -34,6 +34,12 @@ HEADLINE = [
     "minhash_dup_pairs",
     "cosine_topk",
     "text_quality_docs",
+    "q6_forecast_revenue",
+    "q4_priority_exists",
+    "embedding_near_dup",
+    "ml_score_embeddings",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
 ]
 
 

@@ -198,7 +198,18 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEAR_DUP_THRESHOLD = 0.4
+NEAR_DUP_THRESHOLD = 0.35
+BAND_BITS = 6
+
+
+def _band_sql(start: int) -> str:
+    # 1-indexed DuckDB list access; bit i weight 2^(BAND_BITS-1-i)
+    terms = [
+        f"CASE WHEN embedding[{start + i + 1}] >= 0 "
+        f"THEN {1 << (BAND_BITS - 1 - i)} ELSE 0 END"
+        for i in range(BAND_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 @register(
@@ -206,61 +217,83 @@ NEAR_DUP_THRESHOLD = 0.4
     oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding,
-             (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
+             {_band_sql(0)} AS band0,
+             {_band_sql(BAND_BITS)} AS band1,
+             {_NORM_SQL.format(a="embedding")} AS nrm
       FROM embeddings
     ),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
-                   / ({_NORM_SQL.format(a="a.embedding")}
-                      * {_NORM_SQL.format(a="b.embedding")}), 4) AS cosine
-      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
+      FROM e a JOIN e b
+        ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             round({_DOT_SQL.format(a="ea", b="eb")} / (na * nb), 4) AS cosine
+      FROM cand
     )
-    SELECT id_a, id_b, cosine FROM pairs
+    SELECT id_a, id_b, cosine FROM scored
     WHERE cosine >= {NEAR_DUP_THRESHOLD!r}
     ORDER BY cosine DESC, id_a, id_b
     """,
     tags=("dedup", "vector", "cosine", "lsh", "near-dup"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs with LSH candidate generation.
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
-    The dedup scale path: bucket every vector by 3 sign bits (hyperplane
-    LSH), self-join only within buckets (~1/8 of the naive pair space per
-    bucket; shuffle partitions by bucket so each reducer sees one bucket's
-    candidates), then exact cosine and the similarity threshold. Like any
-    LSH dedup this trades recall for the avoided full cross-join — pairs
-    split across buckets are unseen, which is the documented ANN contract
-    (the oracle replays the identical candidate generation). At 100 TB
-    you widen recall with multiple independent bucketings (band OR), each
-    a cheap repeat of this same plan.
+    The dedup scale path, banding like MinHash-LSH: two independent
+    6-sign-bit bands (dims 0-5 and 6-11); vectors agreeing on EITHER band
+    become candidates (band-OR restores the recall a single longer code
+    destroys), each band join equi-partitioned on its 64-bucket key so
+    candidate generation scales with bucket size, not corpus². Norms are
+    computed once per row and carried through the join as scalars —
+    bit-identical to per-pair evaluation but 2 HOF passes per row instead
+    of 2 per pair. Pairs found by both bands are deduped before the dot
+    product so the similarity work runs once per unique candidate.
+    At 100 TB: persist the banded table, bucket it by band key on write,
+    and add bands to raise recall at linear (not quadratic) cost.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
-    bucket = sum(
-        F.when(e.getItem(i) >= 0, 1 << (2 - i)).otherwise(0) for i in range(3)
-    )
-    b = emb.select(F.col("vec_id"), e.alias("embedding"), bucket.alias("bucket"))
-    a2 = b.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        "bucket",
-    )
-    b2 = b.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    cosine = F.round(
-        dot(F.col("emb_a"), F.col("emb_b"))
-        / (norm(F.col("emb_a")) * norm(F.col("emb_b"))),
-        4,
-    )
+
+    def band(start: int):
+        return sum(
+            F.when(e.getItem(start + i) >= 0, 1 << (BAND_BITS - 1 - i)).otherwise(0)
+            for i in range(BAND_BITS)
+        )
+
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        band(0).alias("band0"),
+        band(BAND_BITS).alias("band1"),
+        norm(e).alias("nrm"),
+    ).persist()
+
+    cand = None
+    for bcol in ("band0", "band1"):
+        a = base.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+            F.col(bcol).alias("bk"),
+        )
+        b = base.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+            F.col(bcol).alias("bk"),
+        )
+        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "ea", "eb", "na", "nb"
+        )
+        cand = p if cand is None else cand.unionByName(p)
+
+    deduped = cand.dropDuplicates(["id_a", "id_b"])
+    cosine = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
     return (
-        a2.join(b2, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", cosine.alias("cosine"))
+        deduped.select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
         .orderBy(F.desc("cosine"), "id_a", "id_b")
     )
