@@ -612,3 +612,44 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@register(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(round(sum(value) * 100) AS BIGINT) AS total_cents,
+           CAST(min(user_id) AS BIGINT) AS min_user
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats through the salted two-stage aggregation —
+    the skew rewrite for Zipfian keys (operators.skew.salted_agg).
+
+    Stage 1 spreads each key over 16 (key, salt) groups so a hot key
+    occupies 16 reducers instead of one; stage 2 merges 16 partial rows
+    per key — negligible. The oracle is the PLAIN group-by: the rewrite
+    must be semantically invisible.
+    """
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        partial={
+            "c": F.count(F.lit(1)),
+            "s": F.sum("value"),
+            "mu": F.min("user_id"),
+        },
+        final={
+            "n": F.sum("c"),
+            "total_cents": F.round(F.sum("s") * 100).cast("long"),
+            "min_user": F.min("mu").cast("long"),
+        },
+    )
+    return out.select("event_type", "n", "total_cents", "min_user")

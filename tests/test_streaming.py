@@ -150,3 +150,63 @@ def test_tumbling_window_streaming_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tumbling_out").collect()
     }
     assert streamed == batch
+
+
+def test_stateful_running_sessions_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-block state survives micro-batches —
+    counts accumulate, span widens, n_updates tracks trigger count."""
+    from log_analysis_bigdata_spark.streaming.stateful import (
+        running_block_sessions,
+    )
+
+    src = str(tmp_path / "lines")
+    os.makedirs(src)
+
+    def write_lines(fname, rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for block_id, ts in rows:
+                f.write(json.dumps({"block_id": block_id, "event_ts": ts}) + "\n")
+
+    write_lines("b0.json", [("blk_a", "2008-11-09 20:35:18"),
+                            ("blk_a", "2008-11-09 20:35:20"),
+                            ("blk_b", "2008-11-09 20:40:00")])
+
+    schema = "block_id string, event_ts string"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select("block_id", F.to_timestamp("event_ts").alias("datetime"))
+    )
+    out = running_block_sessions(raw)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snap1 = {
+            r["block_id"]: r.asDict()
+            for r in spark.sql(
+                "select * from running_sessions"
+            ).collect()
+        }
+        assert snap1["blk_a"]["n_lines"] == 2
+        assert snap1["blk_b"]["n_lines"] == 1
+
+        write_lines("b1.json", [("blk_a", "2008-11-09 20:36:00")])
+        q.processAllAvailable()
+        rows = spark.sql("select * from running_sessions").collect()
+        # latest snapshot for blk_a: state carried over 2 -> 3 lines
+        latest_a = max(
+            (r for r in rows if r["block_id"] == "blk_a"),
+            key=lambda r: r["n_updates"],
+        )
+        assert latest_a["n_lines"] == 3
+        assert latest_a["n_updates"] == 2
+        span_sec = (latest_a["end_ts_us"] - latest_a["start_ts_us"]) / 1e6
+        assert span_sec == 42.0  # 20:35:18 -> 20:36:00
+    finally:
+        q.stop()
