@@ -105,3 +105,71 @@ def ml_lr_train_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label_index", "prediction")
     )
+
+
+_FEATURE_CTE = """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id
+"""
+
+_FEATURE_COLS = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "constant_columns_detect",
+    oracle=f"""
+    WITH f AS ({_FEATURE_CTE})
+    {" UNION ALL ".join(
+        f"SELECT '{c}' AS feature, count(DISTINCT {c}) AS n_distinct, "
+        f"CAST(count(DISTINCT {c}) = 1 AS INTEGER) AS is_constant FROM f"
+        for c in _FEATURE_COLS
+    )}
+    """,
+    tags=("ml", "A14", "profiling"),
+)
+def constant_columns_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: find zero-variance feature columns (the reference drops E22
+    this way, XGBoot.ipynb cell 9 — `nunique()==1`).
+
+    One aggregate pass computes every column's distinct count
+    (map-side partials; no per-column jobs), then an unpivot via stack —
+    profiling 29 columns over 100 TB costs one shuffle of tiny partial
+    states, not 29 scans.
+    """
+    from pyspark.sql import functions as FF
+    from ..operators.features import feature_counts_pivot
+    from ..queries.logq import EVENT_TYPES
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = feature_counts_pivot(ev, "user_id", "event_type", EVENT_TYPES)
+    agg = feats.agg(
+        *[FF.countDistinct(c).alias(c) for c in _FEATURE_COLS]
+    )
+    stack = ", ".join(f"'{c}', {c}" for c in _FEATURE_COLS)
+    return agg.selectExpr(
+        f"stack({len(_FEATURE_COLS)}, {stack}) AS (feature, n_distinct)"
+    ).select(
+        "feature",
+        "n_distinct",
+        (FF.col("n_distinct") == 1).cast("int").alias("is_constant"),
+    )
+
+
+@register(
+    "label_histogram_embeddings",
+    oracle="""
+    SELECT label, count(*) AS n
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("ml", "A13", "agg"),
+)
+def label_histogram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: label value_counts (`XGBoot.ipynb` cell 7) as groupBy count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))

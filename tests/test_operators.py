@@ -21,3 +21,25 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(salted.columns) == sorted(plain.columns)
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_uniform_sample_seeded(spark):
+    """M2: df.sample(fraction, seed) — deterministic for a fixed seed and
+    partition layout, fraction approximately honored."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    n = orders.count()
+    s1 = orders.sample(False, 0.3, seed=42)
+    s2 = orders.sample(False, 0.3, seed=42)
+    c1 = s1.count()
+    assert c1 == s2.count()  # same seed → same rows
+    assert 0.15 * n < c1 < 0.45 * n
+    assert s1.exceptAll(s2).count() == 0
+
+
+def test_random_single_row_pick_seeded(spark):
+    """M3: orderBy(rand(seed)).limit(1) — the stream sampler's random
+    session pick (stream_data.py:39-44), deterministic under a seed."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    r1 = orders.orderBy(F.rand(7)).limit(1).collect()
+    r2 = orders.orderBy(F.rand(7)).limit(1).collect()
+    assert len(r1) == 1 and r1 == r2
