@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QueryDef]:
             logq,
             mlq,
             multimodalq,
+            pandasq,
             relational,
             servingq,
             streamq,

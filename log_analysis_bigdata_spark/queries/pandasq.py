@@ -1,0 +1,102 @@
+"""Grouped pandas-UDF surface: applyInPandas (grouped map) and
+pandas_udf grouped aggregation.
+
+Together with the scalar pandas UDF (mlq.ml_score_embeddings), the
+mapInPandas operators (multimodal), and applyInPandasWithState
+(streaming.stateful), this completes every Python-execution shape Spark
+offers — each used only where column expressions genuinely can't express
+the computation, each Arrow-batched, never row-at-a-time.
+
+Both queries here are chosen to be SQL-recomputable so the DuckDB oracle
+can verify the UDF path end-to-end (same trick as ml_score_embeddings).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "grouped_zscore_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+      FROM events
+    )
+    SELECT event_id, user_id,
+           round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                      ELSE (value - mu) / sd END, 4) AS zscore
+    FROM s
+    """,
+    tags=("pandas", "applyInPandas", "grouped-map", "window"),
+)
+def grouped_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score via applyInPandas (grouped map).
+
+    The shape a per-group model-ish transform takes (normalization,
+    per-entity detrending): one shuffle on the group key, then each
+    group's whole frame visits Python once as an Arrow batch. Chosen
+    deliberately SQL-expressible (window avg/stddev) so the oracle
+    verifies the UDF; a real use-case would do something SQL can't
+    (per-group sklearn fit, dynamic time warping, ...).
+
+    Scale note: group = one user's events — thousands of rows at most,
+    no skew risk; for giant groups prefer window functions or
+    mapInPandas over pre-sorted partitions.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std()  # ddof=1 == stddev_samp
+        mu = pdf["value"].mean()
+        z = (pdf["value"] - mu) / sd if pd.notna(sd) and sd != 0 else 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": (z if not isinstance(z, float) else pd.Series(z, index=pdf.index)).round(4),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id bigint, user_id bigint, zscore double"
+    )
+
+
+@register(
+    "grouped_agg_weighted_mean",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * (1 + event_id % 5)) / sum(1 + event_id % 5), 4)
+             AS wmean
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("pandas", "grouped-agg", "udaf"),
+)
+def grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean as a grouped-aggregate pandas UDF — Spark's Python
+    UDAF shape (Series in → scalar out per group, partial Arrow batches).
+
+    The weight (1 + event_id % 5) is computed JVM-side; only the two
+    columns the UDAF needs cross into Python.
+    """
+
+    @pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = load_table(spark, sf_dir, "events")
+    weight = (1 + F.col("event_id") % 5).cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(wmean(F.col("value"), weight), 4).alias("wmean"))
+    )
