@@ -49,8 +49,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = all_queries()
 
-    # Warm the JVM/session with a trivial action so q1 doesn't pay startup.
+    # Warm the JVM/session and the Python UDF workers so the first query
+    # doesn't pay one-time startup (executors reuse workers afterwards).
     spark.range(1000).count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(1000).repartition(32).select(_warm(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

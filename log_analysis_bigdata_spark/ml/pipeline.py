@@ -22,6 +22,8 @@ tree-aggregated gradient pass, no per-row driver traffic.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
 from pyspark.ml.evaluation import (
     BinaryClassificationEvaluator,
@@ -99,3 +101,25 @@ def evaluate_binary(
         labelCol=label_col, metricName="f1"
     ).evaluate(predictions)
     return {"pr_auc": pr, "f1": f1}
+
+
+def learning_curve(
+    train: DataFrame,
+    test: DataFrame,
+    fractions: Sequence[float] = (0.1, 0.25, 0.5, 1.0),
+    label_col: str = "label_index",
+    seed: int = 42,
+) -> list[dict[str, float]]:
+    """M8 (`nb:659-697`, cells 23-24): train on growing seeded fractions
+    of the train set, evaluate each on the fixed test set.
+
+    A driver loop by nature — each point is an independent Spark job; the
+    reference does the same. Returns one dict per fraction with pr_auc/f1.
+    """
+    points = []
+    for frac in fractions:
+        sub = train if frac >= 1.0 else train.sample(False, frac, seed=seed)
+        model = train_weighted_lr(balanced_class_weights(sub, label_col))
+        metrics = evaluate_binary(model.transform(test), label_col)
+        points.append({"fraction": frac, **metrics})
+    return points

@@ -104,3 +104,21 @@ def test_lr_learns_separable_target(spark):
     # sign(x0) with 63 noise dims and ~400 train rows: boundary rows
     # (x0 near 0) can flip — 85% floor still catches a broken pipeline.
     assert total > 0 and diag / total >= 0.85
+
+
+def test_learning_curve_improves_with_data(spark):
+    from pyspark.ml.functions import array_to_vector
+    from log_analysis_bigdata_spark.ml.pipeline import learning_curve
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        (F.col("embedding").getItem(0) >= 0).cast("double").alias("label_index"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    train, test = stratified_split(emb, "label_index", "vec_id", 0.25, seed=42)
+    pts = learning_curve(train, test, fractions=(0.3, 1.0))
+    assert [p["fraction"] for p in pts] == [0.3, 1.0]
+    for p in pts:
+        assert 0.0 <= p["pr_auc"] <= 1.0 and 0.0 <= p["f1"] <= 1.0
+    # full data should not be (much) worse than a 30% subsample
+    assert pts[1]["pr_auc"] >= pts[0]["pr_auc"] - 0.05
