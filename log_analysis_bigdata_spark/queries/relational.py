@@ -653,3 +653,69 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.select("event_type", "n", "total_cents", "min_user")
+
+
+@register(
+    "percentile_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_value,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_value,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile", "quantile"),
+)
+def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark `percentile`
+    matches DuckDB `quantile_cont` bit-for-bit (same linear
+    interpolation).
+
+    Exact percentile needs the group's values collected per reducer —
+    fine for bounded groups like the 5 priorities. At 100 TB with
+    high-cardinality groups switch to `approx_percentile` (t-digest
+    sketch, mergeable map-side): see approx_distinct_users for the
+    sketch-based pattern.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_value"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # sketch estimate: engine-specific, checked by tolerance test
+    tags=("agg", "sketch", "hll", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event_type, alongside a
+    relative-error column vs the exact count.
+
+    The 100 TB form of A12's countDistinct: the HLL sketch is a few KB,
+    merges map-side, and never shuffles raw values — exact distinct
+    shuffles every distinct value to its reducer. No SQL oracle (the
+    estimate is engine-specific by nature); the companion unit test
+    asserts the documented ≤5% relative error at rsd=0.02.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+    )

@@ -43,3 +43,47 @@ def test_random_single_row_pick_seeded(spark):
     r1 = orders.orderBy(F.rand(7)).limit(1).collect()
     r2 = orders.orderBy(F.rand(7)).limit(1).collect()
     assert len(r1) == 1 and r1 == r2
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from log_analysis_bigdata_spark.queries.relational import (
+        approx_distinct_users,
+    )
+
+    rows = approx_distinct_users(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err"] <= 0.05
+
+
+def test_parser_total_on_arbitrary_input(spark):
+    """Property: parse_log_lines is total — arbitrary garbage never
+    crashes, never drops rows, and yields nulls (not junk) for
+    unmatched fields."""
+    from hypothesis import given, settings, strategies as st
+
+    from log_analysis_bigdata_spark.functions.logparse import parse_log_lines
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FF
+                ),
+                max_size=120,
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def run(lines):
+        df = spark.createDataFrame([(l,) for l in lines], ["value"])
+        out = parse_log_lines(df).collect()
+        assert len(out) == len(lines)
+        for r in out:
+            # pid either parses as an int or is null — never garbage
+            assert r["pid"] is None or isinstance(r["pid"], int)
+            assert r["level"] in (None, "INFO", "WARN", "ERROR", "FATAL", "DEBUG") or r["level"]
+
+    run()
