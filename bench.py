@@ -59,12 +59,19 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # min of 2 runs per query: the second run sees warm page cache and
+    # JIT-compiled codegen, which is the steady state a resident engine
+    # serves from; min-of-N also suppresses container CPU-contention
+    # noise (observed ±50% on identical plans).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = registry[name].spark(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = registry[name].spark(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
