@@ -297,3 +297,90 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
         .orderBy(F.desc("cosine"), "id_a", "id_b")
     )
+
+
+IVF_CELLS = 4
+
+_IVF_ASSIGN_SQL = f"""
+    dims AS (
+      SELECT vec_id, vec_id % {IVF_CELLS} AS seed_cell, t.i AS dim,
+             CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (SELECT seed_cell AS c, dim, avg(x) AS cx FROM dims GROUP BY 1, 2),
+    dist AS (
+      SELECT d.vec_id, c.c, sum((d.x - c.cx) * (d.x - c.cx)) AS d2
+      FROM dims d JOIN cent c ON d.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    assign AS (SELECT vec_id, arg_min(c, d2) AS cell FROM dist GROUP BY vec_id)
+"""
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    e AS (
+      SELECT a.vec_id, a.cell, e.label, e.embedding
+      FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+    ),
+    q AS (SELECT embedding AS qv, cell AS qcell FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    sims AS (
+      SELECT e.vec_id, e.label, e.cell,
+             round({_DOT_SQL.format(a="e.embedding", b="q.qv")}
+                   / ({_NORM_SQL.format(a="e.embedding")}
+                      * {_NORM_SQL.format(a="q.qv")}), 4) AS cosine
+      FROM e JOIN q ON e.cell = q.qcell
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cell, cosine
+    FROM sims ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "ivf", "topk"),
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
+    probe only the query's cell, exact cosine top-k within it.
+
+    The coarse "training" is a deterministic stand-in for k-means — each
+    centroid is the per-dimension mean of a seeded subset (vec_id mod k),
+    which is exactly one Lloyd half-step and keeps the whole flow
+    SQL-replayable for the oracle. Plan shape at scale: centroids are
+    k×d doubles → broadcast; assignment is one narrow pass over the
+    corpus (posexplode + broadcast join + min_by); the probe reads ~1/k
+    of the rows. On a real deployment the assignment is written back
+    partitioned by cell so probes are partition-pruned scans, and k
+    grows to √N cells with an nprobe>1 multi-cell probe for recall.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        (F.col("vec_id") % IVF_CELLS).alias("seed_cell"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select("vec_id", "seed_cell", "dim", F.col("x").cast("double").alias("x"))
+    cent = dims.groupBy(
+        F.col("seed_cell").alias("c"), "dim"
+    ).agg(F.avg("x").alias("cx"))
+    dist = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "c")
+        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d2"))
+    )
+    assign = dist.groupBy("vec_id").agg(F.min_by("c", "d2").alias("cell"))
+    e = assign.join(emb, "vec_id").select("vec_id", "cell", "label", "embedding")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("cell").alias("qcell")
+    )
+    sim = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (norm(F.col("embedding")) * norm(F.col("qv"))),
+        4,
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .select("vec_id", "label", "cell", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
