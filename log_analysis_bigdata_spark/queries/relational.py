@@ -719,3 +719,23 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+@register(
+    "cube_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube", "grouping-sets"),
+)
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass (Spark expands to
+    grouping sets and shares the shuffle — k passes collapse into one)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _cents(F.sum("o_totalprice")).alias("total_cents"),
+    )
