@@ -289,3 +289,66 @@ def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+# BPE-ish pretokenizer (GPT-2 style, ASCII-simplified so Java and RE2
+# regex engines agree): contractions, space-prefixed letter runs, digit
+# runs, punctuation runs, whitespace.
+BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+@register(
+    "token_counts_docs",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_PAT.replace("'", "''")}'))
+             AS bpe_tokens,
+           len(string_split_regex(trim(text), ' +')) AS ws_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways a data pipeline needs it: a BPE-ish
+    pretokenizer regex (the unit LLM token budgets approximate) and
+    whitespace words. Pure regexp_extract_all — JVM-side, no UDF; counts
+    verified identical between Spark (Java regex) and DuckDB (RE2) on
+    the ASCII-simplified pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PAT), 0)).alias("bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), " +")).alias("ws_tokens"),
+    )
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+             AS n_empty,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "profiling", "quality"),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling — the null/empty/size/cardinality audit a
+    training-data pipeline runs before ingest, one agg pass per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).alias("n_empty"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
