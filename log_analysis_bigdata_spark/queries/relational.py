@@ -739,3 +739,94 @@ def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _cents(F.sum("o_totalprice")).alias("total_cents"),
     )
+
+
+@register(
+    "scalar_subquery_last_order",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT max(o_orderdate) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS last_order
+    FROM customer c
+    WHERE c_custkey <= 200
+    """,
+    tags=("join", "subquery", "scalar", "decorrelation"),
+)
+def scalar_subquery_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery, authored as SQL so Catalyst's
+    decorrelation is exercised: it rewrites the per-row subquery into a
+    left outer join against a pre-aggregated orders table — one shuffle,
+    no nested-loop re-execution (check RewriteCorrelatedScalarSubquery in
+    the optimized plan)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT max(o_orderdate) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS last_order
+        FROM customer c
+        WHERE c_custkey <= 200
+        """
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+             AS volume_cents,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY sn.n_name, cn.n_name
+    """,
+    tags=("join", "agg", "multi-join", "tpch"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-table join with a cross-nation inequality.
+
+    Join-order matters at scale: lineitem (the fact) joins orders first
+    (both huge — the one unavoidable shuffle pair), every other side is
+    a broadcast dim; the n_name inequality is a cheap residual on the
+    broadcast joins, never a cross product. AQE re-plans the
+    orders/lineitem side to skew-split if needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), "s_nationkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy("supp_nation", "cust_nation").agg(
+        _cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("volume_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
