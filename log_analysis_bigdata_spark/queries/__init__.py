@@ -9,8 +9,12 @@ value-hashing.
 
 Determinism rules applied throughout (so Spark and DuckDB hash-match):
 - every ``LIMIT`` is preceded by a total order (unique tiebreaker column);
-- money sums are compared as integer cents
-  (``CAST(round(sum(x)*100) AS BIGINT)``) — no float-hash ambiguity;
+- money sums are compared as per-item integer cents
+  (``sum(CAST(round(x*100) AS BIGINT))``): integer addition is
+  order-independent, so Spark's run-to-run partial-agg order can't flip
+  a total that lands on a half-cent boundary (rounding the double TOTAL
+  can — 4-decimal products like price·(1−disc) have true cent values at
+  exact .5);
 - averages/ratios are ``round(x, 4)``;
 - epoch math uses floor-to-second semantics on both sides
   (Spark ``cast(ts as long)`` == DuckDB ``CAST(floor(epoch(ts)) AS BIGINT)``);

@@ -25,6 +25,18 @@ def _cents(col: F.Column) -> F.Column:
     return F.round(col * 100).cast("long")
 
 
+def _cents_sum(col: F.Column | str) -> F.Column:
+    """Money total as Σ round(item·100): per-item integer cents summed.
+
+    Integer addition is order-independent, so Spark's partial-agg order
+    (which varies with partition layout run to run) can never flip the
+    result — rounding a double TOTAL can, whenever a large sum of
+    2-decimal inputs lands on a half-cent boundary (observed at sf0.1).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.round(c * 100).cast("long"))
+
+
 # --- aggregations -----------------------------------------------------------
 
 
@@ -33,11 +45,11 @@ def _cents(col: F.Column) -> F.Column:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-           CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+           sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS sum_base_cents,
+           sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
              AS sum_disc_cents,
-           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100)
-             AS BIGINT) AS sum_charge_cents,
+           sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100)
+             AS BIGINT)) AS sum_charge_cents,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -56,9 +68,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("long").alias("sum_qty"),
-            _cents(F.sum("l_extendedprice")).alias("sum_base_cents"),
-            _cents(F.sum(disc)).alias("sum_disc_cents"),
-            _cents(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge_cents"),
+            _cents_sum("l_extendedprice").alias("sum_base_cents"),
+            _cents_sum(disc).alias("sum_disc_cents"),
+            _cents_sum(disc * (1 + F.col("l_tax"))).alias("sum_charge_cents"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -71,7 +83,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT o.o_orderkey,
-           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
              AS revenue_cents,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
@@ -101,7 +113,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            _cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue_cents"
             )
         )
@@ -115,7 +127,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_revenue_by_nation",
     oracle="""
     SELECT n.n_name,
-           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
              AS revenue_cents
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -146,7 +158,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            _cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            _cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue_cents"
             )
         )
@@ -214,7 +226,7 @@ def distinct_count_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 300000 THEN 'mid'
                 ELSE 'high' END AS bucket,
            count(*) AS n,
-           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+           sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS total_cents
     FROM orders
     GROUP BY 1
     """,
@@ -231,7 +243,7 @@ def case_bucket_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _cents(F.sum("o_totalprice")).alias("total_cents"),
+            _cents_sum("o_totalprice").alias("total_cents"),
         )
     )
 
@@ -475,7 +487,7 @@ def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o_orderdate) AS INTEGER) AS y,
            CAST(month(o_orderdate) AS INTEGER) AS m,
            count(*) AS n,
-           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+           sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS total_cents
     FROM orders
     GROUP BY 1, 2, 3
     """,
@@ -491,7 +503,7 @@ def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _cents(F.sum("o_totalprice")).alias("total_cents"),
+            _cents_sum("o_totalprice").alias("total_cents"),
         )
     )
 
@@ -540,7 +552,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(round(sum(l_extendedprice * l_discount) * 100) AS BIGINT)
+    SELECT sum(CAST(round((l_extendedprice * l_discount) * 100) AS BIGINT))
              AS revenue_cents,
            count(*) AS n_items
     FROM lineitem
@@ -568,7 +580,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _cents(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
+            _cents_sum(F.col("l_extendedprice") * F.col("l_discount"))
             .alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -619,7 +631,7 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           CAST(round(sum(value) * 100) AS BIGINT) AS total_cents,
+           sum(CAST(round((value) * 100) AS BIGINT)) AS total_cents,
            CAST(min(user_id) AS BIGINT) AS min_user
     FROM events
     GROUP BY event_type
@@ -725,7 +737,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_order_status",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+           sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS total_cents
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -737,7 +749,7 @@ def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        _cents(F.sum("o_totalprice")).alias("total_cents"),
+        _cents_sum("o_totalprice").alias("total_cents"),
     )
 
 
@@ -776,7 +788,7 @@ def scalar_subquery_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation,
            cn.n_name AS cust_nation,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
              AS volume_cents,
            count(*) AS n_items
     FROM lineitem l
@@ -825,8 +837,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), "s_nationkey")
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
+    # per-item cents rounded BEFORE the sum: integer addition is
+    # order-independent, so the result is exact on both engines — the
+    # rounded-total convention can flip a cent when a 100k-term double
+    # sum lands on a half-cent boundary (observed at sf0.1).
+    item_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
     return joined.groupBy("supp_nation", "cust_nation").agg(
-        _cents(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-        .alias("volume_cents"),
+        F.sum(item_cents).alias("volume_cents"),
         F.count(F.lit(1)).alias("n_items"),
     )
