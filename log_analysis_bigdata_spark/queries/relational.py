@@ -848,3 +848,35 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(item_cents).alias("volume_cents"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "stats_agg_events",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, user_id), 4) AS corr_vu,
+           round(covar_samp(value, user_id), 4) AS covar_vu,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(regr_slope(value, epoch(ts) / 3600.0), 4) AS slope_per_hour,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "stats", "corr", "regression"),
+)
+def stats_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / sample covariance / stddev /
+    regression slope) per group — one pass, all JVM-side partial-merge
+    aggregates (each keeps O(1) moments state, so they scale like count).
+    Slope regresses value on hours-since-epoch to keep magnitudes in
+    rounding-friendly range.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hours = F.col("ts").cast("double") / 3600.0
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", "user_id"), 4).alias("corr_vu"),
+        F.round(F.covar_samp("value", "user_id"), 4).alias("covar_vu"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.regr_slope(F.col("value"), hours), 4).alias("slope_per_hour"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -210,3 +210,44 @@ def test_stateful_running_sessions_across_batches(spark, tmp_path):
         assert span_sec == 42.0  # 20:35:18 -> 20:36:00
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once delivery dedup: replayed message ids are dropped
+    in-stream by dropDuplicatesWithinWatermark (state expires with the
+    watermark, unlike unbounded dropDuplicates)."""
+    src = str(tmp_path / "dupsrc")
+    os.makedirs(src)
+    msgs = [
+        {"msg_id": "m1", "block_id": "blk_a", "event_ts": "2008-11-09 20:35:18"},
+        {"msg_id": "m2", "block_id": "blk_b", "event_ts": "2008-11-09 20:35:20"},
+        {"msg_id": "m1", "block_id": "blk_a", "event_ts": "2008-11-09 20:35:18"},
+        {"msg_id": "m2", "block_id": "blk_b", "event_ts": "2008-11-09 20:35:20"},
+        {"msg_id": "m3", "block_id": "blk_a", "event_ts": "2008-11-09 20:40:00"},
+    ]
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for m in msgs:
+            fh.write(json.dumps(m) + "\n")
+
+    raw = (
+        spark.readStream.schema("msg_id string, block_id string, event_ts string")
+        .json(src)
+        .select(
+            "msg_id", "block_id",
+            F.to_timestamp("event_ts").alias("event_time"),
+        )
+        .withWatermark("event_time", "10 minutes")
+        .dropDuplicatesWithinWatermark(["msg_id"])
+    )
+    q = (
+        raw.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select msg_id from deduped_stream").collect()
+        assert sorted(r["msg_id"] for r in rows) == ["m1", "m2", "m3"]
+    finally:
+        q.stop()
