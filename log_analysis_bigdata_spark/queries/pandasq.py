@@ -100,3 +100,58 @@ def grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(F.round(wmean(F.col("value"), weight), 4).alias("wmean"))
     )
+
+
+@register(
+    "per_user_model_fit",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, epoch(ts) / 3600.0), 4) AS slope,
+           round(regr_intercept(value, epoch(ts) / 3600.0), 4) AS intercept,
+           round(regr_r2(value, epoch(ts) / 3600.0), 4) AS r2,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("pandas", "applyInPandas", "model-fit", "regression"),
+)
+def per_user_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fit through applyInPandas: an OLS line per user,
+    numpy closed-form inside the grouped-map UDF, verified against SQL's
+    regr_slope/intercept/r2 — the pattern for anything sklearn-shaped
+    that SQL can't express (the oracle-checkable OLS stands in for it).
+
+    One shuffle on user_id; each group's frame visits Python once. The
+    closed-form moments (not lstsq) keep the arithmetic identical to the
+    SQL regression aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts").cast("double") / 3600.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["y"].to_numpy(dtype="float64")
+        n = len(x)
+        mx, my = x.mean(), y.mean()
+        sxx = ((x - mx) ** 2).sum()
+        sxy = ((x - mx) * (y - my)).sum()
+        syy = ((y - my) ** 2).sum()
+        slope = sxy / sxx if sxx else float("nan")
+        intercept = my - slope * mx
+        r2 = (sxy * sxy) / (sxx * syy) if sxx and syy else float("nan")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "slope": [round(slope, 4)],
+                "intercept": [round(intercept, 4)],
+                "r2": [round(r2, 4)],
+                "n": [n],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fit, "user_id bigint, slope double, intercept double, r2 double, n bigint"
+    )

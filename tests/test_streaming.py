@@ -251,3 +251,52 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         assert sorted(r["msg_id"] for r in rows) == ["m1", "m2", "m3"]
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks on both sides and an
+    interval condition — a capability the reference's one-message loop
+    cannot express (its consumer is stateless, SURVEY T6)."""
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    os.makedirs(imp_dir); os.makedirs(clk_dir)
+    with open(os.path.join(imp_dir, "b0.json"), "w") as fh:
+        for ad, t in [("ad1", "2008-11-09 20:00:00"), ("ad2", "2008-11-09 20:05:00")]:
+            fh.write(json.dumps({"ad_id": ad, "imp_ts": t}) + "\n")
+    with open(os.path.join(clk_dir, "b0.json"), "w") as fh:
+        for ad, t in [
+            ("ad1", "2008-11-09 20:03:00"),   # within 10 min of ad1 → joins
+            ("ad2", "2008-11-09 20:30:00"),   # 25 min after ad2 → dropped
+        ]:
+            fh.write(json.dumps({"ad_id": ad, "click_ts": t}) + "\n")
+
+    imps = (
+        spark.readStream.schema("ad_id string, imp_ts string").json(imp_dir)
+        .select("ad_id", F.to_timestamp("imp_ts").alias("imp_time"))
+        .withWatermark("imp_time", "1 hour")
+    )
+    clicks = (
+        spark.readStream.schema("ad_id string, click_ts string").json(clk_dir)
+        .select(
+            F.col("ad_id").alias("c_ad_id"),
+            F.to_timestamp("click_ts").alias("click_time"),
+        )
+        .withWatermark("click_time", "1 hour")
+    )
+    joined = imps.join(
+        clicks,
+        (F.col("ad_id") == F.col("c_ad_id"))
+        & (F.col("click_time") >= F.col("imp_time"))
+        & (F.col("click_time") <= F.col("imp_time") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attributed")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select ad_id from attributed").collect()
+        assert [r["ad_id"] for r in rows] == ["ad1"]
+    finally:
+        q.stop()
