@@ -352,3 +352,68 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# Gopher-style heuristic thresholds (public rule-of-thumb values).
+QF_MIN_TOKENS = 5
+QF_MAX_TOKENS = 1000
+QF_MAX_SYMBOL_RATIO = 0.3
+QF_MIN_MEAN_WORD_LEN = 2.0
+QF_MAX_MEAN_WORD_LEN = 12.0
+
+
+@register(
+    "quality_filter_docs",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), ' +')) AS n_tok,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+               / greatest(length(text), 1) AS sym_ratio,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / greatest(len(string_split_regex(trim(text), ' +')), 1)
+               AS mean_word_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tok,
+           round(sym_ratio, 4) AS sym_ratio,
+           round(mean_word_len, 4) AS mean_word_len,
+           CAST(n_tok >= {QF_MIN_TOKENS} AND n_tok <= {QF_MAX_TOKENS}
+                AND sym_ratio <= {QF_MAX_SYMBOL_RATIO!r}
+                AND mean_word_len >= {QF_MIN_MEAN_WORD_LEN!r}
+                AND mean_word_len <= {QF_MAX_MEAN_WORD_LEN!r}
+             AS INTEGER) AS keep
+    FROM m
+    """,
+    tags=("text", "quality", "filter", "gopher"),
+)
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate: token-count bounds, symbol
+    ratio, mean word length — the pass/fail filter a pretraining corpus
+    runs before dedup. All column expressions (no UDF): at 100 TB this
+    fuses into the scan and the kept subset streams straight into the
+    dedup stage without a second pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " +"))
+    sym_ratio = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    mean_wl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / F.greatest(n_tok, F.lit(1))
+    keep = (
+        (n_tok >= QF_MIN_TOKENS)
+        & (n_tok <= QF_MAX_TOKENS)
+        & (sym_ratio <= QF_MAX_SYMBOL_RATIO)
+        & (mean_wl >= QF_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= QF_MAX_MEAN_WORD_LEN)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tok"),
+        F.round(sym_ratio, 4).alias("sym_ratio"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        keep.cast("int").alias("keep"),
+    )
