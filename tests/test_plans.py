@@ -74,3 +74,49 @@ def test_scalar_pipeline_stays_in_codegen(spark):
     assert "codegen id" in plan  # formatted mode marks codegen spans per node
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # narrow: parse is shuffle-free
+
+
+def test_lsh_joins_are_hash_equi_not_cartesian(spark):
+    """Every LSH candidate join (minhash bands, near-dup bands) must be
+    an equi-join on the bucket key — a cartesian/nested-loop here is the
+    quadratic blowup the whole design avoids."""
+    for name in ("minhash_dup_pairs", "embedding_near_dup"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ivf_centroids_broadcast(spark):
+    plan = _plan(spark, "ivf_topk")
+    assert "BroadcastHashJoin" in plan  # centroid + query side broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_broadcast_and_topk(spark):
+    """One-row query side must broadcast (the brute-force scan stays a
+    narrow map) and the final ordering is top-k, not a global sort."""
+    plan = _plan(spark, "cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_agg_two_stage(spark):
+    """Salted aggregation = two HashAggregate pairs (partial+final per
+    stage); the point is the first shuffle is on (key, salt)."""
+    plan = _plan(spark, "salted_event_type_stats")
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_pandas_queries_are_arrow_not_batch_python(spark):
+    """Python stages must be Arrow-vectorized (ArrowEvalPython /
+    mapInPandas / FlatMapGroupsInPandas), never row-pickling
+    BatchEvalPython."""
+    for name in (
+        "ml_score_embeddings",
+        "grouped_zscore_events",
+        "grouped_agg_weighted_mean",
+        "per_user_model_fit",
+        "multimodal_byte_stats",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
