@@ -880,3 +880,49 @@ def stats_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.col("value"), hours), 4).alias("slope_per_hour"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "asof_join_events_orders",
+    oracle="""
+    WITH ro AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           ro.o_orderkey AS last_orderkey,
+           ro.o_orderdate AS last_orderdate
+    FROM events e
+    ASOF LEFT JOIN ro
+      ON e.user_id = ro.o_custkey AND ro.o_orderdate <= e.ts
+    """,
+    tags=("join", "asof", "custom-operator"),
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof): each event gets the user's most
+    recent order at event time — DuckDB replays it with its native
+    ASOF LEFT JOIN while Spark runs the union+window composition (one
+    key shuffle, no range explosion; see operators/asof.py).
+
+    The right side is pre-deduped to one row per (key, ts) with a
+    deterministic max_by so tie behavior is engine-independent.
+    """
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ro = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return asof_join(
+        ev,
+        ro,
+        key="user_id",
+        left_ts="ts",
+        right_ts="last_orderdate",
+        value_cols=["last_orderkey", "last_orderdate"],
+    )

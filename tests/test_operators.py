@@ -87,3 +87,24 @@ def test_parser_total_on_arbitrary_input(spark):
             assert r["level"] in (None, "INFO", "WARN", "ERROR", "FATAL", "DEBUG") or r["level"]
 
     run()
+
+
+def test_asof_join_semantics(spark):
+    from log_analysis_bigdata_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "e1"), ("a", 20, "e2"), ("a", 5, "e0"), ("b", 50, "e3")],
+        ["k", "t", "ev"],
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "r10"), ("a", 15, "r15"), ("b", 60, "r60")],
+        ["k", "rt", "v"],
+    )
+    out = {
+        r["ev"]: r["v"]
+        for r in asof_join(left, right, "k", "t", "rt", ["v"]).collect()
+    }
+    assert out["e1"] == "r10"   # inclusive: rt == t matches
+    assert out["e2"] == "r15"   # latest rt <= 20
+    assert out["e0"] is None    # nothing at or before t=5
+    assert out["e3"] is None    # b's only right row is later (60 > 50)
