@@ -926,3 +926,42 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="last_orderdate",
         value_cols=["last_orderkey", "last_orderdate"],
     )
+
+
+@register(
+    "range_join_hour_activity",
+    oracle="""
+    WITH h AS (SELECT DISTINCT date_trunc('hour', ts) AS hour_start FROM events)
+    SELECT h.hour_start, count(e.event_id) AS n_events
+    FROM h LEFT JOIN events e
+      ON e.ts >= h.hour_start
+     AND e.ts < h.hour_start + INTERVAL 2 HOUR
+    GROUP BY h.hour_start
+    """,
+    tags=("join", "range", "interval", "custom-operator"),
+)
+def range_join_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join (operators.rangejoin): events in the 2-hour
+    window starting at each distinct event hour (windows overlap, so
+    this is NOT a plain group-by — each event lands in 2 intervals).
+
+    No equi key means naive Spark plans a nested loop; the bucketed
+    operator turns it into an hour-bucket hash join + residual, one
+    shuffle partitioned by time slice. count(col) over the LEFT join
+    keeps the zero-match intervals the oracle keeps.
+    """
+    from ..operators.rangejoin import bucketed_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    h = (
+        ev.select(F.date_trunc("hour", "ts").alias("hour_start"))
+        .distinct()
+        .withColumn("_hi", F.col("hour_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    joined = bucketed_interval_join(
+        h, ev, lo_col="hour_start", hi_col="_hi", ts_col="ts",
+        bucket_seconds=3_600, how="left",
+    )
+    return joined.groupBy("hour_start").agg(
+        F.count("event_id").alias("n_events")
+    )

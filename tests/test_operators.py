@@ -108,3 +108,32 @@ def test_asof_join_semantics(spark):
     assert out["e2"] == "r15"   # latest rt <= 20
     assert out["e0"] is None    # nothing at or before t=5
     assert out["e3"] is None    # b's only right row is later (60 > 50)
+
+
+def test_bucketed_interval_join_matches_naive(spark):
+    from log_analysis_bigdata_spark.operators.rangejoin import (
+        bucketed_interval_join,
+    )
+
+    iv = spark.createDataFrame(
+        [("w1", "2024-01-01 00:30:00", "2024-01-01 02:30:00"),
+         ("w2", "2024-01-05 00:00:00", "2024-01-05 01:00:00")],
+        ["w", "lo", "hi"],
+    ).select("w", F.to_timestamp("lo").alias("lo"), F.to_timestamp("hi").alias("hi"))
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"),   # == lo → included
+         (2, "2024-01-01 02:29:59"),   # just inside
+         (3, "2024-01-01 02:30:00"),   # == hi → excluded
+         (4, "2024-01-03 12:00:00")],  # matches nothing
+        ["pid", "t"],
+    ).select("pid", F.to_timestamp("t").alias("t"))
+
+    got = {
+        (r["w"], r["pid"])
+        for r in bucketed_interval_join(iv, pts, "lo", "hi", "t", 3600).collect()
+    }
+    assert got == {("w1", 1), ("w1", 2)}
+
+    left = bucketed_interval_join(iv, pts, "lo", "hi", "t", 3600, how="left")
+    rows = left.groupBy("w").agg(F.count("pid").alias("n")).collect()
+    assert {r["w"]: r["n"] for r in rows} == {"w1": 2, "w2": 0}
