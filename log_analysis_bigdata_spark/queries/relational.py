@@ -965,3 +965,31 @@ def range_join_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("hour_start").agg(
         F.count("event_id").alias("n_events")
     )
+
+
+@register(
+    "latest_record_per_key",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, ts, round(value, 4) AS value
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("window", "dedup", "latest", "W1"),
+)
+def latest_record_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key via row_number — the read-side of every
+    keyed upsert (streaming.job.upsert_sink runs this exact plan to
+    merge). One shuffle on the key; at 100 TB prefer max_by when only
+    one payload column is needed (single-pass aggregate, no sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", F.round("value", 4).alias("value"))
+    )
