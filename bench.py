@@ -40,6 +40,16 @@ HEADLINE = [
     "ml_score_embeddings",
     "multimodal_byte_stats",
     "multimodal_frame_sample",
+    "q7_nation_volume",
+    "asof_join_events_orders",
+    "range_join_hour_activity",
+    "latest_record_per_key",
+    "stats_agg_events",
+    "per_user_model_fit",
+    "grouped_zscore_events",
+    "quality_filter_docs",
+    "token_counts_docs",
+    "ivf_topk",
 ]
 
 
