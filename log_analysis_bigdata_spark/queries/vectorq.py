@@ -384,3 +384,52 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE e0 AS (
+      SELECT vec_id, embedding,
+             {_band_sql(0)} AS band0,
+             {_band_sql(BAND_BITS)} AS band1,
+             {_NORM_SQL.format(a="embedding")} AS nrm
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
+      FROM e0 a JOIN e0 b
+        ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      WHERE round({_DOT_SQL.format(a="ea", b="eb")} / (na * nb), 4)
+            >= {NEAR_DUP_THRESHOLD!r}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+      UNION SELECT id_a, id_a FROM pairs
+      UNION SELECT id_b, id_b FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+    """,
+    tags=("dedup", "components", "iterative", "clustering"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: embedding_near_dup pairs → connected
+    components (operators.components, iterative min-label propagation);
+    each component's min vec_id is the canonical keeper a dedup pipeline
+    retains. The oracle replays the fixpoint with a recursive CTE —
+    DuckDB's own iteration — over the identical pair generation.
+    """
+    pairs = embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
+    from ..operators.components import connected_components
+
+    return connected_components(pairs, src="id_a", dst="id_b")

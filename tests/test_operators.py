@@ -137,3 +137,18 @@ def test_bucketed_interval_join_matches_naive(spark):
     left = bucketed_interval_join(iv, pts, "lo", "hi", "t", 3600, how="left")
     rows = left.groupBy("w").agg(F.count("pid").alias("n")).collect()
     assert {r["w"]: r["n"] for r in rows} == {"w1": 2, "w2": 0}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from log_analysis_bigdata_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
