@@ -417,3 +417,69 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_wl, 4).alias("mean_word_len"),
         keep.cast("int").alias("keep"),
     )
+
+
+SIMHASH_BITS = 16
+
+_TOKH_SQL = (
+    "list_transform(list_distinct(string_split_regex(trim(text), ' +')), "
+    "t -> ('0x' || substring(md5(t), 1, 4))::INTEGER)"
+)
+
+
+def _simhash_sql() -> str:
+    bit_votes = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(hs, "
+        f"h -> ((h // {1 << j}) % 2) * 2 - 1), 'sum') > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return bit_votes
+
+
+@register(
+    "simhash_text_docs",
+    oracle=f"""
+    WITH hs_t AS (SELECT doc_id, {_TOKH_SQL} AS hs FROM documents)
+    SELECT doc_id,
+           CAST({_simhash_sql()} AS INTEGER) AS simhash
+    FROM hs_t
+    """,
+    tags=("dedup", "simhash", "text"),
+)
+def simhash_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text SimHash (16-bit): hash each distinct token once, then per
+    bit position take the majority vote across tokens — near-identical
+    documents land on identical (or 1-2-bit-apart) signatures, so dup
+    candidates are an equi-join on the signature (or on banded halves
+    for Hamming-distance tolerance).
+
+    Plan: token hashes computed once per doc (one transform), 16 bit
+    votes as HOF sums over that array — narrow, shuffle-free, fused into
+    the scan. Exact copies provably collide (same token set → same
+    votes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hash = F.transform(
+        F.array_distinct(F.split(F.trim(F.col("text")), " +")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
+    )
+    hs = docs.select("doc_id", tok_hash.alias("hs"))
+
+    def bit_vote(j: int):
+        # closure factory: a 2-arg lambda would receive (element, index)
+        return lambda h: (F.shiftright(h, j) % 2) * 2 - 1
+
+    simhash = sum(
+        F.when(
+            F.aggregate(
+                F.transform(F.col("hs"), bit_vote(j)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            1 << j,
+        ).otherwise(0)
+        for j in range(SIMHASH_BITS)
+    )
+    return hs.select("doc_id", simhash.cast("int").alias("simhash"))
