@@ -483,3 +483,59 @@ def simhash_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(SIMHASH_BITS)
     )
     return hs.select("doc_id", simhash.cast("int").alias("simhash"))
+
+
+@register(
+    "simhash_dup_groups",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    hs_t AS (SELECT doc_id, {_TOKH_SQL} AS hs FROM corpus)
+    SELECT CAST({_simhash_sql()} AS INTEGER) AS simhash,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM hs_t
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+    tags=("dedup", "simhash", "text", "groups"),
+)
+def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup join: group the (deliberately duplicated) corpus by
+    16-bit signature, keep groups with >1 member, min doc_id is the
+    keeper — the signature-equality rendering of dedup (vs content-hash
+    equality in dedup_exact_docs). One narrow signature pass + one
+    groupBy shuffle on a 2-byte key; for Hamming-tolerant matching at
+    scale, band the signature and OR the per-band equi-joins exactly as
+    minhash_dup_pairs does.
+    """
+    corpus = _dup_corpus_spark(spark, sf_dir)
+    tok_hash = F.transform(
+        F.array_distinct(F.split(F.trim(F.col("text")), " +")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
+    )
+    hs = corpus.select("doc_id", tok_hash.alias("hs"))
+
+    def bit_vote(j: int):
+        return lambda h: (F.shiftright(h, j) % 2) * 2 - 1
+
+    simhash = sum(
+        F.when(
+            F.aggregate(
+                F.transform(F.col("hs"), bit_vote(j)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            1 << j,
+        ).otherwise(0)
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        hs.select("doc_id", simhash.cast("int").alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
