@@ -155,3 +155,53 @@ def per_user_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         fit, "user_id bigint, slope double, intercept double, r2 double, n bigint"
     )
+
+
+@register(
+    "cogroup_user_activity",
+    oracle="""
+    WITH e AS (SELECT user_id, count(*) AS n_events,
+                      round(sum(value), 4) AS total_value
+               FROM events GROUP BY user_id),
+    o AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+          FROM orders GROUP BY o_custkey)
+    SELECT coalesce(e.user_id, o.user_id) AS user_id,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(e.total_value, 0.0) AS total_value,
+           coalesce(o.n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+    tags=("pandas", "cogroup", "applyInPandas"),
+)
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the last Python execution shape: both
+    tables shuffle once on the key and each key's two pandas frames
+    arrive together in one Python call (the pattern for per-entity
+    merge_asof / feature alignment across sources). Chosen
+    SQL-recomputable (counts + sums == full outer join of group-bys) so
+    the oracle verifies the cogroup path.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+
+    def merge(evp: pd.DataFrame, odp: pd.DataFrame) -> pd.DataFrame:
+        uid = evp["user_id"].iloc[0] if len(evp) else odp["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [len(evp)],
+                "total_value": [round(float(evp["value"].sum()), 4)],
+                "n_orders": [len(odp)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, n_events bigint, total_value double, n_orders bigint",
+        )
+    )
