@@ -30,6 +30,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS); without this conf the scan
+    # fails with PARQUET_TYPE_ILLEGAL. Set it here (runtime-settable,
+    # idempotent) so correctness never depends on which session factory
+    # built the caller's SparkSession — external drivers pass their own.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp formatting/parsing is session-timezone-dependent; pin UTC
+    # so results match the (naive-timestamp) oracle on any caller session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with

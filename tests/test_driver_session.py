@@ -1,0 +1,80 @@
+"""Pin the external-driver environment: queries must run on a SparkSession
+the engine did NOT build.
+
+The round-1 correctness harness passed its own ``SparkSession`` (no
+``session.get_spark`` configs) and every query touching ``events.parquet``
+(TIMESTAMP(NANOS)) crashed with PARQUET_TYPE_ILLEGAL, because the
+``nanosAsLong`` conf lived only in the session factory. ``catalog.load_table``
+now self-provisions the conf; these tests keep it that way.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+
+from log_analysis_bigdata_spark.catalog import TABLES, load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_load_table_self_provisions_nanos_conf(spark):
+    """Unset the conf (simulating a foreign session) — load_table must
+    restore it and still read every table, including events."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        for name in TABLES:
+            df = load_table(spark, SF, name)
+            assert df.count() >= 0
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+        ev = load_table(spark, SF, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_load_table_pins_utc(spark):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        load_table(spark, SF, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_bare_session_subprocess_runs_events_query():
+    """Replicate the driver exactly: a fresh process, a bare
+    ``SparkSession.builder.getOrCreate()``, one events-touching query."""
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        from log_analysis_bigdata_spark.queries import all_queries
+
+        q = all_queries()["latest_record_per_key"]
+        rows = q.spark(spark, "/root/testdata/sf0.001").count()
+        assert rows > 0, rows
+        print("OK", rows)
+        """
+    )
+    env = dict(os.environ)
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "OK" in res.stdout
