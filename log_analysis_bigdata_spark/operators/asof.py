@@ -13,9 +13,14 @@ composition here is the scale-safe classic:
 1. union both sides into one keyed stream, right rows tagged 0 and left
    rows tagged 1 so a right row at ts == left.ts sorts FIRST (inclusive
    <= semantics);
-2. one window over (key) ordered by (ts, tag): ``last(right payload,
-   ignoreNulls=True)`` carries the most recent right values forward;
-3. keep only left rows.
+2. one window over (key) ordered by (ts, tag, right-payload) —  the
+   payload struct is the deterministic tiebreaker when several right
+   rows share (key, ts): the greatest payload wins, run-to-run stable;
+3. ``last(payload struct, ignoreNulls=True)`` carries the most recent
+   right MATCH forward as a unit — a NULL field inside the latest match
+   is preserved (per-column last(ignorenulls) would skip it and carry a
+   staler value, diverging from merge_asof);
+4. keep only left rows.
 
 Cost: one hash shuffle on the key + one in-partition sort — the same
 price as a plain equi-join, independent of how far back the match is.
@@ -43,29 +48,33 @@ def asof_join(
     ``right`` must contain ``key``, ``right_ts`` and ``value_cols``;
     column names in ``value_cols`` must not collide with left's.
     """
+    rv_probe = right.select(
+        F.struct(*[F.col(v) for v in value_cols]).alias("_rv")
+    )
     lt = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(v) for v in value_cols],
+        F.lit(None).cast(rv_probe.schema["_rv"].dataType).alias("_rv"),
     )
     rt = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
-        *[F.col(v) for v in value_cols],
+        F.struct(*[F.col(v) for v in value_cols]).alias("_rv"),
     )
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_is_left")
+        .orderBy("_ts", "_is_left", "_rv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt).select(
         "_is_left",
         "_l",
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in value_cols],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
     out_left = [F.col(f"_l.{c}").alias(c) for c in left.columns]
-    return carried.filter(F.col("_is_left") == 1).select(*out_left, *value_cols)
+    out_right = [F.col(f"_rv.{v}").alias(v) for v in value_cols]
+    return carried.filter(F.col("_is_left") == 1).select(*out_left, *out_right)

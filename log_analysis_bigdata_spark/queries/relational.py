@@ -45,11 +45,11 @@ def _cents_sum(col: F.Column | str) -> F.Column:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-           sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS sum_base_cents,
-           sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+           CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT)
              AS sum_disc_cents,
-           sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100)
-             AS BIGINT)) AS sum_charge_cents,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100)
+             AS BIGINT)) AS BIGINT) AS sum_charge_cents,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -83,7 +83,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT o.o_orderkey,
-           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
+           CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)) AS BIGINT)
              AS revenue_cents,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
@@ -127,7 +127,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_revenue_by_nation",
     oracle="""
     SELECT n.n_name,
-           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
+           CAST(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)) AS BIGINT)
              AS revenue_cents
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -226,7 +226,7 @@ def distinct_count_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 300000 THEN 'mid'
                 ELSE 'high' END AS bucket,
            count(*) AS n,
-           sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY 1
     """,
@@ -487,7 +487,7 @@ def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o_orderdate) AS INTEGER) AS y,
            CAST(month(o_orderdate) AS INTEGER) AS m,
            count(*) AS n,
-           sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY 1, 2, 3
     """,
@@ -552,7 +552,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT sum(CAST(round((l_extendedprice * l_discount) * 100) AS BIGINT))
+    SELECT CAST(sum(CAST(round((l_extendedprice * l_discount) * 100) AS BIGINT)) AS BIGINT)
              AS revenue_cents,
            count(*) AS n_items
     FROM lineitem
@@ -631,7 +631,7 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(round((value) * 100) AS BIGINT)) AS total_cents,
+           CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
            CAST(min(user_id) AS BIGINT) AS min_user
     FROM events
     GROUP BY event_type
@@ -655,12 +655,15 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         partial={
             "c": F.count(F.lit(1)),
-            "s": F.sum("value"),
+            # cents conversion in the PARTIAL stage: per-item integer
+            # cents sum exactly like the oracle — rounding the double
+            # total here would reintroduce partial-agg-order dependence.
+            "s": F.sum(F.round(F.col("value") * 100).cast("long")),
             "mu": F.min("user_id"),
         },
         final={
             "n": F.sum("c"),
-            "total_cents": F.round(F.sum("s") * 100).cast("long"),
+            "total_cents": F.sum("s"),
             "min_user": F.min("mu").cast("long"),
         },
     )
@@ -737,7 +740,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_order_status",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -788,7 +791,7 @@ def scalar_subquery_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation,
            cn.n_name AS cust_nation,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
              AS volume_cents,
            count(*) AS n_items
     FROM lineitem l

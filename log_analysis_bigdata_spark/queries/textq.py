@@ -327,8 +327,8 @@ def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
-             AS n_empty,
+           CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_empty,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
            round(avg(n_chars), 4) AS avg_chars,

@@ -1,0 +1,132 @@
+"""Strict replica of the round driver's correctness fetch path.
+
+The driver materializes BOTH result sets through pandas — Spark via
+``toPandas()``-equivalent collect, DuckDB via a dataframe fetch — sorts
+columns by name, and value-hashes the raw cell representations. That is
+stricter than ``tests/oracle_harness.compare_results`` (which compares
+Python objects with float tolerance): DuckDB HUGEINT→float64 coercion
+("44158776552.0" vs "44158776552") fails the driver hash while passing
+the tolerant compare. Run this before every round to catch any
+representation drift on ALL registered queries.
+
+Usage: python tools/driver_parity.py [sf_dir] [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+
+def canon_cell(v):
+    """Canonical string for a cell, matching what a repr-hash would see."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NULL"
+    if isinstance(v, np.floating):
+        return repr(float(v))
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def canon_frame(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns, key=lambda c: c.lower())
+    rows = [
+        tuple(canon_cell(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    ]
+    rows.sort()
+    kinds = {c.lower(): pdf[c].dtype.kind for c in pdf.columns}
+    return [c.lower() for c in cols], rows, kinds
+
+
+def main() -> int:
+    from log_analysis_bigdata_spark.queries import all_queries
+    from log_analysis_bigdata_spark.session import get_spark
+    from tests.oracle_harness import duck_connection
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+    spark = get_spark(app_name="driver_parity")
+    con = duck_connection(sf)
+    queries = all_queries()
+    n_fail = 0
+    for name, qd in queries.items():
+        if only and not any(s in name for s in only):
+            continue
+        t0 = time.time()
+        try:
+            spdf = qd.spark(spark, sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark err {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if qd.oracle is None:
+            print(f"ok   {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            dpdf = con.execute(qd.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle err {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        s_cols, s_rows, s_kinds = canon_frame(spdf)
+        d_cols, d_rows, d_kinds = canon_frame(dpdf)
+        problems = []
+        if s_cols != d_cols:
+            problems.append(f"columns spark={s_cols} duck={d_cols}")
+        elif len(s_rows) != len(d_rows):
+            problems.append(f"rows spark={len(s_rows)} duck={len(d_rows)}")
+        else:
+            bad = [
+                (i, c, a, b)
+                for i, (sr, dr) in enumerate(zip(s_rows, d_rows))
+                for c, (a, b) in enumerate(zip(sr, dr))
+                if a != b
+            ]
+            for i, c, a, b in bad[:4]:
+                problems.append(f"row {i} col {s_cols[c]}: spark={a!r} duck={b!r}")
+            if len(bad) > 4:
+                problems.append(f"... {len(bad)} cell mismatches")
+        kind_notes = [
+            f"{c}: spark={s_kinds[c]} duck={d_kinds[c]}"
+            for c in s_kinds
+            if c in d_kinds and s_kinds[c] != d_kinds[c]
+        ]
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            for p in problems:
+                print(f"     {p}")
+            if kind_notes:
+                print(f"     dtype kinds: {'; '.join(kind_notes)}")
+        else:
+            note = f" [dtype kinds differ: {'; '.join(kind_notes)}]" if kind_notes else ""
+            print(f"ok   {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s){note}")
+    print(f"\n{n_fail} failures")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
