@@ -110,6 +110,29 @@ def test_asof_join_semantics(spark):
     assert out["e3"] is None    # b's only right row is later (60 > 50)
 
 
+def test_asof_join_tie_deterministic_and_null_preserving(spark):
+    from log_analysis_bigdata_spark.operators.asof import asof_join
+
+    # Two right rows share (key, ts): the winner must be the same every
+    # run (greatest payload struct), not whichever partition sorts last.
+    left = spark.createDataFrame([("a", 10, "e1")], ["k", "t", "ev"])
+    right = spark.createDataFrame(
+        [("a", 10, "rA", 1), ("a", 10, "rB", 2)], ["k", "rt", "v", "w"]
+    )
+    for _ in range(3):
+        rows = asof_join(left, right, "k", "t", "rt", ["v", "w"]).collect()
+        assert (rows[0]["v"], rows[0]["w"]) == ("rB", 2)
+
+    # A legitimately-NULL field in the LATEST match must be carried as
+    # NULL — not skipped in favor of a staler non-null value
+    # (merge_asof semantics).
+    right2 = spark.createDataFrame(
+        [("a", 5, "old", 7), ("a", 9, None, None)], ["k", "rt", "v", "w"]
+    )
+    row = asof_join(left, right2, "k", "t", "rt", ["v", "w"]).collect()[0]
+    assert row["v"] is None and row["w"] is None
+
+
 def test_bucketed_interval_join_matches_naive(spark):
     from log_analysis_bigdata_spark.operators.rangejoin import (
         bucketed_interval_join,
