@@ -5,8 +5,10 @@ weighted-LR train/eval pipeline (SURVEY §2.8).
 (`jobs/stream_layer/ML_predict.py:96-115`) with a fully-specified
 linear-logistic model so DuckDB can verify the UDF arithmetic end-to-end.
 `ml_lr_train_confusion` runs the notebook's whole M1→M7 pipeline
-(`prepare_data_batch.ipynb` cells 18–25) on the embeddings table; training
-isn't SQL-expressible so it registers without an oracle (rows-only check).
+(`prepare_data_batch.ipynb` cells 18–25) on the embeddings table; the
+training itself isn't SQL-expressible, but with a hash-deterministic
+split and a margin-filtered test set the EXPECTED confusion matrix is —
+so the oracle states it closed-form and a broken pipeline fails the gate.
 """
 
 from __future__ import annotations
@@ -17,11 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..ml.inference import logistic_scorer_udf, threshold_prediction
-from ..ml.pipeline import (
-    balanced_class_weights,
-    stratified_split,
-    train_weighted_lr,
-)
+from ..ml.pipeline import balanced_class_weights, train_weighted_lr
 from . import register
 
 # Deterministic stand-in model: w_i = ((i*37) mod 19 - 9) / 10 for the
@@ -72,31 +70,65 @@ def ml_score_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQL-replayable 80/20 split: Knuth multiplicative hash of the row key,
+# exact in int64 arithmetic on any engine (no RNG, no partition-order
+# dependence). The library's stratified_split (sampleBy, reference
+# parity with prepare_data_batch.ipynb cell 18) stays for pipeline use —
+# this catalog entry needs a split DuckDB can replay bit-for-bit.
+_SPLIT_MULT = 2654435761
+_SPLIT_MOD = 4294967296
+# Evaluate only test points with a clear margin from the label boundary
+# (label = sign(embedding[0])): every observed LR miss sits at
+# |x0| < 0.037 (sf0.01 and sf0.1), so 0.1 gives ~3× slack. On this
+# subset a correctly trained model is EXACTLY diagonal — which makes the
+# confusion matrix closed-form and the oracle a real training check: a
+# broken split/weight/fit shows up as an off-diagonal row (row-count
+# mismatch), not a silent pass.
+_MARGIN = 0.1
+
+
 @register(
     "ml_lr_train_confusion",
-    oracle=None,  # training is not SQL-expressible; rows-only check
+    oracle=f"""
+    WITH test AS (
+      SELECT embedding[1] AS x0
+      FROM embeddings
+      WHERE (vec_id * {_SPLIT_MULT}) % {_SPLIT_MOD} % 5 = 0
+    )
+    SELECT CAST(x0 >= 0 AS INTEGER) AS label_index,
+           CAST(x0 >= 0 AS INTEGER) AS prediction,
+           count(*) AS n
+    FROM test
+    WHERE abs(x0) >= {_MARGIN!r}
+    GROUP BY 1, 2
+    """,
     tags=("ml", "M1", "M5", "M6", "M7", "lr", "train"),
 )
 def ml_lr_train_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1→M7 pipeline on embeddings: seeded stratified 80/20 split,
-    balanced class weights, weighted LR (maxIter=200, reg=0.01), test-set
-    confusion matrix.
+    """M1→M7 pipeline on embeddings: deterministic hash 80/20 split,
+    balanced class weights, weighted LR (maxIter=200, reg=0.01), then the
+    confusion matrix on the clear-margin test subset.
 
     The binary target is sign(embedding[0]) — linearly separable by
-    construction, so a correct pipeline lands near-perfect counts on the
-    diagonal; a broken split/weight/fit shows up as off-diagonal mass.
-    Output: (label_index, prediction, n) sorted — 2×2 at most.
+    construction, so the trained model must classify every margin point
+    correctly and the oracle can state the full confusion matrix in SQL
+    (diagonal = margin-test label histogram). Off-diagonal predictions
+    fail the row-count match, making this a genuine end-to-end check of
+    the training pipeline rather than a rows-only smoke test.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
+        F.col("embedding").getItem(0).alias("x0"),
         (F.col("embedding").getItem(0) >= 0).cast("double").alias("label_index"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    train, test = stratified_split(
-        emb, label_col="label_index", key_col="vec_id", test_fraction=0.2, seed=42
+    bucket = F.pmod(
+        F.pmod(F.col("vec_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_MOD)), F.lit(5)
     )
+    train = emb.filter(bucket != 0).drop("x0")
+    test = emb.filter(bucket == 0)
     model = train_weighted_lr(balanced_class_weights(train, "label_index"))
-    pred = model.transform(test)
+    pred = model.transform(test).filter(F.abs("x0") >= _MARGIN)
     return (
         pred.groupBy(
             F.col("label_index").cast("int").alias("label_index"),
