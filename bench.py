@@ -69,19 +69,24 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # min of 2 runs per query: the second run sees warm page cache and
-    # JIT-compiled codegen, which is the steady state a resident engine
-    # serves from; min-of-N also suppresses container CPU-contention
-    # noise (observed ±50% on identical plans).
+    # 3 runs per query; report min AND median. Later runs see warm page
+    # cache and JIT-compiled codegen — the steady state a resident engine
+    # serves from; min-of-N suppresses container CPU-contention noise
+    # (observed ±50% on identical plans), the median shows how noisy the
+    # run was. Headline order is pinned so round-over-round per-query
+    # regression comparison is mechanical.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             df = registry[name].spark(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -91,6 +96,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -108,3 +108,62 @@ def test_session_and_label_stage(spark):
     # log_full is chronologically ordered original lines joined by \n
     lines = b1["log_full"].split("\n")
     assert lines == [RAW[0], RAW[1], RAW[2], RAW[5]]
+
+
+# BASELINE.md anchor: prepare_data_batch.ipynb cell 31's committed sample
+# (BlockId, start_ts, end_ts, duration_sec, num_lines, label). Block ids
+# are truncated in the committed show() output; the invariants under test
+# are the session boundaries, the epoch-subtraction duration and the line
+# count, so representative full ids stand in for the truncated tails.
+CELL31_ANCHORS = [
+    ("blk_-1001138135617662562", "2008-11-10 01:19:42", "2008-11-10 10:36:17", 33395, 31, "Normal"),
+    ("blk_-1005590426018699440", "2008-11-11 07:07:19", "2008-11-11 09:01:33", 6854, 19, "Normal"),
+    ("blk_-1021309077462882811", "2008-11-11 02:54:37", "2008-11-11 04:47:40", 6783, 19, "Normal"),
+    ("blk_-1024067452272781405", "2008-11-11 09:00:23", "2008-11-11 09:02:52", 149, 13, "Normal"),
+    ("blk_-1027487181712911017", "2008-11-11 08:32:16", "2008-11-11 08:32:51", 35, 13, "Normal"),
+]
+
+
+def test_cell31_golden_session_rows(spark):
+    """Reproduce the reference's committed Phase-1 session sample
+    (cell 31) row-for-row: for each anchor, synthesize num_lines raw
+    HDFS_v1 lines whose first/last timestamps are the committed session
+    bounds, run the full parse→sessionize→label pipeline, and assert the
+    exact committed (start_ts, end_ts, duration_sec, num_lines, label)."""
+    from datetime import datetime, timedelta
+
+    raw, labels = [], []
+    for blk, start, end, dur, n_lines, label in CELL31_ANCHORS:
+        t0 = datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
+        t1 = datetime.strptime(end, "%Y-%m-%d %H:%M:%S")
+        assert int((t1 - t0).total_seconds()) == dur  # anchor self-check
+        steps = [t0 + (t1 - t0) * i / (n_lines - 1) for i in range(n_lines)]
+        steps = [t.replace(microsecond=0) for t in steps[:-1]] + [t1]
+        steps[0] = t0
+        for i, t in enumerate(steps):
+            stamp = t.strftime("%y%m%d %H%M%S")
+            raw.append(
+                f"{stamp} {140 + i} INFO dfs.DataNode$DataXceiver: "
+                f"Receiving block {blk} src: /10.0.0.1 dest: /10.0.0.9"
+            )
+        labels.append((blk, label))
+
+    df = spark.createDataFrame([(l,) for l in raw], ["value"])
+    parsed = parse_log_lines(df).withColumn(
+        "block_id", F.regexp_extract("value", r"(blk_[\-0-9]+)", 1)
+    )
+    sessions = sessionize(parsed, "block_id", "datetime", line_col="value")
+    out = {
+        r["block_id"]: r.asDict()
+        for r in label_sessions(
+            sessions, spark.createDataFrame(labels, ["block_id", "label"]), "block_id"
+        ).collect()
+    }
+    assert len(out) == len(CELL31_ANCHORS)
+    for blk, start, end, dur, n_lines, label in CELL31_ANCHORS:
+        row = out[blk]
+        assert str(row["start_ts"]) == start, blk
+        assert str(row["end_ts"]) == end, blk
+        assert row["duration_sec"] == dur, blk
+        assert row["num_lines"] == n_lines, blk
+        assert row["label"] == label, blk
