@@ -72,6 +72,42 @@ def grouped_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_zscore_window",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+      FROM events
+    )
+    SELECT event_id, user_id,
+           round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                      ELSE (value - mu) / sd END, 4) AS zscore
+    FROM s
+    """,
+    tags=("window", "zscore", "scale-path"),
+)
+def grouped_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recommended 100 TB rendering of ``grouped_zscore_events``:
+    identical output, but the per-user mean/stddev come from JVM window
+    functions — whole-stage codegen end to end, zero Python/Arrow
+    round-trips. Same single shuffle on user_id; Tungsten does the rest.
+    The applyInPandas twin above exists to exercise (and oracle-verify)
+    the grouped-map UDF surface; THIS is the plan to run at scale.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.when(sd.isNull() | (sd == 0), F.lit(0.0)).otherwise(
+        (F.col("value") - mu) / sd
+    )
+    return ev.select("event_id", "user_id", F.round(z, 4).alias("zscore"))
+
+
+@register(
     "grouped_agg_weighted_mean",
     oracle="""
     SELECT event_type,
@@ -154,6 +190,41 @@ def per_user_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ev.groupBy("user_id").applyInPandas(
         fit, "user_id bigint, slope double, intercept double, r2 double, n bigint"
+    )
+
+
+@register(
+    "per_user_regression_sql",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, epoch(ts) / 3600.0), 4) AS slope,
+           round(regr_intercept(value, epoch(ts) / 3600.0), 4) AS intercept,
+           round(regr_r2(value, epoch(ts) / 3600.0), 4) AS r2,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "regression", "scale-path"),
+)
+def per_user_regression_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recommended 100 TB rendering of ``per_user_model_fit``:
+    identical output via Spark's built-in linear-regression aggregates
+    (``regr_slope`` / ``regr_intercept`` / ``regr_r2``) — mergeable
+    map-side partials, no Python, no per-group Arrow batch. The
+    applyInPandas twin above demos the grouped-map surface for fits SQL
+    genuinely can't express; when the fit IS expressible (OLS), this
+    plan wins by the whole Python round-trip.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts").cast("double") / 3600.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

@@ -703,18 +703,28 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # sketch estimate: engine-specific, checked by tolerance test
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
     tags=("agg", "sketch", "hll", "approx"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user estimate per event_type, alongside a
-    relative-error column vs the exact count.
+    """HyperLogLog++ distinct-user estimate per event_type, rendered
+    oracle-checkable: the output carries the exact count plus a
+    ``within_tol`` flag asserting the sketch landed within 5% relative
+    error. The oracle emits the exact count and a constant 1 — so the
+    driver's hash compare actually verifies the ≤5% HLL claim instead
+    of skipping the query.
 
     The 100 TB form of A12's countDistinct: the HLL sketch is a few KB,
     merges map-side, and never shuffles raw values — exact distinct
-    shuffles every distinct value to its reducer. No SQL oracle (the
-    estimate is engine-specific by nature); the companion unit test
-    asserts the documented ≤5% relative error at rsd=0.02.
+    shuffles every distinct value to its reducer. (The exact count here
+    exists only to judge the sketch; a production query would emit the
+    sketch estimate alone.)
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -725,13 +735,14 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            "approx_users",
             "exact_users",
-            F.round(
+            (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                / F.col("exact_users"),
-                4,
-            ).alias("rel_err"),
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            )
+            .cast("long")
+            .alias("within_tol"),
         )
     )
 

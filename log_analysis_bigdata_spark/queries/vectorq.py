@@ -433,3 +433,97 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     return connected_components(pairs, src="id_a", dst="id_b")
+
+
+IVF_NPROBE = 2
+
+@register(
+    "ivf_topk_nprobe",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    e AS (
+      SELECT a.vec_id, a.cell, e.label, e.embedding
+      FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    qdims AS (
+      SELECT t.i AS dim, CAST(q.qv[t.i] AS DOUBLE) AS qx
+      FROM q, unnest(range(1, 65)) AS t(i)
+    ),
+    qdist AS (
+      SELECT c.c, sum((qd.qx - c.cx) * (qd.qx - c.cx)) AS qd2
+      FROM qdims qd JOIN cent c ON qd.dim = c.dim
+      GROUP BY 1
+    ),
+    probe AS (SELECT c FROM qdist ORDER BY qd2, c LIMIT {IVF_NPROBE}),
+    sims AS (
+      SELECT e.vec_id, e.label, e.cell,
+             round({_DOT_SQL.format(a="e.embedding", b="q.qv")}
+                   / ({_NORM_SQL.format(a="e.embedding")}
+                      * {_NORM_SQL.format(a="q.qv")}), 4) AS cosine
+      FROM e JOIN probe p ON e.cell = p.c, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cell, cosine
+    FROM sims ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "ivf", "nprobe", "topk"),
+)
+def ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a multi-cell probe: rank centroids by distance to the
+    query vector and search the nearest ``IVF_NPROBE`` cells instead of
+    only the query's own cell — the standard recall lever for IVF
+    indexes (probing one cell misses neighbors that quantize across a
+    cell boundary).
+
+    nprobe=1 degenerates to ``ivf_topk`` (the query's assigned cell IS
+    its nearest centroid). Plan shape at scale: centroid ranking touches
+    k×d doubles on a broadcast side; the probe list (``nprobe`` ints) is
+    broadcast back so the corpus scan stays partition-prunable when the
+    assignment is written out partitioned by cell — the scan reads
+    nprobe/k of the data, never all of it.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        (F.col("vec_id") % IVF_CELLS).alias("seed_cell"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select("vec_id", "seed_cell", "dim", F.col("x").cast("double").alias("x"))
+    cent = dims.groupBy(
+        F.col("seed_cell").alias("c"), "dim"
+    ).agg(F.avg("x").alias("cx"))
+    dist = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "c")
+        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d2"))
+    )
+    assign = dist.groupBy("vec_id").agg(F.min_by("c", "d2").alias("cell"))
+    e = assign.join(emb, "vec_id").select("vec_id", "cell", "label", "embedding")
+
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    qdims = q.select(F.posexplode("qv").alias("dim", "qx")).select(
+        "dim", F.col("qx").cast("double").alias("qx")
+    )
+    qdist = (
+        qdims.join(F.broadcast(cent), "dim")
+        .groupBy("c")
+        .agg(F.sum((F.col("qx") - F.col("cx")) * (F.col("qx") - F.col("cx"))).alias("qd2"))
+    )
+    probe = qdist.orderBy("qd2", "c").limit(IVF_NPROBE).select(
+        F.col("c").alias("pcell")
+    )
+    sim = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (norm(F.col("embedding")) * norm(F.col("qv"))),
+        4,
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probe), F.col("cell") == F.col("pcell"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "cell", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )

@@ -27,9 +27,9 @@ import pandas as pd
 
 def canon_cell(v):
     """Canonical string for a cell, matching what a repr-hash would see."""
-    if v is None:
+    if v is None or v is pd.NA:
         return "NULL"
-    if isinstance(v, float) and math.isnan(v):
+    if isinstance(v, (float, np.floating)) and math.isnan(v):
         return "NULL"
     if isinstance(v, np.floating):
         return repr(float(v))
@@ -51,14 +51,30 @@ def canon_cell(v):
 
 
 def canon_frame(pdf: pd.DataFrame):
+    """Canonicalize per COLUMN (never ``iterrows``): row extraction
+    coerces mixed int/float frames to a common dtype on BOTH sides,
+    which would hide exactly the Spark-long vs DuckDB-float64
+    representation drift ("44158776552" vs "44158776552.0") this tool
+    exists to catch."""
     cols = sorted(pdf.columns, key=lambda c: c.lower())
-    rows = [
-        tuple(canon_cell(row[c]) for c in cols)
-        for _, row in pdf.iterrows()
-    ]
-    rows.sort()
+    col_vals = []
+    for c in cols:
+        s = pdf[c]
+        vals = s.to_numpy() if s.dtype.kind in "iufb" else s.to_list()
+        col_vals.append([canon_cell(v) for v in vals])
+    rows = sorted(zip(*col_vals)) if col_vals else []
     kinds = {c.lower(): pdf[c].dtype.kind for c in pdf.columns}
     return [c.lower() for c in cols], rows, kinds
+
+
+_KIND_CLASS = {"i": "int", "u": "int", "f": "float", "b": "bool"}
+
+
+def kind_class(kind: str) -> str:
+    """Numeric class of a dtype kind — int-vs-float drift on a hashed
+    column is a FAILURE (the driver's repr-hash sees "5" vs "5.0"), not
+    a note."""
+    return _KIND_CLASS.get(kind, "other")
 
 
 def main() -> int:
@@ -114,6 +130,12 @@ def main() -> int:
             for c in s_kinds
             if c in d_kinds and s_kinds[c] != d_kinds[c]
         ]
+        if s_rows and d_rows:  # empty frames carry no meaningful dtype
+            problems.extend(
+                f"numeric-class drift {c}: spark kind={s_kinds[c]} duck kind={d_kinds[c]}"
+                for c in s_kinds
+                if c in d_kinds and kind_class(s_kinds[c]) != kind_class(d_kinds[c])
+            )
         if problems:
             n_fail += 1
             print(f"FAIL {name} ({time.time()-t0:.1f}s)")
