@@ -19,7 +19,6 @@ the sink is a keyed last-write-wins parquet upsert via foreachBatch
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,38 +95,77 @@ def score_expr(event_ids: Sequence[str], weights: dict[str, float], bias: float)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
-def upsert_sink(target_dir: str, key_col: str, order_col: str):
-    """foreachBatch last-write-wins upsert into a local parquet dir.
+UPSERT_N_BUCKETS = 16
+
+
+def upsert_sink(
+    target_dir: str,
+    key_col: str,
+    order_col: str,
+    n_buckets: int = UPSERT_N_BUCKETS,
+):
+    """foreachBatch last-write-wins upsert into a parquet table
+    partitioned by a stable hash bucket of the key.
 
     Semantics = the reference's HBase put keyed by BlockId
     (insert_data_to_HBase.py:43): newest ``order_col`` wins per key.
-    Local parquet + atomic dir swap stands in for Delta MERGE; the
-    logical plan (union old+new → row_number desc → keep 1) is exactly
-    what MERGE compiles to.
+    The logical plan (union old+new → row_number desc → keep 1 per key)
+    is exactly what a Delta/Iceberg MERGE compiles to.
+
+    Scale shape: the serving table lives partitioned by
+    ``_bucket = pmod(hash(key), n_buckets)``. Each micro-batch touches
+    ONLY the buckets its keys hash into — the read is partition-pruned
+    to those buckets and the write uses dynamic partition overwrite, so
+    untouched buckets' files are never read or rewritten. Cost per batch
+    is O(batch ∪ touched buckets), not O(whole table): the table can
+    grow without each epoch slowing down, which a full-table rewrite
+    (the previous rendering) cannot do. On a real deployment the same
+    plan is one ``MERGE INTO`` on a Delta table partitioned the same way.
     """
+
+    def bucket_of(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
     def do_upsert(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql.window import Window as W
 
         spark = batch_df.sparkSession
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(target_dir)
-        ):
-            old = spark.read.parquet(target_dir)
-            merged = old.unionByName(batch_df)
+        batch = batch_df.withColumn("_bucket", bucket_of(F.col(key_col)))
+        # Tiny driver-side list (≤ n_buckets ints) — partition pruning,
+        # not data collection.
+        touched = sorted(
+            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+        )
+        exists = os.path.isdir(target_dir) and any(
+            f.startswith("_bucket=") for f in os.listdir(target_dir)
+        )
+        if exists:
+            old = (
+                spark.read.option("basePath", target_dir)
+                .parquet(*[f"{target_dir}/_bucket={b}" for b in touched
+                           if os.path.isdir(f"{target_dir}/_bucket={b}")])
+                if any(
+                    os.path.isdir(f"{target_dir}/_bucket={b}") for b in touched
+                )
+                else None
+            )
+            merged = (
+                old.unionByName(batch) if old is not None else batch
+            )
         else:
-            merged = batch_df
+            merged = batch
         w = W.partitionBy(key_col).orderBy(F.desc(order_col))
         deduped = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        tmp = target_dir.rstrip("/") + ".tmp"
-        deduped.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(target_dir):
-            shutil.rmtree(target_dir)
-        os.rename(tmp, target_dir)
+        (
+            deduped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(target_dir)
+        )
 
     return do_upsert
 

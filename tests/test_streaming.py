@@ -101,6 +101,51 @@ def test_stream_upsert_last_write_wins(spark, tmp_path):
     assert rows[0]["E1"] == 5 and rows[0]["E2"] == 1
 
 
+def test_upsert_partition_scoped(spark, tmp_path):
+    """The serving table is hash-bucket partitioned and each upsert
+    rewrites ONLY the buckets its batch keys hash into — untouched
+    buckets' files survive byte-identical (names + mtimes). This is the
+    property that keeps per-epoch cost O(batch), not O(table)."""
+    import glob
+
+    from log_analysis_bigdata_spark.streaming.job import UPSERT_N_BUCKETS
+
+    def bucket(k: str) -> int:
+        return (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(k)), F.lit(UPSERT_N_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]["b"]
+        )
+
+    ka = "blk_a"
+    kb = next(f"blk_{i}" for i in range(100) if bucket(f"blk_{i}") != bucket(ka))
+
+    tgt = str(tmp_path / "serving")
+    sink = upsert_sink(tgt, "block_id", "ts_ms")
+    schema = "block_id string, v int, ts_ms long"
+    sink(spark.createDataFrame([(ka, 1, 10)], schema), 0)
+
+    a_dir = f"{tgt}/_bucket={bucket(ka)}"
+    before = {p: os.path.getmtime(p) for p in glob.glob(a_dir + "/*.parquet")}
+    assert before, "first upsert must create the key's bucket partition"
+
+    sink(spark.createDataFrame([(kb, 2, 20)], schema), 1)
+    after = {p: os.path.getmtime(p) for p in glob.glob(a_dir + "/*.parquet")}
+    assert after == before, "upsert of another bucket rewrote untouched files"
+
+    rows = {r["block_id"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert rows == {ka: 1, kb: 2}
+
+    # last-write-wins still holds within a bucket
+    sink(spark.createDataFrame([(ka, 3, 30)], schema), 2)
+    rows = {r["block_id"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert rows == {ka: 3, kb: 2}
+
+
 def test_decode_messages_declared_schema(spark):
     raw = spark.createDataFrame(
         [(json.dumps(_msg("blk_-3", 1, 1)),)], ["value"]
