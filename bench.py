@@ -69,14 +69,19 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # 3 runs per query; report min AND median. Later runs see warm page
-    # cache and JIT-compiled codegen — the steady state a resident engine
-    # serves from; min-of-N suppresses container CPU-contention noise
-    # (observed ±50% on identical plans), the median shows how noisy the
-    # run was. Headline order is pinned so round-over-round per-query
-    # regression comparison is mechanical.
+    # 3 runs per query; report min AND median AND the tagged cold run.
+    # Run 1 is COLD for that query: first materialization of any
+    # persist()ed intermediates, page cache, and codegen. Runs 2-3 are
+    # WARM — the steady state a resident engine serves from. min-of-N
+    # suppresses container CPU-contention noise (observed ±50% on
+    # identical plans), the median shows how noisy the run was, and
+    # queries_cold makes persist()-artifact gaps visible (e.g.
+    # minhash_dup_pairs r2: min 0.70 s was cache-hot, cold was 2.5 s).
+    # Headline order is pinned so round-over-round per-query regression
+    # comparison is mechanical.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    colds: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         for _ in range(3):
@@ -84,6 +89,7 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        colds[name] = round(runs[0], 3)
         runs.sort()
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
@@ -97,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "queries_cold": colds,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

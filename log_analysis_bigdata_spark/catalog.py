@@ -30,14 +30,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS); without this conf the scan
-    # fails with PARQUET_TYPE_ILLEGAL. Set it here (runtime-settable,
-    # idempotent) so correctness never depends on which session factory
-    # built the caller's SparkSession — external drivers pass their own.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Timestamp formatting/parsing is session-timezone-dependent; pin UTC
-    # so results match the (naive-timestamp) oracle on any caller session.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Load one benchmark table.
+
+    SIDE EFFECT: pins two session confs on the CALLER's SparkSession —
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (events.parquet carries
+    TIMESTAMP(NANOS); without it the scan fails with PARQUET_TYPE_ILLEGAL)
+    and ``spark.sql.session.timeZone=UTC`` (timestamp parse/format is
+    session-tz-dependent; the oracle compares naive timestamps). Both are
+    lazily evaluated confs, so they affect the session's SUBSEQUENT
+    timestamp reads too, not just this table — callers interleaving their
+    own non-UTC timestamp work should save/restore
+    ``spark.conf.get("spark.sql.session.timeZone")`` around engine calls.
+    Set-only-when-different keeps the common path mutation-free.
+    """
+    for key, want in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        if spark.conf.get(key, None) != want:
+            spark.conf.set(key, want)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with

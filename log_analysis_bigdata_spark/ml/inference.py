@@ -76,6 +76,44 @@ def model_scorer_udf(
     return score
 
 
+def save_model_artifact(model, path: str) -> None:
+    """S10 write half: persist a model artifact the way the reference's
+    training side does before `ML_predict.py:8-13` loads it.
+
+    joblib if available (the reference's on-disk format); stdlib pickle
+    otherwise — for pure-Python models the two are interchangeable, and
+    this container has no joblib.
+    """
+    try:
+        import joblib
+
+        joblib.dump(model, path)
+    except ModuleNotFoundError:
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(model, f)
+
+
+def load_model_artifact(path: str):
+    """S10 read half: load a pickled model artifact
+    (`ML_predict.py:8-13`'s `joblib.load(model_path)`).
+
+    The loaded object goes straight into :func:`model_scorer_udf`, which
+    broadcasts it once per executor — load on the driver exactly once, never
+    inside a UDF.
+    """
+    try:
+        import joblib
+
+        return joblib.load(path)
+    except ModuleNotFoundError:
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
 def threshold_prediction(score: Column, threshold: float = 0.83) -> Column:
     """score ≥ t → 1 else 0 (`ML_predict.py:113`, t from
     `kafka_consumer.py:35`)."""

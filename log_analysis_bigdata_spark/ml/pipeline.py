@@ -51,6 +51,27 @@ def stratified_split(
     return train, test
 
 
+def index_labels(
+    df: DataFrame, label_col: str, out_col: str = "label_index"
+) -> DataFrame:
+    """M4: string label → numeric index, the reference's
+    `StringIndexer(inputCol='status', outputCol='label_index')`
+    (`nb:458-459`, cell 12).
+
+    Spark ML's default `frequencyDesc` order: the most frequent label gets
+    index 0.0, ties broken ascending-lexicographic — the fit pass is one
+    groupBy-count (K rows to the driver), the transform is a broadcast map.
+    Integer-typed labels can skip the fit entirely with a plain
+    `cast("double")`, which several catalog queries use.
+    """
+    from pyspark.ml.feature import StringIndexer
+
+    indexer = StringIndexer(
+        inputCol=label_col, outputCol=out_col, handleInvalid="error"
+    )
+    return indexer.fit(df).transform(df)
+
+
 def balanced_class_weights(
     train: DataFrame, label_col: str = "label_index", weight_col: str = "weight"
 ) -> DataFrame:

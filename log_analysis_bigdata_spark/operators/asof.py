@@ -47,6 +47,20 @@ def asof_join(
 
     ``right`` must contain ``key``, ``right_ts`` and ``value_cols``;
     column names in ``value_cols`` must not collide with left's.
+
+    Requirements/semantics (the payload struct participates in the window
+    ORDER BY as the deterministic tiebreaker):
+    - every ``value_cols`` type must be ORDERABLE — a map-typed value
+      column fails at analysis time; wrap it or exclude it from the sort
+      by pre-deduping (key, ts) instead;
+    - when several right rows share (key, ts), the GREATEST payload
+      struct (field-by-field comparison in ``value_cols`` order) wins —
+      run-to-run stable, but it diverges from pandas ``merge_asof``'s
+      positional-last pick, which depends on input row order Spark
+      doesn't preserve. Pre-dedupe (key, right_ts) upstream (the in-repo
+      caller does) to make the two semantics coincide;
+    - NULL-carry: the whole latest match is carried as a unit, so a NULL
+      field inside it stays NULL (see module docstring).
     """
     rv_probe = right.select(
         F.struct(*[F.col(v) for v in value_cols]).alias("_rv")

@@ -123,9 +123,12 @@ def write_jdbc(
 ):
     """S9: JDBC writer (`load_data_to_sql.py:6-17`'s `to_sql`).
 
-    Returns the configured writer; `.save()` needs a driver jar +
-    database, neither present here. numPartitions bounds the connection
-    fan-in a 1000-executor write would otherwise open.
+    Returns the configured writer so callers can `.save()`. Executed
+    end-to-end in tests against the Spark-bundled Derby embedded driver
+    (write → read-back → overwrite); the reference's PostgreSQL target
+    only needs the postgres jar on the classpath and its `url`/`driver`
+    options. numPartitions bounds the connection fan-in a 1000-executor
+    write would otherwise open.
     """
     writer = (
         df.write.format("jdbc")
