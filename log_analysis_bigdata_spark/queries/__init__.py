@@ -129,6 +129,7 @@ def all_queries() -> dict[str, QueryDef]:
             servingq,
             streamq,
             textq,
+            tpchq,
             vectorq,
         )
 
