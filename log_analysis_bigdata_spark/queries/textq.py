@@ -539,3 +539,134 @@ def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --- PII redaction (round 3) ------------------------------------------------
+
+# Patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB): no
+# backreferences, no lookaround.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\+1-555-[0-9]{4}"
+
+# The synthetic corpus is PII-free word salad, so the query plants
+# deterministic PII derived from doc_id — one email per doc, a phone for
+# doc_id % 3 == 0 — then redacts it. Both engines build the identical
+# augmented string, so counts and the redacted-text digest are exact.
+_AUG_SQL = """
+    (text || ' contact user' || CAST(doc_id AS VARCHAR)
+          || '@example.com now'
+          || CASE WHEN doc_id % 3 = 0
+                  THEN ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END)
+"""
+
+
+@register(
+    "pii_redact_docs",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS s FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(s, '{_PHONE_PAT}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(s, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                              '{_PHONE_PAT}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    tags=("text", "pii", "redaction", "F1", "F2"),
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training-data hygiene: detect + mask emails and
+    phone numbers, returning per-doc match counts and a digest of the
+    redacted text (digest, not the text, so the driver compare stays
+    small and the full redacted string is still pinned byte-for-byte).
+
+    Pure column expressions (regexp_extract_all / regexp_replace) — at
+    100 TB this is a narrow map fused into the scan, zero Python, zero
+    shuffle. Spark's regexp_replace is replace-ALL by default; the DuckDB
+    twin needs the explicit 'g' flag — a classic cross-engine trap this
+    oracle locks down.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com now"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" or call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    s = aug.alias("s")
+    redacted = F.regexp_replace(
+        F.regexp_replace(s, _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(s, F.lit(_EMAIL_PAT), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(s, F.lit(_PHONE_PAT), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --- Gopher-style repetition metrics (round 3) ------------------------------
+
+
+@register(
+    "repetition_metrics_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    idx AS (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM idx WHERE i <= len(t) - 1
+    ),
+    counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_gram_frac,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS distinct_gram_frac
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("text", "quality", "repetition", "dedup"),
+)
+def repetition_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per doc, the fraction of 2-gram
+    mass taken by the single most frequent 2-gram, and the distinct-2-gram
+    fraction — the standard signals for boilerplate/looped text that
+    quality-gates drop before training.
+
+    Plan: split → inline 2-gram build (``transform`` over an index
+    sequence, JVM-side) → explode → two-level aggregate keyed on
+    (doc_id, gram) then doc_id. The explode is linear in token count and
+    the only shuffle key is doc_id — at 100 TB this is the same shape as
+    word-count, with partial aggregation soaking up the per-doc skew.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("top_gram_frac"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 4).alias(
+            "distinct_gram_frac"
+        ),
+    )

@@ -527,3 +527,70 @@ def ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
+
+
+# --- k-NN join (round 3) ----------------------------------------------------
+
+
+@register(
+    "knn_join_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 100 = 7
+    ),
+    c AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 100 <> 7
+    ),
+    sims AS (
+      SELECT q.query_id, c.vec_id, c.label,
+             round({_DOT_SQL.format(a="c.embedding", b="q.qv")}
+                   / ({_NORM_SQL.format(a="c.embedding")}
+                      * {_NORM_SQL.format(a="q.qv")}), 4) AS cosine
+      FROM c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, label, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, vec_id
+             ) AS INTEGER) AS rank
+      FROM sims
+    )
+    SELECT query_id, vec_id, label, cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("vector", "ann", "knn", "join", "topk"),
+)
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: top-5 cosine neighbors for EVERY query vector in a
+    query block (vec_id % 100 == 7, ~1% of the corpus), neighbors drawn
+    from the non-query remainder.
+
+    Plan shape at scale: the query block is broadcast, so the corpus is
+    never shuffled for candidate generation — each corpus partition
+    scores its rows against all Q queries locally (O(N·Q/partitions)),
+    then one shuffle on query_id ranks per-query top-k. For very large Q
+    swap the broadcast for the LSH-bucketed generator (ann_bucketed_topk)
+    so each corpus row only meets same-bucket queries. Ranking uses the
+    ROUNDED cosine with the vec_id tiebreaker on both engines, so
+    float-LSB rank flips can't diverge.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") % 100 != 7)
+    cosine = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (norm(F.col("embedding")) * norm(F.col("qv"))),
+        4,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", "label", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
