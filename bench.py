@@ -50,6 +50,20 @@ HEADLINE = [
     "quality_filter_docs",
     "token_counts_docs",
     "ivf_topk",
+    # round-3 additions (appended — earlier order stays pinned for
+    # round-over-round comparison)
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "pii_redact_docs",
+    "repetition_metrics_docs",
+    "knn_join_topk",
+    # JVM twins of the two pandas-UDF demos directly above them in the
+    # list — BENCH now shows the built-in-vs-Arrow gap explicitly
+    "grouped_zscore_window",
+    "per_user_regression_sql",
 ]
 
 

@@ -70,7 +70,20 @@ _DRIVER_WINDOW = (
     "ivf_topk_nprobe",
     "grouped_zscore_window",
     "per_user_regression_sql",
-    # re-checks: events-path queries (load_table nanos/tz conf is shared)
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "pii_redact_docs",
+    "repetition_metrics_docs",
+    "knn_join_topk",
+    "approx_percentile_value",
+    # re-checks: events-path queries (load_table conf logic changed r3)
     "parse_raw_logs",
     "sessionize_events",
     "event_traces_users",
@@ -87,7 +100,7 @@ _DRIVER_WINDOW = (
     "tumbling_window_events",
     "sliding_window_events",
     "session_window_events",
-    # re-checks: serving surface (upsert/serving path reworked this round)
+    # re-checks: serving surface (upsert/serving path reworked late r2)
     "serving_latest_n",
     "serving_by_key",
     "serving_time_range",
@@ -95,22 +108,12 @@ _DRIVER_WINDOW = (
     "serving_stats",
     "serving_delete",
     "serving_compound_filter",
-    # re-checks: text / vector pipeline
+    # re-checks: most-central text/vector entries; the 12 other r2-green
+    # text/vector queries are excluded for space — their r2 verdicts
+    # stand and the full-registry parity sweep (EVIDENCE_r03.md)
+    # re-verifies them locally every time a shared path changes
     "dedup_exact_docs",
-    "doc_fingerprint",
-    "minhash_signatures",
     "minhash_dup_pairs",
-    "ngram_jaccard_pairs",
-    "text_quality_docs",
-    "lang_histogram",
-    "token_counts_docs",
-    "profile_documents",
-    "quality_filter_docs",
-    "simhash_text_docs",
-    "simhash_dup_groups",
-    "cosine_topk",
-    "simhash_buckets",
-    "ann_bucketed_topk",
     "embedding_near_dup",
     "ivf_topk",
     "dedup_components",

@@ -1007,3 +1007,58 @@ def latest_record_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", F.round("value", 4).alias("value"))
     )
+
+
+@register(
+    "approx_percentile_value",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           round(quantile_cont(value, 0.99), 4) AS exact_p99,
+           CAST(1 AS BIGINT) AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "sketch", "percentile", "approx"),
+)
+def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles judged against exact, the
+    approx_distinct_users pattern: emit the exact interpolated p50/p99
+    per event_type plus a ``within_tol`` flag asserting the
+    approx_percentile sketch landed within 2% RELATIVE RANK error —
+    i.e. the sketch's answer lies between the exact quantiles at
+    q±0.02 (the sketch's documented guarantee is on rank, not value,
+    so a value-distance tolerance would be the wrong check). The oracle
+    states exact quantiles and a constant 1, so the driver verifies the
+    sketch claim.
+
+    The 100 TB form of exact percentile: the KLL/GK-style summary is
+    KBs, merges map-side, and never materializes a group's values on
+    one reducer — exact interpolated percentile must.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    approx = F.expr("approx_percentile(value, array(0.5, 0.99), 10000)")
+    lo = F.expr("percentile(value, array(0.48, 0.97))")
+    hi = F.expr("percentile(value, array(0.52, 1.0))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.5, 0.99))").alias("exact"),
+            approx.alias("ap"),
+            lo.alias("lo"),
+            hi.alias("hi"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("exact")[0], 4).alias("exact_p50"),
+            F.round(F.col("exact")[1], 4).alias("exact_p99"),
+            (
+                (F.col("ap")[0] >= F.col("lo")[0])
+                & (F.col("ap")[0] <= F.col("hi")[0])
+                & (F.col("ap")[1] >= F.col("lo")[1])
+                & (F.col("ap")[1] <= F.col("hi")[1])
+            )
+            .cast("long")
+            .alias("within_tol"),
+        )
+    )

@@ -120,3 +120,65 @@ def test_pandas_queries_are_arrow_not_batch_python(spark):
     ):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_q8_dims_broadcast(spark):
+    plan = _plan(spark, "q8_market_share")
+    assert "BroadcastHashJoin" in plan  # nation/region sides
+
+
+def test_q18_semi_join_no_explosion(spark):
+    plan = _plan(spark, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redaction_stays_in_codegen(spark):
+    """PII redact is regexp_* column expressions only — any Python
+    fallback would show up as BatchEvalPython/ArrowEvalPython."""
+    plan = _plan(spark, "pii_redact_docs")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan  # formatted mode's whole-stage-codegen marker
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """The 100 TB co-location story: two tables bucketed on the join key
+    into the same bucket count join WITHOUT any Exchange — each task zips
+    bucket i with bucket i. The unbucketed control plan shuffles both
+    sides. (Broadcast is disabled so the shuffle-vs-bucket contrast is
+    what's measured.)"""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{tmp_path}'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        facts = spark.range(0, 10000).selectExpr("id AS k", "id % 97 AS v")
+        dims = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS w")
+        for name, df in (("facts_b", facts), ("dims_b", dims)):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .saveAsTable(f"buckdb.{name}")
+            )
+        joined = spark.table("buckdb.facts_b").join(
+            spark.table("buckdb.dims_b"), "k"
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan  # bucket co-location, no shuffle
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+
+        control = facts.join(dims, "k")
+        cplan = control._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" in cplan  # unbucketed twin must shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
