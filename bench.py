@@ -64,6 +64,10 @@ HEADLINE = [
     # list — BENCH now shows the built-in-vs-Arrow gap explicitly
     "grouped_zscore_window",
     "per_user_regression_sql",
+    # round-3b: completing all 22 TPC-H shapes — the three heaviest
+    "q2_min_cost_supplier",
+    "q21_final_shipper",
+    "q13_customer_order_distribution",
 ]
 
 

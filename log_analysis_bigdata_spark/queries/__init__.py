@@ -83,17 +83,22 @@ _DRIVER_WINDOW = (
     "repetition_metrics_docs",
     "knn_join_topk",
     "approx_percentile_value",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q20_excess_share_suppliers",
+    "q21_final_shipper",
+    "q22_dormant_customers",
     # re-checks: events-path queries (load_table conf logic changed r3)
     "parse_raw_logs",
     "sessionize_events",
     "event_traces_users",
     "feature_counts_events",
     "grouped_zscore_events",
-    "grouped_agg_weighted_mean",
     "per_user_model_fit",
     "cogroup_user_activity",
     "salted_event_type_stats",
-    "stats_agg_events",
     "asof_join_events_orders",
     "range_join_hour_activity",
     "latest_record_per_key",
@@ -108,15 +113,10 @@ _DRIVER_WINDOW = (
     "serving_stats",
     "serving_delete",
     "serving_compound_filter",
-    # re-checks: most-central text/vector entries; the 12 other r2-green
-    # text/vector queries are excluded for space — their r2 verdicts
-    # stand and the full-registry parity sweep (EVIDENCE_r03.md)
-    # re-verifies them locally every time a shared path changes
-    "dedup_exact_docs",
-    "minhash_dup_pairs",
-    "embedding_near_dup",
-    "ivf_topk",
-    "dedup_components",
+    # text/vector re-checks are rotated OUT this round: no r3 change
+    # touches textq/vectorq or their operators, their r2 verdicts stand,
+    # and the full-registry parity sweep (EVIDENCE_r03.md) re-verifies
+    # all of them locally every time a shared path changes
 )
 
 

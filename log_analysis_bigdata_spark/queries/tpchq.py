@@ -459,3 +459,448 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- round 3b: the remaining classic shapes (q2/q11/q13/q15/q20/q21/q22) ----
+# With these the catalog carries all 22 TPC-H query shapes, each adapted
+# to the driver schema (no partsupp / phone / comment / commitdate —
+# substitutions documented per query).
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+               AS cost_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.cost_cents,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT CAST(round(eu.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           eu.s_name, eu.n_name, p.p_partkey, eu.cost_cents
+    FROM eu
+    JOIN part p ON p.p_partkey = eu.l_partkey
+    WHERE p.p_type = 'STANDARD'
+      AND eu.cost_cents = (
+        SELECT min(e2.cost_cents) FROM eu e2 WHERE e2.l_partkey = eu.l_partkey
+      )
+    ORDER BY acctbal_cents DESC, eu.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "subquery", "tpch", "J1", "J4"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for every STANDARD part, the
+    EUROPE supplier(s) offering it at the lowest unit cost.
+
+    Schema adaptation: no ``partsupp`` table, so the (part, supplier)
+    cost relation is DERIVED from lineitem — cost = min unit price
+    (extendedprice/quantity, per-row division then round: no aggregation
+    order sensitivity) ever charged by that supplier for that part.
+
+    The correlated min subquery is decorrelated the way Catalyst itself
+    would: aggregate min per part over the region-filtered relation,
+    then equi-join on (partkey, cost). nation/region broadcast; the
+    derived ps relation shuffles once on (partkey, suppkey) — at 100 TB
+    that is the same two-shuffle plan a real partsupp scan would need
+    for the correlated filter.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    unit_cents = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100
+    ).cast("long")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cents).alias("cost_cents")
+    )
+    eu = (
+        ps.join(s, s.s_suppkey == ps.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .select("l_partkey", "cost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    best = eu.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost_cents").alias("best_cents")
+    )
+    return (
+        eu.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("cost_cents") == F.col("best_cents")),
+        )
+        .join(p, p.p_partkey == F.col("l_partkey"))
+        .select(
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "cost_cents",
+        )
+        .orderBy(F.desc("acctbal_cents"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l.l_partkey,
+             CAST(sum({_VOL_CENTS_SQL}) AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_cents
+    FROM pv
+    WHERE CAST(value_cents AS DOUBLE) > 2 * (SELECT avg(value_cents) FROM pv)
+    ORDER BY value_cents DESC, l_partkey
+    """,
+    tags=("join", "agg", "subquery", "tpch", "A5"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose NATION_3-supplied revenue
+    exceeds a corpus-wide threshold.
+
+    Schema adaptation: part value = Σ revenue-cents of that part's
+    lineitems shipped by NATION_3 suppliers (no partsupp availqty/cost).
+    Classic Q11's fixed ``0.0001/SF`` fraction is replaced by
+    ``2 × avg per-part value`` — a scalar that self-scales with SF, so
+    the query stays selective at every test scale. The threshold is a
+    scalar-aggregate subquery: Spark computes it as a 1-row broadcast
+    cross join (no second scan barrier at scale); integer cents make the
+    avg deterministic (exact long sum / count).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    pv = (
+        l.join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("value_cents")
+        )
+    )
+    thresh = pv.agg((2 * F.avg("value_cents")).alias("thresh"))
+    return (
+        pv.join(F.broadcast(thresh))
+        .filter(F.col("value_cents").cast("double") > F.col("thresh"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "l_partkey")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "agg", "outer", "tpch", "J2", "A5"),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): histogram of
+    per-customer order counts, zeros included via the outer join.
+
+    Schema adaptation: the classic ``o_comment NOT LIKE '%special%
+    requests%'`` exclusion becomes ``o_orderpriority <> '1-URGENT'``
+    (no comment column) — same shape: the predicate lives in the JOIN
+    condition, not a WHERE, so customers whose every order is excluded
+    still appear with count 0.
+
+    Two shuffles (custkey, then count) — the second input is one row
+    per customer, negligible at any scale.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l.l_suppkey,
+             CAST(sum({_VOL_CENTS_SQL}) AS BIGINT) AS total_rev_cents
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_rev_cents
+    FROM supplier s
+    JOIN rev ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("join", "agg", "subquery", "tpch", "A5"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with maximum 1996Q1 revenue.
+
+    The classic VIEW becomes a CTE-shaped DataFrame reused for both the
+    per-supplier revenue and the scalar max — Spark computes rev once
+    per branch (at 100 TB, ``rev`` is one shuffle over the
+    shipdate-pruned scan; the max side is a 1-row broadcast). Integer
+    cents make ``= max`` an exact comparison — the whole point of the
+    query — where a double revenue would make ties engine-dependent.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_rev_cents")
+        )
+    )
+    mx = rev.agg(F.max("total_rev_cents").alias("mx"))
+    return (
+        s.join(rev, rev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_rev_cents") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH pq AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO' AND year(l.l_shipdate) = 1997
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), tot AS (
+      SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS total_qty
+      FROM pq GROUP BY l_partkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT pq.l_suppkey
+      FROM pq JOIN tot ON tot.l_partkey = pq.l_partkey
+      WHERE 2 * pq.supp_qty > tot.total_qty
+    )
+    ORDER BY s.s_name
+    """,
+    tags=("join", "agg", "semi", "tpch", "J5"),
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-share suppliers): suppliers who shipped a
+    MAJORITY (>50%) of some PROMO part's 1997 volume.
+
+    Schema adaptation: no partsupp availqty, so "excess stock" becomes
+    "dominant shipper": per-(part, supplier) 1997 quantity vs the
+    part's total, compared in pure integer arithmetic
+    (``2·supp_qty > total_qty`` — no float share, no boundary flips).
+    Shape preserved from the classic: a nested IN subquery that Spark
+    executes as aggregate → join → LEFT SEMI join into supplier; the
+    part filter prunes the lineitem scan before the first shuffle.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pq = (
+        l.filter(F.year("l_shipdate") == 1997)
+        .join(p, p.p_partkey == l.l_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    tot = pq.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dominant = (
+        pq.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(2 * F.col("supp_qty") > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), n.n_nationkey == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_final_shipper",
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate >= l1.l_shipdate
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    tags=("join", "agg", "semi", "anti", "tpch", "J3", "J5"),
+)
+def q21_final_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): per supplier, how
+    many finished multi-supplier orders ended with THIS supplier's
+    shipment strictly last.
+
+    Schema adaptation: no commitdate/receiptdate, so "late" becomes
+    "shipped strictly after every other supplier in the order". The
+    EXISTS/NOT-EXISTS pair keeps the classic shape and maps to Spark's
+    LEFT SEMI + LEFT ANTI self-joins on l_orderkey with the non-equi
+    residual (suppkey ≠, shipdate ≥) evaluated inside the join — both
+    are one hash shuffle of lineitem on orderkey, reused by AQE, never
+    a cartesian.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = l.alias("l1")
+    l2 = l.alias("l2")
+    l3 = l.alias("l3")
+    has_other = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    sole_last = has_other.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") >= F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        sole_last.join(o, o.o_orderkey == F.col("l1.l_orderkey"))
+        .join(s, s.s_suppkey == F.col("l1.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    WITH bal AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) AS avg_cents
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > (SELECT avg_cents FROM bal)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("join", "agg", "anti", "subquery", "tpch", "J3"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no RECENT orders, grouped by nation.
+
+    Schema adaptations: country code comes from the nation join (no
+    c_phone to substring), and because this dataset gives every
+    customer at least one lifetime order, "never ordered" becomes "no
+    order since 1999-01-01" — the anti-join shape is identical, with
+    the date predicate pushed into the join condition.
+
+    Determinism: the scalar average is computed over integer cents
+    (exact long sum ÷ count — one double division) rather than
+    avg(double), whose partial-sum order varies run to run; the
+    comparison side is the customer's exact cents. Both engines agree
+    bit-for-bit.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(cents).cast("double") / F.count(F.lit(1))
+        ).alias("avg_cents")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        c.withColumn("bal_cents", cents)
+        .join(F.broadcast(bal))
+        .filter(F.col("bal_cents") > F.col("avg_cents"))
+        .join(recent, recent.o_custkey == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(n), n.n_nationkey == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+        .orderBy("n_name")
+    )

@@ -182,3 +182,22 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
+
+
+def test_q21_semi_anti_self_joins_no_cartesian(spark):
+    plan = _plan(spark, "q21_final_shipper")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_broadcasts_dims(spark):
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan  # nation/region sides
+
+
+def test_q22_anti_join_shape(spark):
+    plan = _plan(spark, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
