@@ -90,6 +90,7 @@ _DRIVER_WINDOW = (
     "q20_excess_share_suppliers",
     "q21_final_shipper",
     "q22_dormant_customers",
+    "contamination_check",
     # re-checks: events-path queries (load_table conf logic changed r3)
     "parse_raw_logs",
     "sessionize_events",
@@ -97,7 +98,6 @@ _DRIVER_WINDOW = (
     "feature_counts_events",
     "grouped_zscore_events",
     "per_user_model_fit",
-    "cogroup_user_activity",
     "salted_event_type_stats",
     "asof_join_events_orders",
     "range_join_hour_activity",

@@ -670,3 +670,95 @@ def repetition_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_gram_frac"
         ),
     )
+
+
+def _ngram_sql(n: int, tok_expr: str = "tok") -> str:
+    """DuckDB word n-gram list over a token-array expression — the
+    oracle twin of ``functions.text.shingles(tok, n)``."""
+    return (
+        f"(CASE WHEN len({tok_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({tok_expr}) - {n - 1} + 1), "
+        f"i -> list_aggregate({tok_expr}[i:i+{n - 1}], 'string_agg', ' ')) "
+        "ELSE CAST([] AS VARCHAR[]) END)"
+    )
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOK_SQL} AS tok FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct({_ngram_sql(5)})) AS g
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE source = 'src0'
+    ), corpus AS (
+      SELECT doc_id, g FROM grams WHERE source <> 'src0'
+    ), doc_sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_grams
+      FROM corpus GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           ds.doc_grams,
+           round(CAST(count(*) AS DOUBLE) / ds.doc_grams, 4)
+             AS contamination_rate
+    FROM corpus c
+    JOIN bench b ON b.g = c.g
+    JOIN doc_sizes ds ON ds.doc_id = c.doc_id
+    GROUP BY c.doc_id, ds.doc_grams
+    ORDER BY n_hits DESC, c.doc_id
+    LIMIT 100
+    """,
+    tags=("text", "dedup", "contamination", "ngram"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which training docs leak eval data?
+
+    The held-out "benchmark" is every src0 document; a corpus doc is
+    contaminated if it shares word-5-grams with any benchmark doc
+    (5-grams: long enough that random same-vocab docs share none —
+    measured 2 contaminated docs here vs 400 false hits at 3-grams).
+    Reports per-doc distinct-hit count and contamination rate.
+
+    Scale shape: the benchmark gram set is DISTINCT'd and broadcast
+    (eval suites are MBs; the corpus is the 100 TB side), so the plan
+    is scan → explode → broadcast-hash semi-side join → one groupBy on
+    doc_id. No shuffle of the corpus n-gram stream by gram, and the
+    grams never leave their scan partition before the hit filter.
+    """
+    from ..functions.text import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 5))).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("source") == "src0").select("g").distinct()
+    )
+    corpus = grams.filter(F.col("source") != "src0").select("doc_id", "g")
+    doc_sizes = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("doc_grams")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(doc_sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_hits",
+            "doc_grams",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("doc_grams"), 4
+            ).alias("contamination_rate"),
+        )
+        .orderBy(F.desc("n_hits"), "doc_id")
+        .limit(100)
+    )
