@@ -506,13 +506,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extendedprice/quantity, per-row division then round: no aggregation
     order sensitivity) ever charged by that supplier for that part.
 
-    The correlated min subquery is decorrelated the way Catalyst itself
-    would: aggregate min per part over the region-filtered relation,
-    then equi-join on (partkey, cost). nation/region broadcast; the
-    derived ps relation shuffles once on (partkey, suppkey) — at 100 TB
-    that is the same two-shuffle plan a real partsupp scan would need
-    for the correlated filter.
+    The correlated min subquery is rendered as a WINDOW min over
+    l_partkey, not as a min-aggregate self-joined back: the self-join
+    rendering makes Spark build the whole ps+supplier+nation+region
+    subtree TWICE (verified in the formatted plan — two full lineitem
+    scans), which doubles the dominant cost at 100 TB. The window
+    rendering computes eu once and adds a single hash shuffle on
+    l_partkey; the filter cost == min-over-part then runs in-partition.
     """
+    from pyspark.sql.window import Window
+
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -530,15 +533,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
         .select("l_partkey", "cost_cents", "s_name", "s_acctbal", "n_name")
     )
-    best = eu.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("cost_cents").alias("best_cents")
-    )
+    best = F.min("cost_cents").over(Window.partitionBy("l_partkey"))
     return (
-        eu.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("cost_cents") == F.col("best_cents")),
-        )
+        eu.withColumn("best_cents", best)
+        .filter(F.col("cost_cents") == F.col("best_cents"))
         .join(p, p.p_partkey == F.col("l_partkey"))
         .select(
             F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
