@@ -201,3 +201,28 @@ def test_q22_anti_join_shape(spark):
     plan = _plan(spark, "q22_dormant_customers")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_registry_wide_plan_audit_clean(spark):
+    """EVERY catalog query's physical plan is free of scale
+    anti-patterns: no CartesianProduct, no row-at-a-time Python
+    (BatchEvalPython), and BroadcastNestedLoopJoin only where the
+    broadcast side is a known scalar/1-row relation (tools/plan_audit.py
+    BNLJ_ALLOWED, with reasons). This is the registry-level guarantee
+    behind the per-query spot checks above."""
+    from tools.plan_audit import BNLJ_ALLOWED, audit_plan
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    failures = {}
+    for name, qd in all_queries().items():
+        df = qd.spark(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().explainString(mode)
+        violations, _ = audit_plan(name, plan)
+        if violations:
+            failures[name] = violations
+    assert not failures, failures
+    # allowlist hygiene: every allowlisted name must still exist
+    missing = [n for n in BNLJ_ALLOWED if n not in all_queries()]
+    assert not missing, f"stale BNLJ allowlist entries: {missing}"
