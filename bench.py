@@ -68,6 +68,9 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q21_final_shipper",
     "q13_customer_order_distribution",
+    # round-3c: training-set assembly
+    "contamination_check",
+    "sequence_pack_docs",
 ]
 
 

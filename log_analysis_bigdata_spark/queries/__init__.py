@@ -91,11 +91,14 @@ _DRIVER_WINDOW = (
     "q21_final_shipper",
     "q22_dormant_customers",
     "contamination_check",
-    # re-checks: events-path queries (load_table conf logic changed r3)
+    "sequence_pack_docs",
+    "hash_split_summary",
+    "mixture_weights_lang",
+    # re-checks: events-path queries (load_table conf logic changed r3;
+    # traces/feature-counts/sliding share their load+window paths with
+    # the sessionize/tumbling/session entries kept below)
     "parse_raw_logs",
     "sessionize_events",
-    "event_traces_users",
-    "feature_counts_events",
     "grouped_zscore_events",
     "per_user_model_fit",
     "salted_event_type_stats",
@@ -103,7 +106,6 @@ _DRIVER_WINDOW = (
     "range_join_hour_activity",
     "latest_record_per_key",
     "tumbling_window_events",
-    "sliding_window_events",
     "session_window_events",
     # re-checks: serving surface (upsert/serving path reworked late r2)
     "serving_latest_n",

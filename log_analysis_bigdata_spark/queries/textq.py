@@ -762,3 +762,193 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_hits"), "doc_id")
         .limit(100)
     )
+
+
+# --- round 3c: training-set assembly ops ------------------------------------
+# The last mile of a pretraining data pipeline: pack documents into
+# fixed-size sequences, split deterministically, and rebalance the
+# source mixture. All pure column/window expressions — at 100 TB each
+# is one shuffle (or none), no Python.
+
+
+@register(
+    "sequence_pack_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOK_SQL}) AS n_tokens FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM t
+    )
+    SELECT source,
+           CAST(cum_before // 256 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           round(sum(n_tokens) / 256.0, 4) AS fill_frac
+    FROM c
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    tags=("text", "packing", "window", "training"),
+)
+def sequence_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed 256-token training
+    windows by contiguous greedy packing (a doc starts in the bin where
+    its shard's running token count stands — the Megatron-style
+    pack-then-chunk layout). Reports per-bin document count and fill.
+
+    Scale shape: packing is PER SOURCE SHARD (window partitioned by
+    source, ordered by doc_id), never a global cumsum — a corpus-wide
+    ordering would serialize 100 TB through one partition. One hash
+    shuffle on source; the cumulative sum is in-partition.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn("bin", F.expr("cum_before div 256"))
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(F.sum("n_tokens") / 256.0, 4).alias("fill_frac"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+@register(
+    "hash_split_summary",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({_TOK_SQL}) AS n_tokens,
+             strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS h
+      FROM documents
+    ), s AS (
+      SELECT CASE WHEN h < 13 THEN 'train'
+                  WHEN h < 15 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_tokens
+      FROM d
+    ), g AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM s GROUP BY split
+    )
+    SELECT split, n_docs, tokens,
+           round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 4) AS doc_frac
+    FROM g
+    ORDER BY split
+    """,
+    tags=("text", "split", "hash", "training"),
+)
+def hash_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (~81/12/6 via the
+    first md5 nibble of the doc id): the standard way to split a corpus
+    so membership is stable under re-runs, re-shards, and appends —
+    no RNG, no global sort, no state. Reports per-split doc/token
+    totals and fractions.
+
+    The md5-nibble bucket is engine-independent (hex-char lookup), so
+    the oracle replays the exact assignment. Narrow map + one tiny
+    groupBy; the split column would normally become a partition column
+    on write.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        (
+            F.expr(
+                "locate(substr(md5(CAST(doc_id AS STRING)), 1, 1),"
+                " '0123456789abcdef') - 1"
+            )
+        ).alias("h"),
+    )
+    s = d.select(
+        F.when(F.col("h") < 13, "train")
+        .when(F.col("h") < 15, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_tokens",
+    )
+    g = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    )
+    from pyspark.sql.window import Window
+
+    return g.select(
+        "split",
+        "n_docs",
+        "tokens",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy()),
+            4,
+        ).alias("doc_frac"),
+    ).orderBy("split")
+
+
+@register(
+    "mixture_weights_lang",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOK_SQL})) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, tokens,
+           round(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 4)
+             AS token_frac,
+           round(0.2 * sum(tokens) OVER () / tokens, 4) AS sample_weight
+    FROM g
+    ORDER BY lang
+    """,
+    tags=("text", "mixture", "training"),
+)
+def mixture_weights_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: per-language sampling weights that move
+    the corpus to a uniform (20% per language) token mixture —
+    weight = target_frac / actual_frac. The multiplier a sampling pass
+    applies per shard to hit a target pretraining mixture.
+
+    One groupBy over the corpus; the totals are an empty-frame window
+    (equivalently a 1-row broadcast). Weights above 1 mean upsample.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("tokens"),
+    )
+    tot = F.sum("tokens").over(Window.partitionBy())
+    return g.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens").cast("double") / tot, 4).alias("token_frac"),
+        F.round(0.2 * tot / F.col("tokens"), 4).alias("sample_weight"),
+    ).orderBy("lang")

@@ -376,3 +376,56 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     out = {r["block_id"]: r["E1"] for r in spark.read.parquet(tgt).collect()}
     assert out == {"blk_r1": 2, "blk_r2": 1}  # old key intact, new key added
+
+
+def test_stream_foreachbatch_jdbc_sink_derby(spark, tmp_path):
+    """Streaming → external JDBC sink, executed for real: each
+    micro-batch appends into an embedded-Derby table via the same
+    `write_jdbc` builder the batch layer uses (the streaming rendering
+    of the reference's `load_data_to_sql.py` export). Asserts all
+    streamed rows land exactly once under availableNow."""
+    from log_analysis_bigdata_spark.sources.io import write_jdbc
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.system.home", str(tmp_path / "derby")
+    )
+    url = "jdbc:derby:memory:streamdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    src = tmp_path / "src"
+    _write_messages(
+        str(src), [_msg("blk_1", 2, 1), _msg("blk_2", 1, 1), _msg("blk_3", 0, 2)]
+    )
+
+    from log_analysis_bigdata_spark.streaming.job import SESSION_MESSAGE
+
+    raw = spark.readStream.schema(SESSION_MESSAGE).json(str(src))
+
+    def to_jdbc(batch_df, epoch_id):
+        write_jdbc(
+            batch_df.select("block_id", "num_lines"),
+            url,
+            "stream_out",
+            numPartitions="1",
+            driver=driver,
+            mode="append",
+        ).save()
+
+    q = (
+        raw.writeStream.outputMode("append")
+        .foreachBatch(to_jdbc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "stream_out")
+        .option("driver", driver)
+        .load()
+    )
+    got = sorted((r["block_id"], r["num_lines"]) for r in back.collect())
+    assert got == [("blk_1", 3), ("blk_2", 2), ("blk_3", 2)]
