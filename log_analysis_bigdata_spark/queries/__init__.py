@@ -94,6 +94,7 @@ _DRIVER_WINDOW = (
     "sequence_pack_docs",
     "hash_split_summary",
     "mixture_weights_lang",
+    "psi_value_drift",
     # re-checks: events-path queries (load_table conf logic changed r3;
     # traces/feature-counts/sliding share their load+window paths with
     # the sessionize/tumbling/session entries kept below)
@@ -103,7 +104,6 @@ _DRIVER_WINDOW = (
     "per_user_model_fit",
     "salted_event_type_stats",
     "asof_join_events_orders",
-    "range_join_hour_activity",
     "latest_record_per_key",
     "tumbling_window_events",
     "session_window_events",

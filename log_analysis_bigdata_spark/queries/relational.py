@@ -1062,3 +1062,71 @@ def approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_tol"),
         )
     )
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+             (ts < TIMESTAMP '2024-01-16') AS is_base
+      FROM events
+    ), counts AS (
+      SELECT bin,
+             sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+             sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_curr
+      FROM binned GROUP BY bin
+    ), probs AS (
+      SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+             CAST(n_curr AS BIGINT) AS n_curr,
+             (n_base + 1.0) / (sum(n_base) OVER () + 10.0) AS p,
+             (n_curr + 1.0) / (sum(n_curr) OVER () + 10.0) AS q
+      FROM counts
+    )
+    SELECT bin, n_base, n_curr,
+           round((p - q) * ln(p / q), 6) AS psi_contrib,
+           round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+    FROM probs
+    ORDER BY bin
+    """,
+    tags=("agg", "quality", "drift", "monitoring"),
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: compares the
+    ``value`` distribution of the first half of the month (baseline)
+    against the second half (current) over 10 fixed-width bins,
+    Laplace-smoothed so empty bins stay defined. PSI > 0.2 is the
+    classic retrain/alert threshold.
+
+    The production data-quality gate a training pipeline runs per
+    ingest batch. One groupBy on (bin) with conditional counts — a
+    single shuffle of 10 rows; the probabilities and PSI are window
+    expressions over the 10-row result. Determinism: p/q derive from
+    exact integer counts, so the doubles agree bit-for-bit across
+    engines before rounding.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bin"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("is_base"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n_curr"),
+    )
+    w = Window.partitionBy()
+    p = (F.col("n_base") + 1.0) / (F.sum("n_base").over(w) + 10.0)
+    q = (F.col("n_curr") + 1.0) / (F.sum("n_curr").over(w) + 10.0)
+    contrib = (p - q) * F.log(p / q)
+    return (
+        counts.select(
+            "bin",
+            "n_base",
+            "n_curr",
+            F.round(contrib, 6).alias("psi_contrib"),
+            F.round(F.sum(contrib).over(w), 6).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )

@@ -128,3 +128,62 @@ def test_jdbc_roundtrip_derby(spark, tmp_path):
     df2 = spark.createDataFrame([(3, "blk_3", 0.5)], ["id", "block_id", "score"])
     write_jdbc(df2, url, "serving_scores", numPartitions="1", driver=driver).save()
     assert [tuple(r) for r in back.collect()] == [(3, "blk_3", 0.5)]
+
+
+def test_json_corrupt_records_quarantined(spark, tmp_path):
+    """Malformed ingest lines must be quarantined, not dropped or
+    crashed on: PERMISSIVE read routes unparseable lines into
+    _corrupt_record so a 100 TB ingest can count/inspect rejects, and
+    FAILFAST is the strict-mode twin that raises instead."""
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"block_id": "blk_1", "num_lines": 3}\n'
+        "this is not json at all\n"
+        '{"block_id": "blk_2", "num_lines": -1\n'  # truncated
+        '{"block_id": "blk_3", "num_lines": 7}\n'
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("block_id", StringType()),
+            StructField("num_lines", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(
+        (r["block_id"], r["num_lines"]) for r in good.collect()
+    ) == [("blk_1", 3), ("blk_3", 7)]
+    assert bad.count() == 2  # the non-JSON line and the truncated line
+    df.unpersist()
+
+    import pytest as _pytest
+
+    strict = (
+        spark.read.schema(
+            StructType(
+                [
+                    StructField("block_id", StringType()),
+                    StructField("num_lines", LongType()),
+                ]
+            )
+        )
+        .option("mode", "FAILFAST")
+        .json(str(p))
+    )
+    with _pytest.raises(Exception):
+        strict.collect()
