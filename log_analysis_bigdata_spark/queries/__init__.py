@@ -95,17 +95,20 @@ _DRIVER_WINDOW = (
     "hash_split_summary",
     "mixture_weights_lang",
     "psi_value_drift",
-    # re-checks: events-path queries (load_table conf logic changed r3;
-    # traces/feature-counts/sliding share their load+window paths with
-    # the sessionize/tumbling/session entries kept below)
+    "chunk_documents",
+    "tfidf_top_terms",
+    "unigram_logprob_docs",
+    "stratified_sample_docs",
+    "quality_decile_stats",
+    # re-checks: events-path queries (load_table conf logic changed r3).
+    # parse_raw_logs = P1 regex path, sessionize_events = core agg path,
+    # per_user_model_fit = Arrow/pandas path, session_window_events =
+    # streaming-window SQL-twin path. Dropped re-checks (grouped_zscore,
+    # salted, latest_record, asof, tumbling) share those paths and stay
+    # covered by the full-registry local sweep (EVIDENCE_r03.md).
     "parse_raw_logs",
     "sessionize_events",
-    "grouped_zscore_events",
     "per_user_model_fit",
-    "salted_event_type_stats",
-    "asof_join_events_orders",
-    "latest_record_per_key",
-    "tumbling_window_events",
     "session_window_events",
     # re-checks: serving surface (upsert/serving path reworked late r2)
     "serving_latest_n",

@@ -952,3 +952,348 @@ def mixture_weights_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tokens").cast("double") / tot, 4).alias("token_frac"),
         F.round(0.2 * tot / F.col("tokens"), 4).alias("sample_weight"),
     ).orderBy("lang")
+
+
+CHUNK_SIZE = 20  # tokens per training context window
+CHUNK_STRIDE = 15  # window start step (CHUNK_SIZE - overlap of 5)
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, {_TOK_SQL} AS tok, len({_TOK_SQL}) AS n_tok
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, tok, n_tok,
+             unnest(range(CAST(floor((n_tok - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1))
+               AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {CHUNK_STRIDE} AS chunk_start,
+           least({CHUNK_SIZE}, n_tok - chunk_idx * {CHUNK_STRIDE}) AS chunk_len,
+           array_to_string(list_slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
+             least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tok)), ' ')
+             AS chunk_text
+    FROM ex
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "chunking", "training"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: every doc becomes overlapping
+    fixed-size token windows (size 20, stride 15 → 5-token overlap) —
+    the doc→context-window explode that feeds sequence packing. Chunk
+    starts are ``0, stride, 2·stride, …`` while they fall inside the
+    doc; the tail chunk is short rather than dropped.
+
+    Scale: a pure narrow map — ``sequence``+``explode``+``slice`` per
+    row, zero shuffles, zero Python; output rows ≈ corpus_tokens/stride
+    regardless of document skew (a 1 GB doc becomes many rows, not one
+    giant one — exactly what downstream shuffles need).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens()
+    n_tok = F.size(tok)
+    n_chunks = F.floor((n_tok - 1) / CHUNK_STRIDE).cast("long") + 1
+    ex = docs.select(
+        "doc_id",
+        tok.alias("tok"),
+        n_tok.alias("n_tok"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("chunk_start"),
+        F.least(F.lit(CHUNK_SIZE), F.col("n_tok") - start).alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("tok"), start + 1, F.lit(CHUNK_SIZE)), " "
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+    ), tfc AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), dfc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    ), ranked AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             t.tf * (n.n_docs / d.df) AS score,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * (n.n_docs / d.df) DESC, t.term
+             ) AS rank
+      FROM tfc t JOIN dfc d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df,
+           round(score, 4) AS tfidf
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    tags=("text", "tfidf", "ranking", "training"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword/salience
+    extraction a corpus-indexing pass runs. idf is the *linear* ratio
+    ``N/df`` (not ``ln``): IEEE division is correctly rounded and
+    bit-identical across engines, so score ordering and the rounded
+    display value can't drift between Spark and the DuckDB oracle the
+    way last-ulp ``ln`` differences could at rank boundaries.
+
+    Scale: two hash shuffles (doc-term counts, then df over terms); the
+    df table is vocabulary-sized so the join back is a broadcast at any
+    corpus size with a bounded vocab; top-3 per doc is a rank window
+    partitioned by doc_id — no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tfc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    score = F.col("tf") * (F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tfc.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 4).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+@register(
+    "unigram_logprob_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+    ), counts AS (
+      SELECT term, count(*) AS c FROM tok GROUP BY term
+    ), probs AS (
+      SELECT term,
+             CAST(round(ln((c + 1.0) / (sum(c) OVER () + count(*) OVER ()))
+               * 1000000) AS BIGINT) AS lp_micro
+      FROM counts
+    ), scored AS (
+      SELECT t.doc_id, CAST(sum(p.lp_micro) AS BIGINT) AS lp_micro_sum,
+             CAST(count(*) AS BIGINT) AS n_tok
+      FROM tok t JOIN probs p USING (term) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tok,
+           round(-lp_micro_sum / 1000000.0 / n_tok, 4) AS avg_neg_logprob
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("text", "lm", "quality", "training"),
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train Laplace-smoothed
+    token probabilities on the corpus itself, then score every document
+    by mean negative log-probability — the cheap end of the CCNet-style
+    "perplexity filter" family (low = typical text, high = outlier).
+
+    Determinism across engines: per-token logprobs are quantized to
+    integer micro-nats BEFORE the per-doc sum, so the aggregation is
+    order-independent integer addition (a raw double sum would depend
+    on Spark's partial-agg order). ``ln`` is evaluated once per vocab
+    entry, not per token.
+
+    Scale: token counts are a map-side-combinable groupBy; the prob
+    table is vocabulary-sized → broadcast join onto the token stream;
+    the per-doc score is one more hash agg. Three shuffles total, all
+    partial-aggregated.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy()
+    probs = counts.select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("c") + 1.0)
+                / (F.sum("c").over(w) + F.count(F.lit(1)).over(w))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        tok.join(F.broadcast(probs), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lp_micro").alias("lp_micro_sum"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(
+                -F.col("lp_micro_sum") / 1_000_000.0 / F.col("n_tok"), 4
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) AS h
+      FROM documents
+    ), g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY lang
+    ), r AS (
+      SELECT lang, n_docs,
+             CAST(min(n_docs) OVER () AS DOUBLE) / n_docs AS rate
+      FROM g
+    )
+    SELECT s.lang, r.n_docs, round(r.rate, 4) AS rate,
+           CAST(sum(CASE WHEN s.h < r.rate * 65536 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_sampled
+    FROM s JOIN r USING (lang)
+    GROUP BY s.lang, r.n_docs, r.rate
+    ORDER BY s.lang
+    """,
+    tags=("text", "sampling", "training"),
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampler: rebalance languages to the
+    smallest stratum by keeping doc_id iff the first 16 bits of
+    ``md5(doc_id)`` fall under ``rate·2^16`` with ``rate = n_min/n_lang``.
+    Unlike ``sample()``/rand(), membership is a pure function of the key
+    — re-runs, retries, and appends select the SAME rows (the property a
+    reproducible training-data pipeline needs), and both engines agree
+    exactly because the decision is an integer-vs-IEEE-ratio compare.
+
+    Scale: one groupBy for strata sizes (5 rows), broadcast back, one
+    final agg — the hash test itself is a narrow map, so the sampled
+    subset never materializes through a shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "lang",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        .alias("h"),
+    )
+    g = s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    r = g.select(
+        "lang",
+        "n_docs",
+        (
+            F.min("n_docs").over(Window.partitionBy()).cast("double")
+            / F.col("n_docs")
+        ).alias("rate"),
+    )
+    return (
+        s.join(F.broadcast(r), "lang")
+        .groupBy("lang", "n_docs", "rate")
+        .agg(
+            F.sum(
+                F.when(F.col("h") < F.col("rate") * 65536, 1).otherwise(0)
+            ).alias("n_sampled")
+        )
+        .select(
+            "lang", "n_docs", F.round("rate", 4).alias("rate"), "n_sampled"
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "quality_decile_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(round(CAST(len(list_distinct({_TOK_SQL})) AS DOUBLE)
+               / len({_TOK_SQL}) * 10000) AS BIGINT) AS ttr_bp
+      FROM documents
+    ), d AS (
+      SELECT doc_id, ttr_bp,
+             ntile(10) OVER (ORDER BY ttr_bp DESC, doc_id) AS decile
+      FROM q
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(ttr_bp) AS BIGINT) AS min_ttr_bp,
+           CAST(max(ttr_bp) AS BIGINT) AS max_ttr_bp,
+           round(sum(ttr_bp) / 10000.0 / count(*), 4) AS avg_ttr
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    tags=("text", "quality", "ranking"),
+)
+def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-bucket the corpus by a quality signal (type-token ratio)
+    — the "keep the top-N% by quality score" selection step, reported as
+    per-decile stats a curation run eyeballs before picking a cutoff.
+
+    Determinism: ttr is quantized to integer basis points BEFORE
+    ranking and averaging, so per-decile sums are order-independent
+    integer adds and the ntile order (`ttr_bp DESC, doc_id`) is total.
+    Scale note: global ntile is a single-partition sort of (score, id)
+    pairs — fine to ~10^9 rows of 12-byte pairs; beyond that swap in
+    approx-percentile cutpoints (see approx_percentile_value) and
+    bucket by range instead.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    ttr_bp = (
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks)
+            * 10000
+        )
+        .cast("long")
+        .alias("ttr_bp")
+    )
+    q = docs.select("doc_id", ttr_bp)
+    d = q.select(
+        "ttr_bp",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("ttr_bp"), "doc_id"))
+        .alias("decile"),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ttr_bp").alias("min_ttr_bp"),
+            F.max("ttr_bp").alias("max_ttr_bp"),
+            F.round(F.sum("ttr_bp") / 10000.0 / F.count(F.lit(1)), 4).alias(
+                "avg_ttr"
+            ),
+        )
+        .orderBy("decile")
+    )

@@ -187,3 +187,23 @@ def test_json_corrupt_records_quarantined(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         strict.collect()
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Ingest schema evolution: a later batch adds a column. With
+    ``mergeSchema`` the scan unions the schemas (old rows read NULL for
+    the new column) — the pattern a long-lived 100 TB table relies on
+    when producers upgrade; without it the footer-sampled schema can
+    silently drop the new column."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "blk_1")], ["id", "block_id"]).write.parquet(
+        p + "/day=1"
+    )
+    spark.createDataFrame(
+        [(2, "blk_2", 0.9)], ["id", "block_id", "score"]
+    ).write.parquet(p + "/day=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "block_id", "score", "day"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 0.9
