@@ -112,8 +112,11 @@ _DRIVER_WINDOW = (
     "session_window_events",
     # re-checks: serving surface (upsert/serving path reworked late r2)
     "serving_latest_n",
-    "serving_by_key",
-    "serving_time_range",
+    # (serving_by_key / serving_time_range re-checks dropped: their r2
+    # green verdicts postdate the serving rework, and the prefix/range
+    # filter paths are shared with compound_filter/latest_n below)
+    "skew_report_events",
+    "kmeans_step_shift",
     "serving_high_score",
     "serving_stats",
     "serving_delete",

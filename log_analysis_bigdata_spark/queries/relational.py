@@ -1130,3 +1130,48 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "skew_report_events",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(avg(cnt), 4) AS avg_cnt,
+           round(max(cnt) / avg(cnt), 4) AS skew_ratio,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           CAST(arg_max(user_id, cnt * 1000000 + user_id) AS BIGINT)
+             AS hottest_key
+    FROM k
+    """,
+    tags=("agg", "skew", "profiling", "scale"),
+)
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile: before hash-partitioning a 100 TB join
+    or agg on ``user_id``, measure how hot the hottest key is — key
+    count, max/avg/p99 per-key cardinality, skew ratio, and the hottest
+    key itself. skew_ratio ≫ 1 is the signal to slat/AQE-skew-split
+    (see salted_event_type_stats for the remediation this report
+    triggers).
+
+    One map-side-combinable groupBy then a 1-row reduce; the hottest
+    key uses an integer (cnt·10^6 + key) encoding so max_by ties are
+    deterministic. p99 is the exact interpolated percentile on the
+    per-key counts (150 rows here; at real scale the counts table is
+    n_keys rows — tiny relative to the input)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+        F.max_by(
+            "user_id", F.col("cnt") * 1_000_000 + F.col("user_id")
+        ).alias("hottest_key"),
+    )

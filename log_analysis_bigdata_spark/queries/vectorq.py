@@ -594,3 +594,102 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "kmeans_step_shift",
+    oracle=f"""
+    WITH dims AS (
+      SELECT vec_id, vec_id % {IVF_CELLS} AS seed_cell, t.i AS dim,
+             CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+      SELECT seed_cell AS c, dim, avg(x) AS cx FROM dims GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT d.vec_id, c.c, sum((d.x - c.cx) * (d.x - c.cx)) AS d2
+      FROM dims d JOIN cent c ON d.dim = c.dim GROUP BY 1, 2
+    ),
+    assign AS (SELECT vec_id, arg_min(c, d2) AS cell FROM dist GROUP BY vec_id),
+    sizes AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+      FROM assign GROUP BY cell
+    ),
+    newcent AS (
+      SELECT a.cell, d.dim, avg(d.x) AS nx
+      FROM dims d JOIN assign a USING (vec_id) GROUP BY 1, 2
+    ),
+    shift AS (
+      SELECT n.cell,
+             round(sqrt(sum((n.nx - c.cx) * (n.nx - c.cx))), 4)
+               AS centroid_shift
+      FROM newcent n JOIN cent c ON n.cell = c.c AND n.dim = c.dim
+      GROUP BY n.cell
+    )
+    SELECT s.cell, z.n_members, s.centroid_shift
+    FROM shift s JOIN sizes z USING (cell)
+    ORDER BY s.cell
+    """,
+    tags=("vector", "kmeans", "iterative", "clustering"),
+)
+def kmeans_step_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd (k-means) iteration over the embedding corpus:
+    assign every vector to its nearest seed centroid, recompute the
+    centroids from the assignment, and report per-cell membership plus
+    the L2 centroid shift — the convergence metric an iterative
+    clustering driver loops on (IVF's coarse quantizer is this step's
+    fixpoint; see ivf_topk for the half-step it seeds from).
+
+    Scale shape: centroids are k×d doubles → broadcast at every step;
+    assignment is posexplode + broadcast join + min_by (one narrow pass
+    over the corpus, no corpus shuffle); recomputation is one
+    map-side-combinable groupBy(cell, dim). A k-means driver repeats
+    this plan with ``localCheckpoint`` per round exactly like
+    operators/components.py does for label propagation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        (F.col("vec_id") % IVF_CELLS).alias("seed_cell"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select("vec_id", "seed_cell", "dim", F.col("x").cast("double").alias("x"))
+    cent = dims.groupBy(F.col("seed_cell").alias("c"), "dim").agg(
+        F.avg("x").alias("cx")
+    )
+    dist = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+            ).alias("d2")
+        )
+    )
+    assign = dist.groupBy("vec_id").agg(F.min_by("c", "d2").alias("cell"))
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    newcent = (
+        dims.join(assign, "vec_id")
+        .groupBy("cell", "dim")
+        .agg(F.avg("x").alias("nx"))
+    )
+    shift = (
+        newcent.join(
+            F.broadcast(cent),
+            (newcent.cell == cent.c) & (newcent.dim == cent.dim),
+        )
+        .groupBy(newcent.cell)
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("nx") - F.col("cx")) * (F.col("nx") - F.col("cx")))
+                ),
+                4,
+            ).alias("centroid_shift")
+        )
+    )
+    return (
+        shift.join(sizes, "cell")
+        .select("cell", "n_members", "centroid_shift")
+        .orderBy("cell")
+    )
