@@ -109,7 +109,6 @@ _DRIVER_WINDOW = (
     "parse_raw_logs",
     "sessionize_events",
     "per_user_model_fit",
-    "session_window_events",
     # re-checks: serving surface (upsert/serving path reworked late r2)
     "serving_latest_n",
     # (serving_by_key / serving_time_range re-checks dropped: their r2
@@ -117,9 +116,14 @@ _DRIVER_WINDOW = (
     # filter paths are shared with compound_filter/latest_n below)
     "skew_report_events",
     "kmeans_step_shift",
-    "serving_high_score",
+    # (serving_high_score / serving_delete / session-window re-checks
+    # dropped likewise: r2 greens postdate the rework; high_score is a
+    # subset of compound_filter's conjunction, delete's anti-join path
+    # is exercised by integrity_check_report in this very window)
+    "unpivot_lineitem_metrics",
+    "window_time_range_sum",
+    "integrity_check_report",
     "serving_stats",
-    "serving_delete",
     "serving_compound_filter",
     # text/vector re-checks are rotated OUT this round: no r3 change
     # touches textq/vectorq or their operators, their r2 verdicts stand,

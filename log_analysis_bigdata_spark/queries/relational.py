@@ -1175,3 +1175,215 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("cnt") * 1_000_000 + F.col("user_id")
         ).alias("hottest_key"),
     )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    WITH u AS (
+      SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    )
+    SELECT metric, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(val * 100) AS BIGINT)) / 100.0 / count(*), 4)
+             AS avg_val,
+           round(min(val), 4) AS min_val,
+           round(max(val), 4) AS max_val
+    FROM u GROUP BY metric ORDER BY metric
+    """,
+    tags=("unpivot", "melt", "agg"),
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide→long reshape that turns per-column
+    metrics into (metric, value) rows — the inverse of the pivot the
+    feature table uses (A2/A11), here via Spark's native ``unpivot``
+    operator. Per-metric profile over the long table.
+
+    Determinism: the average is integer-cents-sum / count (order-free);
+    min/max are exact. Scale: unpivot is a narrow rowwise expand (×4),
+    the agg is map-side combinable on a 4-value key — no skew, one
+    shuffle of 4×partitions rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    ).select(
+        F.regexp_replace("metric", "^l_", "").alias("metric"), "val"
+    )
+    return (
+        u.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("val") * 100).cast("long"))
+                / 100.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_val"),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+        .orderBy("metric")
+    )
+
+
+@register(
+    "window_time_range_sum",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             CAST(round(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    )
+    SELECT event_id, user_id, epoch_s,
+           round(sum(v_cents) OVER (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) / 100.0, 4)
+             AS moving_1h_sum
+    FROM e ORDER BY user_id, epoch_s, event_id
+    """,
+    tags=("window", "range-frame", "timeseries"),
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 1-hour sum per user via a RANGE window frame — the
+    time-interval frame (all events within the trailing hour, however
+    many rows that is) that a ROWS frame can't express when event
+    cadence is irregular. The batch twin of the sliding stream window.
+
+    Determinism: values are quantized to integer cents before the
+    frame sum (order-free addition), and RANGE frames include all
+    peers of the current order key in both engines, so same-second
+    events agree. Scale: one hash shuffle on user_id, per-partition
+    sort — the same cost profile as any per-entity window.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("epoch_s"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.round(F.sum("v_cents").over(w) / 100.0, 4).alias("moving_1h_sum"),
+    ).orderBy("user_id", "epoch_s", "event_id")
+
+
+@register(
+    "integrity_check_report",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 1000 = 0 THEN -o_custkey
+                  ELSE o_custkey END AS o_custkey
+      FROM orders
+    ), l2 AS (
+      SELECT CASE WHEN l_orderkey % 997 = 0 THEN -l_orderkey
+                  ELSE l_orderkey END AS l_orderkey,
+             CASE WHEN l_orderkey % 1009 = 0 THEN -l_extendedprice
+                  ELSE l_extendedprice END AS l_extendedprice,
+             l_quantity
+      FROM lineitem
+    ), c2 AS (
+      SELECT c_custkey FROM customer
+      UNION ALL SELECT c_custkey FROM customer WHERE c_custkey % 500 = 0
+    )
+    SELECT 'orphan_orders' AS "check",
+           CAST((SELECT count(*) FROM o2 LEFT JOIN customer c
+                 ON o2.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orphan_lineitems',
+           CAST((SELECT count(*) FROM l2 LEFT JOIN orders o
+                 ON l2.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'dup_custkeys',
+           CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM c2)
+             AS BIGINT)
+    UNION ALL
+    SELECT 'bad_lineitems',
+           CAST((SELECT count(*) FROM l2
+                 WHERE l_extendedprice < 0 OR l_quantity <= 0) AS BIGINT)
+    ORDER BY "check"
+    """,
+    tags=("quality", "integrity", "expectations"),
+)
+def integrity_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity / expectations gate: orphan FK rows
+    (orders→customer, lineitem→orders via anti-join), duplicate primary
+    keys, and value-range violations, as one long-format
+    (check, n_violations) report — the pre-ingest contract a 100 TB
+    pipeline runs before publishing a partition.
+
+    The synthetic tables are clean, so the checks run against
+    deterministically corrupted twins (keys negated on modular
+    selectors, duplicated key slice) — every counter is exercised
+    nonzero and the oracle applies the identical corruption. Scale:
+    each check is an anti-join or combinable agg; the four checks
+    union into one job and share scans where AQE finds them.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    o2 = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 1000 == 0, -F.col("o_custkey"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    l2 = lineitem.select(
+        F.when(F.col("l_orderkey") % 997 == 0, -F.col("l_orderkey"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("l_orderkey"),
+        F.when(F.col("l_orderkey") % 1009 == 0, -F.col("l_extendedprice"))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("l_extendedprice"),
+        "l_quantity",
+    )
+    c2 = customer.select("c_custkey").unionAll(
+        customer.filter(F.col("c_custkey") % 500 == 0).select("c_custkey")
+    )
+
+    orphan_orders = (
+        o2.join(customer, o2.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("orphan_orders").alias("check"), "n_violations")
+    )
+    orphan_lineitems = (
+        l2.join(orders, l2.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("orphan_lineitems").alias("check"), "n_violations")
+    )
+    dup_custkeys = c2.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("long")
+        .alias("n_violations")
+    ).select(F.lit("dup_custkeys").alias("check"), "n_violations")
+    bad_lineitems = l2.filter(
+        (F.col("l_extendedprice") < 0) | (F.col("l_quantity") <= 0)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+        F.lit("bad_lineitems").alias("check"), "n_violations"
+    )
+
+    return (
+        orphan_orders.unionByName(orphan_lineitems)
+        .unionByName(dup_custkeys)
+        .unionByName(bad_lineitems)
+        .orderBy("check")
+    )
