@@ -71,6 +71,13 @@ HEADLINE = [
     # round-3c: training-set assembly
     "contamination_check",
     "sequence_pack_docs",
+    # round-3d: corpus indexing, scale tooling, contracts
+    "chunk_documents",
+    "tfidf_top_terms",
+    "unigram_logprob_docs",
+    "skew_report_events",
+    "kmeans_step_shift",
+    "integrity_check_report",
 ]
 
 
