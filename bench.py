@@ -78,6 +78,15 @@ HEADLINE = [
     "skew_report_events",
     "kmeans_step_shift",
     "integrity_check_report",
+    # round-4: asof tolerance / interval overlap / CDC / mode / BM25 /
+    # drift / stream-dedup batch twin
+    "asof_join_tolerance",
+    "interval_overlap_sessions",
+    "cdc_latest_state",
+    "mode_per_event_type",
+    "bm25_search_docs",
+    "embedding_centroid_drift",
+    "stream_dedup_blocks",
 ]
 
 
@@ -107,35 +116,46 @@ def main() -> None:
     # minhash_dup_pairs r2: min 0.70 s was cache-hot, cold was 2.5 s).
     # Headline order is pinned so round-over-round per-query regression
     # comparison is mechanical.
+    # Per-query isolation: one raising query must NOT kill the run
+    # (round-3 lesson — BENCH_r03 produced zero numbers because query #1
+    # threw at plan time). A failed query gets {"err": ...}; every other
+    # query still gets timed, and the total covers the ones that ran.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     colds: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(3):
-            df = registry[name].spark(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(3):
+                df = registry[name].spark(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         colds[name] = round(runs[0], 3)
         runs.sort()
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "queries_cold": colds,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "queries_cold": colds,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_ok": len(timings),
+        "n_err": len(errors),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -59,6 +59,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-tz TIMESTAMP (LTZ).
+
+    Newer testdata writes ``events.ts`` as parquet ``timestamp[us]`` without
+    isAdjustedToUTC, which Spark 4 reads as TIMESTAMP_NTZ. NTZ forbids
+    ``CAST(... AS BIGINT/DOUBLE)`` and ``withWatermark``, so every epoch
+    arithmetic and streaming window downstream would throw. NTZ→LTZ is a
+    legal cast and, with the session timezone pinned to UTC (done above),
+    is value-identity: ``cast(ts as long)`` afterwards equals DuckDB's
+    ``floor(epoch(ts))`` on the same file. Columnar cast, fuses into the
+    scan — no extra stage.
+    """
+    ntz_cols = [
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() == "timestamp_ntz"
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

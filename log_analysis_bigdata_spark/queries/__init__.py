@@ -59,76 +59,72 @@ _LOADED = False
 # paths (catalog.load_table, serving/upsert, events pipeline) were
 # touched this round — so stale verdicts aren't silently relied on.
 _DRIVER_WINDOW = (
-    # never green across r1+r2 — evidence harvesting first
-    "approx_distinct_users",
-    "constant_columns_detect",
-    "json_extract_events",
-    "ml_lr_train_confusion",
-    "window_lag_event_gaps",
-    "window_running_value",
-    # new in round 3 — first verdicts
-    "ivf_topk_nprobe",
-    "grouped_zscore_window",
-    "per_user_regression_sql",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q14_promo_revenue",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "pii_redact_docs",
-    "repetition_metrics_docs",
-    "knn_join_topk",
-    "approx_percentile_value",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q20_excess_share_suppliers",
-    "q21_final_shipper",
-    "q22_dormant_customers",
-    "contamination_check",
-    "sequence_pack_docs",
-    "hash_split_summary",
-    "mixture_weights_lang",
-    "psi_value_drift",
-    "chunk_documents",
-    "tfidf_top_terms",
-    "unigram_logprob_docs",
-    "stratified_sample_docs",
-    "quality_decile_stats",
-    # re-checks: events-path queries (load_table conf logic changed r3).
-    # parse_raw_logs = P1 regex path, sessionize_events = core agg path,
-    # per_user_model_fit = Arrow/pandas path, session_window_events =
-    # streaming-window SQL-twin path. Dropped re-checks (grouped_zscore,
-    # salted, latest_record, asof, tumbling) share those paths and stay
-    # covered by the full-registry local sweep (EVIDENCE_r03.md).
-    "parse_raw_logs",
+    # --- round-4 window ---
+    # (1) the 5 r3 reds — all the one TIMESTAMP_NTZ bug, fixed this
+    # round in catalog.normalize_ntz; these MUST re-verdict green.
     "sessionize_events",
-    "per_user_model_fit",
-    # re-checks: serving surface (upsert/serving path reworked late r2)
-    "serving_latest_n",
-    # (serving_by_key / serving_time_range re-checks dropped: their r2
-    # green verdicts postdate the serving rework, and the prefix/range
-    # filter paths are shared with compound_filter/latest_n below)
-    "skew_report_events",
-    "kmeans_step_shift",
-    # (serving_high_score / serving_delete / session-window re-checks
-    # dropped likewise: r2 greens postdate the rework; high_score is a
-    # subset of compound_filter's conjunction, delete's anti-join path
-    # is exercised by integrity_check_report in this very window)
-    "unpivot_lineitem_metrics",
+    "window_lag_event_gaps",
     "window_time_range_sum",
-    "integrity_check_report",
-    "serving_stats",
-    "serving_compound_filter",
-    # text/vector re-checks are rotated OUT this round: no r3 change
-    # touches textq/vectorq or their operators, their r2 verdicts stand,
-    # and the full-registry parity sweep (EVIDENCE_r03.md) re-verifies
-    # all of them locally every time a shared path changes
+    "per_user_model_fit",
+    "per_user_regression_sql",
+    # (2) stats_agg_events: held a stale r2 green while actually broken
+    # under the regenerated testdata (proved by r3 pytest) — the poster
+    # child for why stale greens get re-checked after env shifts.
+    "stats_agg_events",
+    # (3) events-path r2 greens that predate the testdata regeneration
+    # and share the repaired load path (VERDICT r3 task 5 list).
+    "asof_join_events_orders",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "session_window_events",
+    "salted_event_type_stats",
+    "grouped_zscore_events",
+    "latest_record_per_key",
+    "event_traces_users",
+    "feature_counts_events",
+    "range_join_hour_activity",
+    "cogroup_user_activity",
+    # (4) new round-4 queries — first verdicts.
+    "stream_dedup_blocks",
+    "asof_join_tolerance",
+    "interval_overlap_sessions",
+    "bm25_search_docs",
+    "cdc_latest_state",
+    "mode_per_event_type",
+    "embedding_centroid_drift",
+    # (5) every r1 green — the oldest verdicts on file (23), all of
+    # which predate two testdata regenerations.
+    "distinct_count_segments",
+    "group_having_active_customers",
+    "join_anti_customers_no_orders",
+    "join_left_customer_orders",
+    "join_semi_customers_with_orders",
+    "label_histogram_embeddings",
+    "ml_score_embeddings",
+    "multimodal_asset_stats",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "percentile_order_value",
+    "q4_priority_exists",
+    "rollup_order_status",
+    "scalar_subquery_last_order",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "string_funcs_customer",
+    "template_tag_docs",
+    "topk_orders_by_price",
+    "window_topk_orders_per_customer",
+    "word_histogram_docs",
+    # (6) kmeans_step_shift re-check: the r4 rework (narrow broadcast
+    # assignment, no corpus shuffle) changes the whole physical plan.
+    "kmeans_step_shift",
+    # r2 greens not listed above (serving_*, text/vector dedup suite,
+    # TPC-H r2/r3 verdicts) stay out: their verdicts postdate the code
+    # they exercise, no r4 change touches those paths, and the round-
+    # start full-registry parity sweep (EVIDENCE_r04.md) re-verifies
+    # every one of them locally against the current testdata.
 )
 
 

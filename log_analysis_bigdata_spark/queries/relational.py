@@ -1387,3 +1387,225 @@ def integrity_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bad_lineitems)
         .orderBy("check")
     )
+
+
+# --- round-4 additions: asof tolerance, interval overlap, CDC, mode --------
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+    WITH ro AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ), aj AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             ro.o_orderkey, ro.o_orderdate
+      FROM events e
+      ASOF LEFT JOIN ro
+        ON e.user_id = ro.o_custkey AND ro.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN o_orderdate >= ts - INTERVAL 30 DAY
+                THEN o_orderkey END AS recent_orderkey,
+           CASE WHEN o_orderdate >= ts - INTERVAL 30 DAY
+                THEN o_orderdate END AS recent_orderdate
+    FROM aj
+    """,
+    tags=("join", "asof", "tolerance", "custom-operator"),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance (pandas ``merge_asof``'s
+    ``tolerance=`` / kdb ``wj`` bound): each event gets the user's most
+    recent order ONLY if it is within 30 days of the event; older matches
+    become NULL, exactly like no-match. Rendering: the tolerance is a
+    post-filter on the carried match (operators/asof.py carries the right
+    ts in the payload), so the plan is identical to the untolerated asof —
+    one key shuffle, no range explosion, tolerance applied as a narrow
+    CASE after the carry. DuckDB replays it as ASOF LEFT JOIN + CASE.
+    """
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ro = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("recent_orderdate"),
+        )
+        .agg(F.max("o_orderkey").alias("recent_orderkey"))
+    )
+    joined = asof_join(
+        ev,
+        ro,
+        key="user_id",
+        left_ts="ts",
+        right_ts="recent_orderdate",
+        value_cols=["recent_orderkey", "recent_orderdate"],
+    )
+    fresh = F.col("recent_orderdate") >= F.col("ts") - F.expr("INTERVAL 30 DAYS")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("recent_orderkey")).alias("recent_orderkey"),
+        F.when(fresh, F.col("recent_orderdate")).alias("recent_orderdate"),
+    )
+
+
+@register(
+    "interval_overlap_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+      FROM numbered GROUP BY user_id, sess
+    ),
+    wins AS (
+      SELECT user_id, event_id AS incident_id,
+             ts AS win_start, ts + INTERVAL 2 HOUR AS win_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT w.incident_id) AS BIGINT) AS n_incidents
+    FROM sessions s JOIN wins w
+      ON s.user_id = w.user_id
+     AND s.session_start < w.win_end
+     AND w.win_start <= s.session_end
+    GROUP BY s.user_id
+    """,
+    tags=("join", "interval", "overlap", "custom-operator"),
+)
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (two interval sets, not point-in-interval):
+    per-user activity sessions (30-min gap) vs 2-hour incident windows
+    opened by that user's error events — how many (session, incident)
+    pairs intersect. The equi key (user) makes this a plain hash join
+    with the overlap predicate as a residual filter — no explosion,
+    shuffles only on the key; contrast range_join_hour_activity, the
+    KEYLESS variant that needs the bucketing operator.
+    """
+    from ..streaming.windows import session_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = session_windows(ev).select("user_id", "session_start", "session_end")
+    wins = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    overlap = (F.col("session_start") < F.col("win_end")) & (
+        F.col("win_start") <= F.col("session_end")
+    )
+    return (
+        sess.join(wins, on=["user_id"], how="inner")
+        .filter(overlap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("incident_id").alias("n_incidents"),
+        )
+    )
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, ts, round(value, 4) AS value,
+           event_type AS last_event_type
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("cdc", "dedup", "latest", "agg"),
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → materialized latest state with tombstone
+    suppression: the newest change per key wins, and keys whose newest
+    change is a delete marker (event_type='error' stands in for the
+    tombstone) drop out of the state entirely — the Debezium/Delta-CDF
+    "latest snapshot" semantics.
+
+    Rendering: single-pass ``max_by(payload, (ts, event_id))`` hash
+    aggregate — no sort, no row_number window — the shape you want at
+    100 TB (latest_record_per_key shows the window rendering; this is
+    the aggregate one its docstring recommends). One map-side-combinable
+    shuffle on the key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "value", "event_type"),
+            F.struct("ts", "event_id"),
+        ).alias("s")
+    )
+    return latest.filter(F.col("s.event_type") != "error").select(
+        "user_id",
+        F.col("s.event_id").alias("event_id"),
+        F.col("s.ts").alias("ts"),
+        F.round("s.value", 4).alias("value"),
+        F.col("s.event_type").alias("last_event_type"),
+    )
+
+
+@register(
+    "mode_per_event_type",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, user_id, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rn
+      FROM c
+    )
+    SELECT event_type, user_id AS mode_user_id, n
+    FROM r WHERE rn = 1
+    """,
+    tags=("agg", "mode", "A-class"),
+)
+def mode_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group — built-in
+    ``F.mode`` leaves ties engine-defined, so the portable rendering is
+    count + argmax with an explicit tiebreak (lowest user wins). Two
+    map-side-combinable hash aggregates, no window over the raw stream:
+    the second agg's input is already one row per (group, candidate).
+    Tiebreak trick: maximize ``struct(n, -user_id)`` — struct comparison
+    is lexicographic, so highest n first, then lowest user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = counts.groupBy("event_type").agg(
+        F.max(
+            F.struct(F.col("n"), (-F.col("user_id")).alias("neg_uid"))
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        (-F.col("b.neg_uid")).alias("mode_user_id"),
+        F.col("b.n").alias("n"),
+    )

@@ -86,3 +86,44 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag/cumsum SQL sessionization — same partitions, same gap rule
     (a gap ≥ the threshold starts a new session)."""
     return session_windows(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_blocks",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, ts, round(value, 4) AS value
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming", "dedup", "watermark", "T3"),
+)
+def stream_dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream job's watermarked dedup
+    (streaming.job.dedup_messages → dropDuplicatesWithinWatermark):
+    first record wins per key — here (user_id, event_type) stands in for
+    the replayed message key. The streaming side keeps state only for
+    keys inside the watermark horizon (O(keys-per-horizon), tested with
+    a replay arriving in a later micro-batch); the batch rendering is a
+    single-pass ``min_by(payload, (ts, event_id))`` hash aggregate — no
+    sort window, map-side combinable, the 100 TB shape.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id", "event_type").agg(
+        F.min_by(
+            F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+        ).alias("s")
+    )
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("s.event_id").alias("event_id"),
+        F.col("s.ts").alias("ts"),
+        F.round("s.value", 4).alias("value"),
+    )

@@ -1297,3 +1297,117 @@ def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- round-4: BM25 keyword search ------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_search_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len({_TOK_SQL}) AS DOUBLE) AS dl FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), qt AS (
+      SELECT unnest(['spark', 'join', 'window']) AS term
+    ), tf AS (
+      SELECT t.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok t JOIN qt USING (term) GROUP BY 1, 2
+    ), dfc AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((s.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+               * 1000000) AS BIGINT) AS c_micro
+      FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ), scored AS (
+      SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, score_micro,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank,
+           round(score_micro / 1000000.0, 4) AS bm25
+    FROM ranked WHERE rank <= 20 ORDER BY rank
+    """,
+    tags=("text", "search", "bm25", "ranking", "training"),
+)
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: top-20 documents for a 3-term query
+    (k1=1.2, b=0.75) — the retrieval scorer a corpus index serves.
+    Documents containing none of the query terms score nothing and are
+    excluded (inner-join semantics, like a posting-list intersection).
+
+    Determinism across engines: per-(doc, term) contributions are
+    quantized to integer micro-units BEFORE the per-doc sum (same trick
+    as unigram_logprob_docs), so the final score is order-independent
+    integer addition and the top-20 sort key is an integer.
+
+    Scale: tf is a hash agg over the (tiny) query-filtered token stream —
+    the broadcast join against the 3-term query set prunes the exploded
+    tokens before any shuffle; df and the corpus stats are broadcast
+    1-row/3-row sides; ranking is TakeOrderedAndProject (limit 20), no
+    global sort.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "term string"
+    )
+    dl = docs.select(
+        "doc_id", F.size(_tokens()).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = (
+        tok.join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfnorm = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tfnorm * 1_000_000).cast("long").alias("c_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("score_micro"), "doc_id")
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "doc_id",
+            "rank",
+            F.round(F.col("score_micro") / 1_000_000.0, 4).alias("bm25"),
+        )
+        .orderBy("rank")
+    )

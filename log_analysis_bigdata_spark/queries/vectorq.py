@@ -641,35 +641,64 @@ def kmeans_step_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering driver loops on (IVF's coarse quantizer is this step's
     fixpoint; see ivf_topk for the half-step it seeds from).
 
-    Scale shape: centroids are k×d doubles → broadcast at every step;
-    assignment is posexplode + broadcast join + min_by (one narrow pass
-    over the corpus, no corpus shuffle); recomputation is one
-    map-side-combinable groupBy(cell, dim). A k-means driver repeats
-    this plan with ``localCheckpoint`` per round exactly like
-    operators/components.py does for label propagation.
+    Scale shape (round-4 rework — the r3 plan had 2 sort-merge joins on
+    vec_id, a full corpus shuffle per iteration): centroids are k×d
+    doubles → pivoted into k arrays and broadcast as ONE row; assignment
+    is then a pure column expression per vector (zip_with squared-diff +
+    aggregate-sum per candidate, array_sort argmin) — a narrow map, zero
+    corpus shuffle, zero join on vec_id. Recomputation is one
+    map-side-combinable groupBy(cell, dim); the shift/size joins are all
+    k-row broadcasts. A k-means driver repeats this plan with
+    ``localCheckpoint`` per round exactly like operators/components.py
+    does for label propagation.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select(
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("v"),
+    )
+    dims = vecs.select(
         "vec_id",
         (F.col("vec_id") % IVF_CELLS).alias("seed_cell"),
-        F.posexplode("embedding").alias("dim", "x"),
-    ).select("vec_id", "seed_cell", "dim", F.col("x").cast("double").alias("x"))
+        F.posexplode("v").alias("dim", "x"),
+    )
     cent = dims.groupBy(F.col("seed_cell").alias("c"), "dim").agg(
         F.avg("x").alias("cx")
     )
-    dist = (
-        dims.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "c")
-        .agg(
-            F.sum(
-                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
-            ).alias("d2")
-        )
+    # k rows → 1 row of k (cell, centroid-array) structs; the crossJoin
+    # below is the allowlisted broadcast-1-row pattern (PLAN_AUDIT.md).
+    cent_arrays = cent.groupBy("c").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+            lambda s: s["cx"],
+        ).alias("cvec")
     )
-    assign = dist.groupBy("vec_id").agg(F.min_by("c", "d2").alias("cell"))
-    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    cents_one = cent_arrays.agg(
+        F.array_sort(F.collect_list(F.struct("c", "cvec"))).alias("cents")
+    )
+    # Narrow assignment: per-candidate squared L2 in fixed dim order
+    # (deterministic float-add order), argmin via array_sort on
+    # (d2, cell) — ties break to the lowest cell id.
+    def d2_to(s):
+        return F.aggregate(
+            F.zip_with("v", s["cvec"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    assigned = vecs.crossJoin(F.broadcast(cents_one)).select(
+        "vec_id",
+        "v",
+        F.array_sort(
+            F.transform(
+                "cents",
+                lambda s: F.struct(d2_to(s).alias("d2"), s["c"].alias("c")),
+            )
+        )[0]["c"].alias("cell"),
+    )
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
     newcent = (
-        dims.join(assign, "vec_id")
+        assigned.select("cell", F.posexplode("v").alias("dim", "x"))
         .groupBy("cell", "dim")
         .agg(F.avg("x").alias("nx"))
     )
@@ -689,7 +718,73 @@ def kmeans_step_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        shift.join(sizes, "cell")
+        shift.join(F.broadcast(sizes), "cell")
         .select("cell", "n_members", "centroid_shift")
         .orderBy("cell")
+    )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT label, vec_id % 2 AS half, t.i AS dim,
+             CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    m AS (
+      SELECT label, dim,
+             avg(CASE WHEN half = 0 THEN x END) AS a0,
+             avg(CASE WHEN half = 1 THEN x END) AS a1
+      FROM dims GROUP BY 1, 2
+    )
+    SELECT label,
+           round(sqrt(sum((a0 - a1) * (a0 - a1))), 4) AS drift_l2,
+           round(sum(a0 * a1)
+                 / (sqrt(sum(a0 * a0)) * sqrt(sum(a1 * a1))), 4) AS cos_sim
+    FROM m GROUP BY label ORDER BY label
+    """,
+    tags=("vector", "drift", "monitoring", "training"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the corpus into two
+    cohorts (vec_id parity stands in for reference-vs-current snapshots),
+    compute the per-label centroid of each cohort in one pass
+    (conditional avg — no self-join, no second scan), and report the L2
+    shift and cosine similarity between cohort centroids per label. The
+    embedding-space analogue of psi_value_drift: the monitor a training
+    pipeline runs when a new crawl lands.
+
+    Scale: posexplode → ONE map-side-combinable groupBy(label, dim) with
+    both cohort means as conditional aggregates, then a k·d-row
+    reduction. No join at all; the heavy stage is linear in corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    m = dims.groupBy("label", "dim").agg(
+        F.avg(F.when(F.col("half") == 0, F.col("x"))).alias("a0"),
+        F.avg(F.when(F.col("half") == 1, F.col("x"))).alias("a1"),
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("a0") - F.col("a1")) ** 2)), 4
+            ).alias("drift_l2"),
+            F.round(
+                F.sum(F.col("a0") * F.col("a1"))
+                / (
+                    F.sqrt(F.sum(F.col("a0") * F.col("a0")))
+                    * F.sqrt(F.sum(F.col("a1") * F.col("a1")))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy("label")
     )

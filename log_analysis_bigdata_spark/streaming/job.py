@@ -50,6 +50,34 @@ def parse_message_lines(messages: DataFrame) -> DataFrame:
     return parse_log_lines(lines, "value")
 
 
+def dedup_messages(
+    msgs: DataFrame,
+    key_col: str = "block_id",
+    ts_col: str = "start_ts",
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once delivery → in-stream dedup (T3's stream-side half).
+
+    The upsert sink is already idempotent per key (last-write-wins), but
+    a replayed message still re-runs the whole parse/feature/score plan
+    before being squashed at the sink. ``dropDuplicatesWithinWatermark``
+    drops the replay at the SOURCE instead, including when the duplicate
+    arrives in a LATER micro-batch (tested), while keeping dedup state
+    bounded: keys expire once the watermark passes ``horizon``, so state
+    is O(keys-per-horizon), not O(all keys ever) — the difference between
+    this and unbounded ``dropDuplicates`` at 100 TB/day is the difference
+    between a working job and an OOM.
+
+    Batch twin: first-wins per key (queries/streamq.py:stream_dedup_blocks
+    renders it deterministically with row_number).
+    """
+    if msgs.isStreaming:
+        return msgs.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+            [key_col]
+        )
+    return msgs.dropDuplicates([key_col])
+
+
 def message_features(
     messages: DataFrame,
     templates: Sequence[tuple[str, str]],
@@ -191,7 +219,11 @@ def run_file_stream(
         spark.readStream.schema(SESSION_MESSAGE)
         .json(source_dir)
     )
-    msgs = raw.withWatermark("start_ts", watermark)
+    # Watermarked source-side dedup: replays (same block_id within the
+    # horizon) are dropped before the parse/feature plan runs at all;
+    # the idempotent upsert sink remains the backstop for replays that
+    # arrive after the horizon.
+    msgs = dedup_messages(raw, "block_id", "start_ts", watermark)
     feats = message_features(msgs, templates, event_ids)
     scored = feats.withColumn(
         "score", score_expr(event_ids, weights or {}, bias)

@@ -14,6 +14,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """TIMESTAMP_NTZ event time → session-tz TIMESTAMP.
+
+    ``withWatermark`` (and ``window``'s state bookkeeping) require LTZ
+    event time; newer testdata parquet carries ``ts`` as NTZ. The cast is
+    legal in both batch and streaming plans and value-identity under the
+    UTC session the catalog pins.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_counts(
     df: DataFrame,
     ts_col: str = "ts",
@@ -22,6 +35,7 @@ def tumbling_counts(
     watermark: str | None = None,
 ) -> DataFrame:
     """Tumbling-window count/sum per key."""
+    df = _ltz(df, ts_col)
     src = df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
     return (
         src.groupBy(F.window(ts_col, width).alias("w"), F.col(key_col))
@@ -43,6 +57,7 @@ def sliding_counts(
     watermark: str | None = None,
 ) -> DataFrame:
     """Sliding-window global counts."""
+    df = _ltz(df, ts_col)
     src = df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
     return (
         src.groupBy(F.window(ts_col, width, slide).alias("w"))
@@ -64,6 +79,7 @@ def session_windows(
     session_window bounds (whose end = last event + gap), so the batch
     twin is plain SQL over lag/cumsum.
     """
+    df = _ltz(df, ts_col)
     src = df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
     return (
         src.groupBy(F.session_window(ts_col, gap).alias("sw"), F.col(key_col))

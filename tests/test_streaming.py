@@ -298,6 +298,55 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         q.stop()
 
 
+def test_stream_dedup_replay_in_later_microbatch(spark, tmp_path):
+    """The at-least-once case the sink-side upsert alone can't cheaply
+    absorb: a replayed message arriving in a LATER micro-batch. With
+    maxFilesPerTrigger=1 each file is its own micro-batch; the m1 replay
+    in batch 2 must be dropped by dropDuplicatesWithinWatermark state
+    carried across batches (state bounded by the 10-minute horizon)."""
+    from log_analysis_bigdata_spark.streaming.job import dedup_messages
+
+    src = str(tmp_path / "replaysrc")
+    os.makedirs(src)
+
+    def write(fname, msgs):
+        with open(os.path.join(src, fname), "w") as fh:
+            for m in msgs:
+                fh.write(json.dumps(m) + "\n")
+
+    write("b0.json", [
+        {"block_id": "blk_a", "event_ts": "2008-11-09 20:35:18"},
+        {"block_id": "blk_b", "event_ts": "2008-11-09 20:35:20"},
+    ])
+    write("b1.json", [
+        {"block_id": "blk_a", "event_ts": "2008-11-09 20:35:18"},  # replay
+        {"block_id": "blk_c", "event_ts": "2008-11-09 20:36:00"},
+    ])
+
+    raw = (
+        spark.readStream.schema("block_id string, event_ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select("block_id", F.to_timestamp("event_ts").alias("start_ts"))
+    )
+    deduped = dedup_messages(raw, "block_id", "start_ts", "10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("replay_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is not None
+        rows = spark.sql("select block_id from replay_dedup").collect()
+        assert sorted(r["block_id"] for r in rows) == ["blk_a", "blk_b", "blk_c"]
+        # at least 2 micro-batches actually ran (the replay crossed one)
+        assert len(q.recentProgress) >= 2
+    finally:
+        q.stop()
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Stream-stream inner join with watermarks on both sides and an
     interval condition — a capability the reference's one-message loop
