@@ -87,6 +87,8 @@ HEADLINE = [
     "bm25_search_docs",
     "embedding_centroid_drift",
     "stream_dedup_blocks",
+    "ewma_user_value",
+    "heavy_hitters_topk",
 ]
 
 

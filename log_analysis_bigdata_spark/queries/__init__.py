@@ -92,6 +92,8 @@ _DRIVER_WINDOW = (
     "cdc_latest_state",
     "mode_per_event_type",
     "embedding_centroid_drift",
+    "ewma_user_value",
+    "heavy_hitters_topk",
     # (5) every r1 green — the oldest verdicts on file (23), all of
     # which predate two testdata regenerations.
     "distinct_count_segments",

@@ -1609,3 +1609,113 @@ def mode_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.neg_uid")).alias("mode_user_id"),
         F.col("b.n").alias("n"),
     )
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, v) -> 0.3 * v + 0.7 * acc), 4)
+             AS ewma
+    FROM seq
+    """,
+    tags=("timeseries", "ewma", "fold", "custom-operator"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponentially-weighted moving average (α=0.3) of the
+    value series in event-time order — the classic smoothing metric a
+    monitoring pipeline keeps per entity. EWMA is a LEFT FOLD, not an
+    algebraic aggregate: it cannot be a window/groupBy expression, and
+    the naive running-sum trick (divide by (1-α)^j) overflows. Rendering:
+    sort_array(collect_list(struct)) fixes the fold order, then
+    ``F.aggregate`` folds JVM-side seeded with the first element —
+    byte-identical order to DuckDB ``list_reduce`` over
+    ``list(value ORDER BY ts, event_id)``.
+
+    Scale: one shuffle on the key; per-key state is the key's own event
+    array, so this holds wherever per-entity history is bounded (the
+    usual case); unbounded keys want the streaming rendering instead
+    (applyInPandasWithState keeps only the running scalar).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, v: F.lit(0.3) * v + F.lit(0.7) * acc,
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(fold, 4).alias("ewma"),
+    )
+
+
+@register(
+    "heavy_hitters_topk",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rn
+      FROM c
+    )
+    SELECT user_id, n, CAST(rn AS INTEGER) AS rank
+    FROM r WHERE rn <= 10 ORDER BY rn
+    """,
+    tags=("agg", "heavy-hitters", "sketch", "topk", "two-pass"),
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest keys via the distributed 2-pass heavy-hitter
+    pattern (space-saving candidates + exact recount) instead of a full
+    groupBy over every key:
+
+    1. candidate generation — per Arrow batch, keep only the local
+       top-m (m=50) keys (``mapInPandas``, zero shuffle);
+    2. exact recount — broadcast-semi-join the raw stream down to
+       candidate rows only, then an exact hash agg over that slice.
+
+    At 100 TB with billions of long-tail keys, pass 2 shuffles only the
+    candidate keys' rows — the full groupBy shuffles EVERYTHING to count
+    keys that could never rank. Accuracy caveat (documented, standard
+    for this family): a true top-k key missed by every batch's local
+    top-m is lost; for skewed distributions (the use case) hot keys
+    dominate every batch. The oracle is the exact answer, so the driver
+    verdict proves candidate recall held.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def local_topm(batches):
+        for pdf in batches:
+            vc = pdf["user_id"].value_counts().head(50)
+            yield vc.rename_axis("user_id").reset_index()[["user_id"]]
+
+    cands = ev.mapInPandas(local_topm, "user_id long").distinct()
+    counts = (
+        ev.join(F.broadcast(cands), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("user_id", "n", "rank")
+        .orderBy("rank")
+    )
