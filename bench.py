@@ -89,6 +89,17 @@ HEADLINE = [
     "stream_dedup_blocks",
     "ewma_user_value",
     "heavy_hitters_topk",
+    # round-5: stateful-streaming EWMA replay, funnel transitions,
+    # declared-values pivot, mergeable minhash rollup, quarantine
+    # anti-join, n-gram language-ID. (simhash_near_pairs stays out: the
+    # deliberately-duplicated corpus yields ~20k true near-pairs at
+    # sf0.01 already — correct, but a multi-minute headline at sf0.1.)
+    "ewma_user_value_stateful",
+    "session_flow_top_transitions",
+    "pivot_daily_event_counts",
+    "grouped_minhash_union",
+    "anti_join_docs_quarantine",
+    "langid_ngram_predict",
 ]
 
 
@@ -130,8 +141,12 @@ def main() -> None:
         runs = []
         try:
             for _ in range(3):
-                df = registry[name].spark(spark, sf_dir)
+                # timer covers CONSTRUCTION + execution: plan building is
+                # ~ms for lazy queries, but eager operators (the stateful-
+                # streaming replay runs its stream inside the query fn)
+                # must not get their real cost hidden outside the timer.
                 t0 = time.perf_counter()
+                df = registry[name].spark(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — isolate, report, continue
@@ -143,10 +158,13 @@ def main() -> None:
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
 
+    # value is null when ANY query errored (ADVICE r4): a partial total
+    # must never be mistaken for a faster full run in round-over-round
+    # comparison. The partial sum is still reported separately.
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_wall",
-        "value": total,
+        "value": total if not errors else None,
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
@@ -157,7 +175,23 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+        out["partial_total"] = total
+
+    # Full JSON goes to a FILE (BENCH_r04's warm dict was truncated by
+    # the driver's stdout tail capture — only 5/60 warm numbers
+    # survived); stdout's final line is the same complete JSON, compact,
+    # preceded by a short human summary so the tail capture always
+    # contains the whole timing set.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(
+        f"bench: {len(timings)}/{len(HEADLINE)} ok, {len(errors)} err, "
+        f"warm-min total {total}s at sf{sf} (full JSON: BENCH_LOCAL.json)",
+        file=sys.stderr,
+    )
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -50,16 +50,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get(key, None) != want:
             spark.conf.set(key, want)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_ntz(_fix_events_ts(df, name))
+
+
+def _fix_events_ts(df: DataFrame, name: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos.
+    Integer-div to micros (floor, matching DuckDB's ns→us read)."""
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos.
-        # Integer-div to micros (floor, matching DuckDB's ns→us read).
         for f in df.schema.fields:
             if f.name == "ts" and f.dataType.simpleString() == "bigint":
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
-    return normalize_ntz(df)
+    return df
+
+
+def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming twin of ``load_table``: the same parquet table as a
+    file-stream source with identical timestamp normalization.
+
+    File streams require an explicit schema, so the physical schema is
+    discovered with a zero-row batch read first (driver-side metadata
+    only), then the same nanos→micros / NTZ→LTZ fix-ups are applied so
+    batch and stream plans see byte-identical columns — the property the
+    batch/stream twin tests rely on.
+    """
+    load_table(spark, sf_dir, name)  # pins the nanos/UTC confs
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # testdata tables are single FILES; the file-stream source only
+        # accepts a directory or a glob (its basePath inference needs a
+        # parent dir), so wrap the filename in a one-member glob.
+        path = os.path.join(sf_dir, "{" + f"{name}.parquet" + "}")
+    stream = spark.readStream.schema(raw_schema).parquet(path)
+    return normalize_ntz(_fix_events_ts(stream, name))
 
 
 def normalize_ntz(df: DataFrame) -> DataFrame:

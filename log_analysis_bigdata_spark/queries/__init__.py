@@ -59,74 +59,63 @@ _LOADED = False
 # paths (catalog.load_table, serving/upsert, events pipeline) were
 # touched this round — so stale verdicts aren't silently relied on.
 _DRIVER_WINDOW = (
-    # --- round-4 window ---
-    # (1) the 5 r3 reds — all the one TIMESTAMP_NTZ bug, fixed this
-    # round in catalog.normalize_ntz; these MUST re-verdict green.
-    "sessionize_events",
-    "window_lag_event_gaps",
-    "window_time_range_sum",
-    "per_user_model_fit",
-    "per_user_regression_sql",
-    # (2) stats_agg_events: held a stale r2 green while actually broken
-    # under the regenerated testdata (proved by r3 pytest) — the poster
-    # child for why stale greens get re-checked after env shifts.
-    "stats_agg_events",
-    # (3) events-path r2 greens that predate the testdata regeneration
-    # and share the repaired load path (VERDICT r3 task 5 list).
-    "asof_join_events_orders",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "session_window_events",
-    "salted_event_type_stats",
-    "grouped_zscore_events",
-    "latest_record_per_key",
-    "event_traces_users",
-    "feature_counts_events",
-    "range_join_hour_activity",
-    "cogroup_user_activity",
-    # (4) new round-4 queries — first verdicts.
+    # --- round-5 window ---
+    # (1) the 32 queries whose newest driver verdict dates to round 2 —
+    # BEFORE the driver's testdata regeneration (the exact failure mode
+    # that produced r3's stale-green stats_agg_events). VERDICT r4 task 2:
+    # rotate all of them in so every registry entry holds a post-
+    # regeneration verdict.
+    "serving_by_key",
+    "serving_delete",
+    "serving_high_score",
+    "serving_time_range",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "dedup_exact_docs",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "minhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_text_docs",
+    "simhash_buckets",
+    "simhash_dup_groups",
+    "dedup_components",
+    "embedding_near_dup",
+    "embedding_norms",
+    "cosine_topk",
+    "ann_bucketed_topk",
+    "ivf_topk",
+    "case_bucket_order_price",
+    "cube_order_status",
+    "date_parts_orders",
+    "grouped_agg_weighted_mean",
+    "profile_documents",
+    "lang_histogram",
+    "token_counts_docs",
+    "text_quality_docs",
+    "quality_filter_docs",
+    # (2) re-checks of queries whose code paths were touched in round 5:
+    # stream_dedup_blocks (dedup_messages grew a message-identity key for
+    # the T3 fix) and interval_overlap_sessions (oracle gained the
+    # (ts, event_id) tiebreaker per ADVICE r4).
     "stream_dedup_blocks",
-    "asof_join_tolerance",
     "interval_overlap_sessions",
-    "bm25_search_docs",
-    "cdc_latest_state",
-    "mode_per_event_type",
-    "embedding_centroid_drift",
-    "ewma_user_value",
     "heavy_hitters_topk",
-    # (5) every r1 green — the oldest verdicts on file (23), all of
-    # which predate two testdata regenerations.
-    "distinct_count_segments",
-    "group_having_active_customers",
-    "join_anti_customers_no_orders",
-    "join_left_customer_orders",
-    "join_semi_customers_with_orders",
-    "label_histogram_embeddings",
-    "ml_score_embeddings",
-    "multimodal_asset_stats",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "percentile_order_value",
-    "q4_priority_exists",
-    "rollup_order_status",
-    "scalar_subquery_last_order",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "setop_union_nations",
-    "string_funcs_customer",
-    "template_tag_docs",
-    "topk_orders_by_price",
-    "window_topk_orders_per_customer",
-    "word_histogram_docs",
-    # (6) kmeans_step_shift re-check: the r4 rework (narrow broadcast
-    # assignment, no corpus shuffle) changes the whole physical plan.
-    "kmeans_step_shift",
-    # r2 greens not listed above (serving_*, text/vector dedup suite,
-    # TPC-H r2/r3 verdicts) stay out: their verdicts postdate the code
-    # they exercise, no r4 change touches those paths, and the round-
-    # start full-registry parity sweep (EVIDENCE_r04.md) re-verifies
-    # every one of them locally against the current testdata.
+    # (3) new round-5 queries — first verdicts.
+    "ewma_user_value_stateful",
+    "session_flow_top_transitions",
+    "pivot_daily_event_counts",
+    "grouped_minhash_union",
+    "anti_join_docs_quarantine",
+    "langid_ngram_predict",
+    "simhash_near_pairs",
+    # Everything else: verdicts from r3/r4 postdate the last testdata
+    # regeneration and round 5 does not touch their code paths; their
+    # green rows stand. The full local parity sweep for ALL registry
+    # entries is committed as EVIDENCE_r05.md (per-query result list).
 )
 
 

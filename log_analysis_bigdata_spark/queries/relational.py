@@ -1457,7 +1457,7 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interval_overlap_sessions",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
@@ -1465,8 +1465,10 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+      -- (ts, event_id) tiebreaker matches the marked CTE's window: two
+      -- equal-ts rows at a session boundary must number deterministically
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS sess
       FROM marked
@@ -1696,6 +1698,17 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-m is lost; for skewed distributions (the use case) hot keys
     dominate every batch. The oracle is the exact answer, so the driver
     verdict proves candidate recall held.
+
+    CONFIG SENSITIVITY (ADVICE r4): candidate recall depends on the
+    Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch,
+    default 10k) and input partitioning, not only on the data. m=50
+    local candidates for a global top-10 over ~150 distinct users at
+    test SFs gives m ≥ 5× k headroom per batch; if a future driver
+    verdict flips red here, triage as RECALL LOSS under a config/
+    data-distribution change (shrink batches → shrink m-coverage), not
+    as a code bug. The scale remedy is raising m (cost: m keys per
+    batch through the broadcast) or a count-min pre-filter — both
+    documented, neither needed at the tested skew.
     """
     from pyspark.sql.window import Window
 
@@ -1718,4 +1731,86 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("user_id", "n", "rank")
         .orderBy("rank")
+    )
+
+
+@register(
+    "session_flow_top_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    counted AS (
+      SELECT event_type AS src, next_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY src, dst
+    )
+    SELECT src, dst, n
+    FROM counted
+    ORDER BY n DESC, src, dst
+    LIMIT 20
+    """,
+    tags=("window", "lead", "funnel", "markov"),
+)
+def session_flow_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type transitions (src→dst bigrams) across each user's
+    event-time-ordered stream — the funnel/Markov-chain building block of
+    product analytics. lead() over (user_id, ts, event_id) forms the
+    bigram, then a plain hash agg counts transition frequencies; total
+    order (n DESC, src, dst) before LIMIT keeps the top-20 deterministic.
+
+    Scale: ONE shuffle on user_id for the window sort (per-user streams
+    sort independently — no global sort), then the bigram count is a
+    map-side-combinable agg over a 25-value key space; the final top-20
+    is TakeOrderedAndProject, never a full sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), "src", "dst").limit(20)
+
+
+@register(
+    "pivot_daily_event_counts",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("agg", "pivot", "wide-table"),
+)
+def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: daily event counts, one column per event type —
+    the report-table shape every dashboard export needs. The pivot values
+    are DECLARED (the 5 known types), which matters at scale: an
+    unspecified pivot triggers an extra distinct-values job over the full
+    table before the real agg; a declared list is one single-shuffle
+    hash agg, exactly as cheap as the FILTER-count oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # day as a plain yyyy-MM-dd STRING: DuckDB DATE fetches into pandas
+    # as datetime64 while Spark DATE stays a date object — the driver's
+    # repr-hash would mismatch on identical values (tools/driver_parity).
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
     )

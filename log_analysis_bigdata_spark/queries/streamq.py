@@ -58,7 +58,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_events",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
@@ -66,8 +66,10 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+      -- (ts, event_id) tiebreaker matches the marked CTE's window: two
+      -- equal-ts rows at a session boundary must number deterministically
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS sess
       FROM marked
@@ -126,4 +128,73 @@ def stream_dedup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.event_id").alias("event_id"),
         F.col("s.ts").alias("ts"),
         F.round("s.value", 4).alias("value"),
+    )
+
+
+@register(
+    "ewma_user_value_stateful",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(vals, (acc, v) -> 0.3 * v + 0.7 * acc), 4)
+             AS ewma
+    FROM seq
+    """,
+    tags=("streaming", "stateful", "ewma", "applyInPandasWithState"),
+)
+def ewma_user_value_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-key streaming rendering of ewma_user_value the batch
+    docstring promises (VERDICT r4 task 7): a REAL Structured Streaming
+    query — parquet file source → ``applyInPandasWithState`` keeping one
+    (ewma, n, last_key) scalar struct per user — replayed to completion
+    with availableNow, then the newest snapshot per key is compared
+    against the SAME DuckDB fold oracle as the batch query. The Python
+    fold uses the identical IEEE op order (0.3*v + 0.7*acc), so batch,
+    stream, and oracle agree bit-for-bit before the round(4).
+
+    Scale: state is O(1) per key (vs the batch agg's O(history) array),
+    hash-partitioned across the state store; each trigger touches only
+    the keys present in the batch. In-order per-key arrival across
+    micro-batches is assumed (documented in streaming/stateful.py) —
+    with the availableNow replay over one immutable file the fold order
+    is exact.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table_stream
+    from ..streaming.stateful import ewma_user_values
+
+    stream = load_table_stream(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    snapshots = ewma_user_values(stream)
+
+    qname = "ewma_stateful_snapshots"
+    q = (
+        snapshots.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ewma_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # n_events is monotone per key, so max(struct(n_events, ewma)) is
+    # the final snapshot even if the replay split into multiple batches.
+    snap = spark.table(qname)
+    final = snap.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "ewma")).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.ewma", 4).alias("ewma"),
     )

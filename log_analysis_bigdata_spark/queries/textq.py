@@ -1411,3 +1411,324 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "grouped_minhash_union",
+    oracle=f"""
+    WITH sh_t AS (SELECT lang, {_SHINGLE_SQL} AS sh FROM documents),
+    sigs AS (
+      SELECT lang,
+             {_sig_sql(0)} AS s0, {_sig_sql(1)} AS s1,
+             {_sig_sql(2)} AS s2, {_sig_sql(3)} AS s3
+      FROM sh_t
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(s0) AS sig0, min(s1) AS sig1,
+           min(s2) AS sig2, min(s3) AS sig3
+    FROM sigs GROUP BY lang
+    """,
+    tags=("dedup", "minhash", "sketch", "mergeable"),
+)
+def grouped_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MERGED MinHash signature: elementwise min over the
+    member documents' signatures — which, by the min-hash identity,
+    IS the signature of the UNION of their shingle sets. This is the
+    property that makes MinHash an algebraic aggregate: partitions
+    combine local mins map-side, groups merge without ever re-reading
+    members, and a 100 TB corpus rolls up to one signature row per
+    group (per-source/per-crawl similarity, incremental sketch
+    maintenance) in a single shuffle of k hashes per group.
+
+    Docs with < 3 tokens have no shingles → NULL components, skipped by
+    min on both engines; n_docs still counts them.
+
+    Plan note: the oracle states the textbook per-doc-then-merge form;
+    the engine exploits min's associativity to skip the per-doc stage
+    entirely — explode shingles once, hash each occurrence once, and
+    take min(md5(seed|shingle)) per group directly (min of per-doc mins
+    == min over the group's shingles). One shingle pass instead of one
+    per signature component, partial mins map-side, and the shuffle
+    carries only k hashes per (lang, partition).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("lang", F.explode(shingles(_tokens())).alias("s"))
+    sigs = sh.groupBy("lang").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"s{i}|"), F.col("s")))
+            ).alias(f"sig{i}")
+            for i in range(4)
+        ]
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return counts.join(sigs, "lang", "left").select(
+        "lang", "n_docs", "sig0", "sig1", "sig2", "sig3"
+    )
+
+
+@register(
+    "anti_join_docs_quarantine",
+    oracle="""
+    WITH flags AS (
+      SELECT doc_id, lang,
+             (length(trim(text)) >= 120
+              AND len(string_split_regex(trim(text), ' +')) >= 25) AS ok
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_quarantined,
+           min(doc_id) AS sample_doc_id
+    FROM flags WHERE NOT ok
+    GROUP BY lang
+    """,
+    tags=("filter", "anti-join", "quality", "quarantine"),
+)
+def anti_join_docs_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine report: documents failing the minimum-quality gate
+    (≥120 chars and ≥25 tokens — the cheap pre-filter every training-data
+    pipeline runs before expensive scoring), rendered as the ANTI-JOIN of
+    the corpus against its passing subset — the actual production shape,
+    where 'passing' is a separately-materialized table and quarantine =
+    corpus ⟕̸ passing. Catalyst compiles the self-anti-join on doc_id
+    down to a single scan + broadcast-anti here; at 100 TB with a
+    materialized passing table it's one broadcast/bucketed anti-join,
+    never a full shuffle of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    passing = docs.filter(
+        (F.length(F.trim("text")) >= 120) & (F.size(_tokens()) >= 25)
+    ).select("doc_id")
+    quarantined = docs.join(passing, "doc_id", "left_anti")
+    return quarantined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_quarantined"),
+        F.min("doc_id").alias("sample_doc_id"),
+    )
+
+
+@register(
+    "langid_ngram_predict",
+    oracle="""
+    WITH tg AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, length(lower(text)) - 1),
+               i -> substr(lower(text), CAST(i AS INTEGER), 3))) AS tgs
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, lang, unnest(tgs) AS t FROM tg
+    ),
+    profile AS (
+      SELECT lang, t FROM (
+        SELECT lang, t, count(*) AS n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, t) AS rn
+        FROM exploded GROUP BY lang, t
+      ) WHERE rn <= 30
+    ),
+    scores AS (
+      SELECT e.doc_id, p.lang AS cand, count(*) AS overlap
+      FROM exploded e JOIN profile p ON e.t = p.t
+      GROUP BY e.doc_id, p.lang
+    ),
+    best AS (
+      SELECT doc_id, cand AS predicted FROM (
+        SELECT doc_id, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY overlap DESC, cand) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT d.lang AS actual_lang,
+           coalesce(b.predicted, 'unknown') AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    GROUP BY actual_lang, predicted_lang
+    """,
+    tags=("text", "langid", "ngram", "classifier"),
+)
+def langid_ngram_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification — the classic n-gram
+    heuristic (Cavnar-Trenkle profile overlap), rendered as a confusion
+    matrix against the corpus's labeled ``lang`` column.
+
+    1. PROFILE: per language, the top-30 most frequent distinct-per-doc
+       character trigrams (count DESC, trigram tiebreak). 5 langs × 30
+       trigrams → a ~150-row table, BROADCAST.
+    2. PREDICT: each doc's distinct trigrams join the broadcast profile;
+       argmax overlap per doc (overlap DESC, lang tiebreak via one
+       row_number over the doc's ≤5 candidate rows).
+    3. REPORT: actual × predicted counts; docs matching no profile
+       trigram (impossible here, but the rendering is total) predict
+       'unknown'.
+
+    Scale: the corpus is traversed twice (profile build, scoring) but
+    never self-joined; the only non-broadcast shuffles key on doc_id /
+    (lang, trigram). In production the profile table is FROZEN from a
+    sample — then scoring is a single embarrassingly-parallel pass, the
+    shape fastText-style langid runs at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tgs = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(char_length(lower(text)) - 2,"
+                " 0)), i -> substring(lower(text), i, 3))"
+            )
+        ).alias("tgs"),
+    )
+    exploded = tgs.select("doc_id", "lang", F.explode("tgs").alias("t"))
+
+    from pyspark.sql.window import Window as W
+
+    w_prof = W.partitionBy("lang").orderBy(F.desc("n"), "t")
+    profile = (
+        exploded.groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= 30)
+        .select(F.col("lang").alias("cand"), "t")
+    )
+
+    scores = (
+        exploded.join(F.broadcast(profile), "t")
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_best = W.partitionBy("doc_id").orderBy(F.desc("overlap"), "cand")
+    best = (
+        scores.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .groupBy(
+            F.col("lang").alias("actual_lang"),
+            F.coalesce("predicted", F.lit("unknown")).alias("predicted_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+NEAR_BITS = 32  # simhash width for hamming-banded near-dup
+
+
+def _near_sig_sql() -> str:
+    """32-bit token hashes ('0x'||md5[:8]) voted per bit — the 32-bit
+    twin of _simhash_sql (16-bit signatures coincidentally collide at
+    corpus sizes > ~10³; 32 bits push random collisions out)."""
+    tokh = (
+        "list_transform(list_distinct(string_split_regex(trim(text), ' +')), "
+        "t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)"
+    )
+    votes = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform({tokh}, "
+        f"h -> ((h // {1 << j}) % 2) * 2 - 1), 'sum') > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(NEAR_BITS)
+    )
+    return votes
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    sig AS (
+      SELECT doc_id, CAST({_near_sig_sql()} AS BIGINT) AS simhash
+      FROM corpus
+    ),
+    bands AS (
+      SELECT doc_id, simhash, t.b AS b,
+             (simhash >> (CAST(t.b AS INTEGER) * 8)) & 255 AS band_val
+      FROM sig, range(4) t(b)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+    tags=("dedup", "simhash", "lsh", "hamming", "banded"),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-tolerant SimHash near-dup pairs — the banded upgrade the
+    simhash_dup_groups docstring points at, now implemented: a 32-bit
+    signature splits into 4 bands of 8 bits; by pigeonhole, any pair
+    within Hamming distance 3 differs in at most 3 bands, so it shares
+    at least one band unchanged and the per-band equi-self-join
+    generates ALL such pairs (exact recall, not probabilistic); a
+    bit_count(XOR) verify keeps pairs at distance ≤ 3.
+
+    Scale shape (same discipline as minhash_dup_pairs): candidate
+    generation is 4 equi-joins on (band, value) — never an all-pairs
+    product; verification is O(candidates) integer XOR. Band-bucket
+    skew (a band value shared by k docs → k²/2 candidates) is the
+    documented cost driver; at 100 TB widen to 64 bits / 8×8 bands
+    (covers hamming ≤ 7) so buckets thin out — same plan, wider key.
+    """
+    corpus = _dup_corpus_spark(spark, sf_dir)
+    tok_hash = F.transform(
+        F.array_distinct(F.split(F.trim(F.col("text")), " +")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    hs = corpus.select("doc_id", tok_hash.alias("hs"))
+
+    def bit_vote(j: int):
+        # closure factory: a 2-arg lambda would receive (element, index)
+        return lambda h: (F.shiftright(h, j) % 2) * 2 - 1
+
+    simhash = sum(
+        F.when(
+            F.aggregate(
+                F.transform(F.col("hs"), bit_vote(j)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(NEAR_BITS)
+    )
+    sig = hs.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(4)])
+        ).alias("b"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, b * 8) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )

@@ -49,6 +49,28 @@ def read_csv_dim(
     return reader.csv(path)
 
 
+def kafka_source_options(
+    brokers: str, topic: str, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """The exact option set the S4 reader is configured with — exposed
+    as data so the wire-contract test can assert it without a broker.
+
+    Mapping to the reference consumer (`kafka_consumer.py:13-25`):
+    ``subscribe`` = its TOPIC positional, ``kafka.bootstrap.servers`` =
+    ``bootstrap_servers``, ``startingOffsets='latest'`` =
+    ``auto_offset_reset='latest'``; group management/auto-commit have no
+    analog (Spark tracks offsets in the checkpoint, strictly stronger
+    than ``enable_auto_commit``), and ``failOnDataLoss=false`` matches
+    its at-least-once posture (it logs and continues on error).
+    """
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+
+
 def kafka_source(
     spark: SparkSession,
     brokers: str,
@@ -63,13 +85,17 @@ def kafka_source(
     spark-sql-kafka jar), which tests assert — the dev substitute is the
     file source in streaming.job.file_stream_source.
     """
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+    return spark.readStream.format("kafka").options(
+        **kafka_source_options(brokers, topic, starting_offsets)
     )
+
+
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """S5's wire payload: each row → one JSON ``value`` string, the
+    engine twin of the reference producer's serializer
+    (``json.dumps(dict)``, `kafka_producer.py:12`). Split out from the
+    writer so the producer→wire→consumer loop is testable broker-free."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
 
 
 def kafka_sink_writer(df: DataFrame, brokers: str, topic: str):
@@ -79,9 +105,8 @@ def kafka_sink_writer(df: DataFrame, brokers: str, topic: str):
     (`kafka_producer.py:12`); delivery guarantees (`acks=all`) are broker
     configs passed through the kafka. option namespace.
     """
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
     return (
-        payload.write.format("kafka")
+        kafka_payload(df).write.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
         .option("kafka.acks", "all")

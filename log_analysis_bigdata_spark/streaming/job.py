@@ -55,6 +55,7 @@ def dedup_messages(
     key_col: str = "block_id",
     ts_col: str = "start_ts",
     horizon: str = "10 minutes",
+    content_cols: Sequence[str] = (),
 ) -> DataFrame:
     """At-least-once delivery → in-stream dedup (T3's stream-side half).
 
@@ -68,14 +69,23 @@ def dedup_messages(
     this and unbounded ``dropDuplicates`` at 100 TB/day is the difference
     between a working job and an OOM.
 
+    The dedup key is MESSAGE identity, not key identity: ``key_col`` plus
+    ``content_cols`` (a payload hash/discriminator). Dropping on
+    ``key_col`` alone would conflate a replay of the same message (drop)
+    with an UPDATE to the same key (must flow through and replace — the
+    reference's HBase-put last-write-wins, insert_data_to_HBase.py:43).
+    Callers with an opaque payload should pass a content hash, e.g.
+    ``md5(log_full)`` as ``run_file_stream`` does.
+
     Batch twin: first-wins per key (queries/streamq.py:stream_dedup_blocks
     renders it deterministically with row_number).
     """
+    keys = [key_col, *content_cols]
     if msgs.isStreaming:
         return msgs.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
-            [key_col]
+            keys
         )
-    return msgs.dropDuplicates([key_col])
+    return msgs.dropDuplicates(keys)
 
 
 def message_features(
@@ -219,11 +229,20 @@ def run_file_stream(
         spark.readStream.schema(SESSION_MESSAGE)
         .json(source_dir)
     )
-    # Watermarked source-side dedup: replays (same block_id within the
-    # horizon) are dropped before the parse/feature plan runs at all;
-    # the idempotent upsert sink remains the backstop for replays that
+    # Watermarked source-side dedup keyed on MESSAGE identity
+    # (block_id + payload md5): byte-identical replays within the horizon
+    # are dropped before the parse/feature plan runs at all, while an
+    # updated payload for the same key flows through to the last-write-
+    # wins sink (the reference's HBase-put replace semantics). The
+    # idempotent upsert sink remains the backstop for replays that
     # arrive after the horizon.
-    msgs = dedup_messages(raw, "block_id", "start_ts", watermark)
+    msgs = dedup_messages(
+        raw.withColumn("_payload_md5", F.md5(F.coalesce("log_full", F.lit("")))),
+        "block_id",
+        "start_ts",
+        watermark,
+        content_cols=["_payload_md5"],
+    ).drop("_payload_md5")
     feats = message_features(msgs, templates, event_ids)
     scored = feats.withColumn(
         "score", score_expr(event_ids, weights or {}, bias)

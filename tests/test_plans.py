@@ -226,3 +226,53 @@ def test_registry_wide_plan_audit_clean(spark):
     # allowlist hygiene: every allowlisted name must still exist
     missing = [n for n in BNLJ_ALLOWED if n not in all_queries()]
     assert not missing, f"stale BNLJ allowlist entries: {missing}"
+
+
+def test_bucketed_sessionize_eliminates_shuffle(spark, tmp_path):
+    """VERDICT r4 task 8 (flagship warm path): events pre-bucketed by the
+    session key sessionize with ZERO Exchange — the scan's bucketing
+    satisfies the groupBy's distribution requirement, so the whole
+    sessionization is a per-bucket local aggregate. At 100 TB this is the
+    difference between re-shuffling the full line corpus per run and a
+    shuffle-free scan over a table bucketed once at ingest. The
+    unbucketed control plan must shuffle."""
+    from log_analysis_bigdata_spark.catalog import load_table
+    from log_analysis_bigdata_spark.operators.sessionize import sessionize
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sessdb LOCATION '{tmp_path}'")
+    try:
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "user_id", "ts", "event_type"
+        )
+        (
+            ev.write.mode("overwrite")
+            .bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .saveAsTable("sessdb.events_by_user")
+        )
+        sess = sessionize(
+            spark.table("sessdb.events_by_user"),
+            "user_id", "ts", "event_type",
+        )
+        plan = sess._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan  # bucket layout feeds the agg
+        # results identical to the unbucketed run
+        got = {r["user_id"]: (r["num_lines"], r["duration_sec"])
+               for r in sess.collect()}
+        want = {r["user_id"]: (r["num_lines"], r["duration_sec"])
+                for r in sessionize(ev, "user_id", "ts", "event_type").collect()}
+        assert got == want and len(got) > 0
+
+        control = sessionize(ev, "user_id", "ts", "event_type")
+        cplan = control._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" in cplan  # unbucketed twin must shuffle
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS sessdb CASCADE")

@@ -478,3 +478,127 @@ def test_stream_foreachbatch_jdbc_sink_derby(spark, tmp_path):
     )
     got = sorted((r["block_id"], r["num_lines"]) for r in back.collect())
     assert got == [("blk_1", 3), ("blk_2", 2), ("blk_3", 2)]
+
+def test_stateful_ewma_across_batches(spark, tmp_path):
+    """applyInPandasWithState EWMA: the running scalar folds across
+    micro-batches (state is O(1) per key, never the history array)."""
+    from log_analysis_bigdata_spark.streaming.stateful import ewma_user_values
+
+    src = str(tmp_path / "ewma_src")
+    os.makedirs(src)
+
+    def write_events(fname, rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for eid, ts, uid, v in rows:
+                f.write(json.dumps(
+                    {"event_id": eid, "event_ts": ts, "user_id": uid,
+                     "value": v}) + "\n")
+
+    write_events("b0.json", [(1, "2008-11-09 20:35:18", 7, 10.0),
+                             (2, "2008-11-09 20:35:20", 7, 20.0)])
+
+    schema = "event_id long, event_ts string, user_id long, value double"
+    raw = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .select("event_id", "user_id", "value",
+                F.to_timestamp("event_ts").alias("ts"))
+    )
+    q = (
+        ewma_user_values(raw).writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_stateful_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch arrives only after the first trigger committed, so
+        # the cross-trigger fold order is deterministic
+        write_events("b1.json", [(3, "2008-11-09 20:36:00", 7, 30.0)])
+        q.processAllAvailable()
+        rows = spark.sql("select * from ewma_stateful_test").collect()
+        latest = max((r for r in rows if r["user_id"] == 7),
+                     key=lambda r: r["n_events"])
+        # fold: 10 -> .3*20+.7*10=13 -> .3*30+.7*13=18.1 (across 2 batches)
+        assert latest["n_events"] == 3
+        assert abs(latest["ewma"] - 18.1) < 1e-9
+        assert len(q.recentProgress) >= 2  # state really crossed a trigger
+    finally:
+        q.stop()
+
+
+def test_stateful_ewma_matches_batch_query(spark):
+    """Batch/stream twin equality: the availableNow replay of the
+    stateful EWMA equals the batch fold query on the same table."""
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    reg = all_queries()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in reg["ewma_user_value_stateful"].spark(spark, sf).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in reg["ewma_user_value"].spark(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_topk_space_saving(spark, tmp_path):
+    """Space-saving heavy hitters: state folds across micro-batches;
+    counts are exact (max_err=0) while distinct items ≤ m, and an
+    eviction inherits the evicted minimum as its error bound."""
+    from log_analysis_bigdata_spark.streaming import stateful as st
+
+    src = str(tmp_path / "topk_src")
+    os.makedirs(src)
+
+    def write(fname, rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for g, item in rows:
+                f.write(json.dumps({"g": g, "item": item}) + "\n")
+
+    # batch 1: group A sees items 1..3 with skewed counts
+    write("b0.json", [("A", 1)] * 5 + [("A", 2)] * 3 + [("A", 3)])
+    raw = spark.readStream.schema("g string, item long").json(src)
+    q = (
+        st.streaming_topk_items(raw, "g", "item")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("topk_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 arrives later: counts must ACCUMULATE in state
+        write("b1.json", [("A", 1)] * 2 + [("A", 3)] * 3)
+        q.processAllAvailable()
+        rows = spark.sql("select * from topk_stream").collect()
+        latest = {}
+        for r in rows:  # update mode re-emits; last snapshot per item wins
+            latest[(r["group_key"], r["item"])] = (r["est_count"], r["max_err"])
+        assert latest[("A", 1)] == (7, 0)   # 5 + 2 across batches
+        assert latest[("A", 2)] == (3, 0)
+        assert latest[("A", 3)] == (4, 0)   # 1 + 3
+        assert len(q.recentProgress) >= 2
+    finally:
+        q.stop()
+
+    # eviction bound: m+1-th distinct item inherits min count as err
+    state = {}
+
+    class FakeState:
+        exists = False
+        def update(self, v):
+            state["v"] = v
+
+    import pandas as pd
+
+    m_items = [(i, 1) for i in range(st.TOPK_M)] + [(999, 1)]
+    pdf = pd.DataFrame({"item": [i for i, n in m_items for _ in range(n)]})
+    out = list(st._update_topk(("B",), [pdf], FakeState()))[0]
+    got = dict(zip(out["item"], zip(out["est_count"], out["max_err"])))
+    # 999 evicted the min counter (count 1) -> est 2, err 1
+    assert got[999] == (2, 1)
+    assert sum(1 for c, e in got.values() if e == 0) == st.TOPK_M - 1
