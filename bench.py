@@ -100,6 +100,9 @@ HEADLINE = [
     "grouped_minhash_union",
     "anti_join_docs_quarantine",
     "langid_ngram_predict",
+    "variant_props_stats",
+    "fuzzy_match_names",
+    "mad_outliers_events",
 ]
 
 

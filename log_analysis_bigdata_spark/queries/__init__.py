@@ -53,11 +53,10 @@ _LOADED = False
 # The correctness driver evaluates only the FIRST 50 registry entries per
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
-# on file). Round-3 window = the 6 queries that never got a green row in
-# r1/r2 (fixed in repo, but sat at positions 51+ both rounds), then the
-# queries added in round 3, then re-checks of greens whose shared code
-# paths (catalog.load_table, serving/upsert, events pipeline) were
-# touched this round — so stale verdicts aren't silently relied on.
+# on file). Round-5 window = the 32 queries whose newest verdict predates
+# the driver's testdata regeneration (rotate them all in), then re-checks
+# of round-5-touched code paths, then the round-5 additions; slots 43-50
+# fill from registry order with core-pipeline re-checks.
 _DRIVER_WINDOW = (
     # --- round-5 window ---
     # (1) the 32 queries whose newest driver verdict dates to round 2 —
@@ -112,6 +111,9 @@ _DRIVER_WINDOW = (
     "anti_join_docs_quarantine",
     "langid_ngram_predict",
     "simhash_near_pairs",
+    "variant_props_stats",
+    "fuzzy_match_names",
+    "mad_outliers_events",
     # Everything else: verdicts from r3/r4 postdate the last testdata
     # regeneration and round 5 does not touch their code paths; their
     # green rows stand. The full local parity sweep for ALL registry

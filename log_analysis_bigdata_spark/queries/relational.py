@@ -1814,3 +1814,169 @@ def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "error", "purchase", "signup", "view"])
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props ->> '$.k' AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "variant", "semi-structured"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type (Spark 4's native
+    JSON representation): ``parse_json`` decodes each props payload ONCE
+    into a binary variant, and every field access is ``variant_get`` on
+    the decoded tree — vs get_json_object, which re-parses the string
+    per extraction. At 100 TB with wide JSON payloads and several
+    extracted fields, parse-once is the difference between one decode
+    and one decode per field; the shredded variant also stays columnar
+    through the shuffle. (json_extract_events keeps the classic
+    get_json_object rendering for comparison.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("p"), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )
+
+
+@register(
+    "fuzzy_match_names",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+             substr(c_name, 1, 5) || 'X' ||
+               substr(c_name, 7, length(c_name) - 6) AS name
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    clean AS (SELECT c_custkey, c_name FROM customer),
+    cands AS (
+      SELECT d.dirty_id, c.c_custkey, d.name, c.c_name
+      FROM dirty d JOIN clean c
+        ON substr(d.name, length(d.name) - 3, 4)
+             = substr(c.c_name, length(c.c_name) - 3, 4)
+       AND length(d.name) = length(c.c_name)
+    )
+    SELECT dirty_id, c_custkey AS matched_custkey,
+           CAST(levenshtein(name, c_name) AS INTEGER) AS distance
+    FROM cands
+    WHERE levenshtein(name, c_name) <= 2
+    """,
+    tags=("join", "entity-resolution", "blocking", "fuzzy", "levenshtein"),
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution — fuzzy-match a dirtied name table back
+    to its source by edit distance, the record-linkage pattern every
+    dedup/MDM pipeline runs. A deterministic corruption (6th char → 'X'
+    on every 7th customer) builds the dirty side; candidates come from
+    BLOCKING on (last-4-chars, exact length) — the standard blocking-key
+    trick that replaces the O(N·M) all-pairs edit-distance scan with
+    equi-join buckets (the suffix carries the name's discriminating
+    digits, so buckets stay small where a prefix block would put the
+    whole uniform 'Customer#' corpus in one bucket) — and the
+    levenshtein(≤2) verify runs only on candidates.
+
+    Scale: the join is a plain equi-join on the block key (shuffle both
+    sides on the key, AQE-handled skew); cost scales with bucket sizes,
+    never N·M. Widening recall = adding more blocking passes (prefix
+    block, phonetic key), each another equi-join union — same plan
+    family as the minhash/simhash LSH ops.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.substring("c_name", 1, 5),
+            F.lit("X"),
+            F.expr("substring(c_name, 7, length(c_name) - 6)"),
+        ).alias("name"),
+    )
+    clean = cust.select("c_custkey", "c_name")
+    cands = dirty.join(
+        clean,
+        (
+            F.expr("substring(name, length(name) - 3, 4)")
+            == F.expr("substring(c_name, length(c_name) - 3, 4)")
+        )
+        & (F.length("name") == F.length("c_name")),
+    )
+    dist = F.levenshtein("name", "c_name")
+    return cands.filter(dist <= 2).select(
+        "dirty_id",
+        F.col("c_custkey").alias("matched_custkey"),
+        dist.cast("int").alias("distance"),
+    )
+
+
+@register(
+    "mad_outliers_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad_t AS (
+      SELECT event_type, any_value(med) AS med, median(adev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 4) AS med,
+           round(any_value(m.mad), 4) AS mad,
+           CAST(count(*) FILTER (
+             WHERE d.adev > 3 * 1.4826 * m.mad) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dev d JOIN mad_t m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("agg", "robust-stats", "mad", "outliers"),
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    monitoring-pipeline alternative to grouped_zscore_events' mean/std
+    (which outliers themselves corrupt; the median/MAD pair has a 50%
+    breakdown point). Two exact-median passes (value, then |value−med|)
+    and a final flag count at the standard 3σ-equivalent cutoff
+    (1.4826·MAD ≈ σ for normal data).
+
+    Scale: medians shuffle on the 5-value event_type key; the per-row
+    deviation stage joins the 5-row median table BROADCAST, so the
+    events corpus itself is shuffled only by its group key. Exact
+    grouped median is the deliberate choice here (deterministic,
+    oracle-matchable); at 100 TB swap in approx_percentile's t-digest —
+    same plan, mergeable sketch.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad_t = dev.groupBy("event_type").agg(
+        F.first("med").alias("med2"), F.median("adev").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad_t), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("med"), 4).alias("med"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.sum(
+            (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    )

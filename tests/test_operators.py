@@ -176,3 +176,63 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_observed_ingest_health_batch(spark):
+    """Dataset.observe: health metrics ride the SAME job as the query —
+    no second scan — and report exact counts."""
+    from log_analysis_bigdata_spark.catalog import load_table
+    from log_analysis_bigdata_spark.operators.monitor import (
+        ingest_health_metrics,
+        observed,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    df, obs = observed(
+        ev, "ingest_health",
+        *ingest_health_metrics(["user_id", "ts"], value_col="value"),
+    )
+    # downstream work proceeds as usual; the action drives the metrics
+    n_clicks = df.filter(F.col("event_type") == "click").count()
+    got = obs.get
+    assert got["n_rows"] == ev.count()
+    assert got["n_null_user_id"] == 0 and got["n_null_ts"] == 0
+    assert got["min_value"] <= got["max_value"]
+    assert n_clicks > 0
+
+
+def test_observed_metrics_streaming_progress(spark, tmp_path):
+    """The same observe call on a STREAM surfaces per-micro-batch in
+    StreamingQueryProgress.observedMetrics — one metric definition for
+    both engines."""
+    import json as _json
+    import os as _os
+
+    from log_analysis_bigdata_spark.operators.monitor import (
+        ingest_health_metrics,
+        observed,
+    )
+
+    src = str(tmp_path / "obs_src")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "b0.json"), "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"k": i, "v": float(i)}) + "\n")
+
+    raw = spark.readStream.schema("k long, v double").json(src)
+    df, _obs = observed(
+        raw, "stream_health", *ingest_health_metrics(["k"], value_col="v")
+    )
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("obs_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p["observedMetrics"]]
+    assert progress, "no observed metrics in stream progress"
+    m = progress[-1]["observedMetrics"]["stream_health"]
+    assert m["n_rows"] == 5 and m["n_null_k"] == 0
+    assert m["max_v"] == 4.0

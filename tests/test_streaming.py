@@ -602,3 +602,167 @@ def test_streaming_topk_space_saving(spark, tmp_path):
     # 999 evicted the min counter (count 1) -> est 2, err 1
     assert got[999] == (2, 1)
     assert sum(1 for c, e in got.values() if e == 0) == st.TOPK_M - 1
+
+
+def test_stateful_ewma_rocksdb_state_store(spark, tmp_path):
+    """The scale-grade state backend: the stateful EWMA runs unchanged on
+    the RocksDB state store provider (state spills to local disk instead
+    of executor heap — the backend a 10⁹-key production stream needs) and
+    produces the same fold across micro-batches as the default HDFS-
+    backed store."""
+    from log_analysis_bigdata_spark.streaming.stateful import ewma_user_values
+
+    src = str(tmp_path / "ewma_rocks_src")
+    os.makedirs(src)
+
+    def write_events(fname, rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for eid, ts, uid, v in rows:
+                f.write(json.dumps(
+                    {"event_id": eid, "event_ts": ts, "user_id": uid,
+                     "value": v}) + "\n")
+
+    write_events("b0.json", [(1, "2008-11-09 20:35:18", 7, 10.0),
+                             (2, "2008-11-09 20:35:20", 7, 20.0)])
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        raw = (
+            spark.readStream.schema(
+                "event_id long, event_ts string, user_id long, value double")
+            .json(src)
+            .select("event_id", "user_id", "value",
+                    F.to_timestamp("event_ts").alias("ts"))
+        )
+        q = (
+            ewma_user_values(raw).writeStream.outputMode("update")
+            .format("memory")
+            .queryName("ewma_rocksdb_test")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_events("b1.json", [(3, "2008-11-09 20:36:00", 7, 30.0)])
+            q.processAllAvailable()
+            rows = spark.sql("select * from ewma_rocksdb_test").collect()
+            latest = max((r for r in rows if r["user_id"] == 7),
+                         key=lambda r: r["n_events"])
+            # same fold as the default-store test: 10 -> 13 -> 18.1
+            assert latest["n_events"] == 3
+            assert abs(latest["ewma"] - 18.1) < 1e-9
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("google") is None,
+    reason="transformWithStateInPandas needs protobuf for its state-server "
+    "wire protocol; not installed in this sandbox (module import + plan "
+    "construction still covered below via the classic-API twins)",
+)
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """transformWithStateInPandas (the modern stateful API): named
+    ValueState accumulates across micro-batches on the RocksDB store."""
+    from log_analysis_bigdata_spark.streaming.transform_state import (
+        running_user_stats,
+    )
+
+    src = str(tmp_path / "tws_src")
+    os.makedirs(src)
+
+    def write_events(fname, rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for uid, v in rows:
+                f.write(json.dumps({"user_id": uid, "value": v}) + "\n")
+
+    write_events("b0.json", [(7, 10.0), (7, 20.0), (8, 5.0)])
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        raw = spark.readStream.schema("user_id long, value double").json(src)
+        q = (
+            running_user_stats(raw).writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_stats")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            write_events("b1.json", [(7, 30.0)])
+            q.processAllAvailable()
+            rows = spark.sql("select * from tws_stats").collect()
+            latest = {}
+            for r in rows:
+                cur = latest.get(r["user_id"])
+                if cur is None or r["n_events"] > cur["n_events"]:
+                    latest[r["user_id"]] = r
+            assert latest[7]["n_events"] == 3          # 2 + 1 across batches
+            assert latest[7]["sum_value"] == 60.0
+            assert latest[7]["min_value"] == 10.0
+            assert latest[7]["max_value"] == 30.0
+            assert latest[8]["n_events"] == 1
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_transform_with_state_module_contract(spark):
+    """The protobuf-free half of the TWS contract: the processor class
+    satisfies the StatefulProcessor interface and its pure update logic
+    folds correctly across calls (what handleInputRows does per batch)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from log_analysis_bigdata_spark.streaming.transform_state import (
+        USER_STATS_OUTPUT,
+        RunningUserStatsProcessor,
+    )
+
+    proc = RunningUserStatsProcessor()
+    assert isinstance(proc, StatefulProcessor)
+    assert [f.name for f in USER_STATS_OUTPUT.fields] == [
+        "user_id", "n_events", "sum_value", "min_value", "max_value",
+    ]
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+
+    proc._stats = FakeValueState()
+    out1 = next(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [10.0, 20.0]})]), None))
+    assert out1.iloc[0]["n_events"] == 2 and out1.iloc[0]["sum_value"] == 30.0
+    out2 = next(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [30.0]})]), None))
+    assert out2.iloc[0]["n_events"] == 3          # state carried
+    assert out2.iloc[0]["min_value"] == 10.0
+    assert out2.iloc[0]["max_value"] == 30.0
