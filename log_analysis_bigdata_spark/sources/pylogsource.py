@@ -1,0 +1,171 @@
+"""Custom Spark data source for raw HDFS-log dumps (Python Data Source
+API, Spark 4).
+
+The reference ingests its raw LogHub dump by pointing a text reader at
+the file and regex-parsing afterwards (`prepare_data_batch.ipynb` cell
+14). That works because HDFS.log is newline-delimited; formats Spark has
+no native reader for (multi-line records, session markers, proprietary
+framing) historically forced driver-side preprocessing. Spark 4's
+Python Data Source API removes that cliff: this module registers a
+first-class ``spark.read.format("hdfslog")`` source that
+
+- lists the input files ONCE on the driver (metadata only),
+- creates one InputPartition per file — executors read files in
+  parallel, the same parallelism contract as the native text source,
+- yields (value, src_file, line_no) rows, so parse errors are
+  attributable to an exact file:line — provenance the plain text
+  reader drops (its ``input_file_name()`` has no line number).
+
+The Python reader runs in the executors' Python workers with Arrow
+transfer — the sanctioned slow path. For plain newline logs the native
+text source is still the right choice (JVM-side, ~10× less overhead);
+this source earns its cost exactly when the format needs custom framing
+logic, which is the case it exists for. Downstream, the rows feed the
+same ``functions.logparse.parse_log_lines`` as every other ingest path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+LOG_SOURCE_SCHEMA = "value string, src_file string, line_no int"
+
+
+class HdfsLogDataSource(DataSource):
+    """``spark.read.format("hdfslog").load(path)``: raw log lines with
+    file + line-number provenance. Options: ``path`` (file or dir),
+    ``suffix`` (default ``.log``, dir listing filter).
+
+    Also usable as ``spark.readStream.format("hdfslog")`` — the stream
+    reader TAILS the files: each micro-batch delivers only lines
+    appended since the last committed offset (a per-file line-count
+    dict), exactly-once across restarts via the checkpointed offset log.
+    This is the engine twin of the reference's producer loop, which
+    tails the raw log and pushes increments to Kafka
+    (kafka_producer.py) — here the tail IS the source, no broker hop.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "hdfslog"
+
+    def schema(self) -> str:
+        return LOG_SOURCE_SCHEMA
+
+    def reader(self, schema) -> "HdfsLogReader":
+        return HdfsLogReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "HdfsLogStreamReader":
+        return HdfsLogStreamReader(self.options)
+
+
+class HdfsLogReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("hdfslog: 'path' option is required")
+        self._suffix = options.get("suffix", ".log")
+        if os.path.isdir(path):
+            self._files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(self._suffix)
+            )
+        else:
+            self._files = [path]
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per file: the driver ships only the path string;
+        # each executor task streams its own file. For the multi-GB
+        # single-file case, extend value to (path, start, end) byte
+        # ranges — the framing logic below is the only part that changes.
+        return [InputPartition(f) for f in self._files]
+
+    def read(self, partition: InputPartition):
+        path = partition.value
+        with open(path, "r", encoding="utf-8", errors="replace") as fh:
+            for i, line in enumerate(fh, start=1):
+                line = line.rstrip("\n")
+                if line:
+                    yield (line, path, i)
+
+
+class HdfsLogStreamReader(SimpleDataSourceStreamReader):
+    """Tail-follow stream over a directory of log files.
+
+    Offset = ``{file_path: lines_already_delivered}``. Each trigger
+    lists the directory (new files appear with count 0), reads every
+    file's lines PAST its offset, and returns (rows, next_offset).
+    Spark checkpoints the offsets, so a restarted query resumes exactly
+    after the last committed line — at-least-once delivery upgraded to
+    exactly-once by the offset log, with no broker in the path.
+
+    The Simple reader variant is deliberate: it reads on the driver and
+    is documented for low-throughput sources. A production tail over
+    thousands of hot files wants the partitioned DataSourceStreamReader
+    (offsets per file-range, executors read in parallel) — same offset
+    model, listed as the scale path; the semantics tested here (tail,
+    restart-resume, blank-line skip) are identical.
+    """
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("hdfslog: 'path' option is required")
+        self._dir = path
+        self._suffix = options.get("suffix", ".log")
+
+    def _list_files(self) -> list[str]:
+        if os.path.isdir(self._dir):
+            return sorted(
+                os.path.join(self._dir, f)
+                for f in os.listdir(self._dir)
+                if f.endswith(self._suffix)
+            )
+        return [self._dir]
+
+    def initialOffset(self) -> dict:
+        # start of history: nothing delivered from any current file
+        return {f: 0 for f in self._list_files()}
+
+    def read(self, start: dict):
+        end = dict(start)
+        rows = []
+        for path in self._list_files():
+            done = int(start.get(path, 0))
+            n = done
+            with open(path, "r", encoding="utf-8", errors="replace") as fh:
+                for i, line in enumerate(fh, start=1):
+                    if i <= done:
+                        continue
+                    n = i
+                    line = line.rstrip("\n")
+                    if line:
+                        rows.append((line, path, i))
+            end[path] = n
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: re-read the [start, end)
+        # line window of each file
+        rows = []
+        for path, hi in end.items():
+            lo = int(start.get(path, 0))
+            hi = int(hi)
+            if hi <= lo or not os.path.exists(path):
+                continue
+            with open(path, "r", encoding="utf-8", errors="replace") as fh:
+                for i, line in enumerate(fh, start=1):
+                    if i <= lo or i > hi:
+                        continue
+                    line = line.rstrip("\n")
+                    if line:
+                        rows.append((line, path, i))
+        return iter(rows)

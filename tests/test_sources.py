@@ -301,3 +301,92 @@ def test_kafka_wire_contract(spark):
     assert sorted(produced, key=lambda d: d["block_id"]) == sorted(
         msgs, key=lambda d: d["block_id"]
     )
+
+
+def test_python_datasource_hdfslog(spark, tmp_path):
+    """Spark 4 Python Data Source API: the custom 'hdfslog' format reads
+    raw log files partition-per-file with file:line provenance, and its
+    rows flow through the shared parser like any other ingest path."""
+    from log_analysis_bigdata_spark.functions.logparse import parse_log_lines
+    from log_analysis_bigdata_spark.sources.pylogsource import (
+        HdfsLogDataSource,
+    )
+
+    d = tmp_path / "rawlogs"
+    os.makedirs(d)
+    (d / "node1.log").write_text(
+        "081109 203518 143 INFO dfs.DataNode$DataXceiver: "
+        "Receiving block blk_-160899 src: /10.0.0.1\n"
+        "\n"  # blank line skipped
+        "081109 203520 145 WARN dfs.DataNode$PacketResponder: "
+        "PacketResponder 1 for block blk_-160899 terminating\n"
+    )
+    (d / "node2.log").write_text(
+        "2008-11-09 20:40:00 77 ERROR dfs.FSNamesystem: "
+        "BLOCK* ask to replicate blk_42 to 10.0.0.2\n"
+    )
+    (d / "ignored.txt").write_text("not a log\n")
+
+    spark.dataSource.register(HdfsLogDataSource)
+    raw = spark.read.format("hdfslog").option("path", str(d)).load()
+
+    assert raw.rdd.getNumPartitions() == 2  # one per .log file
+    rows = raw.collect()
+    assert len(rows) == 3  # blank line dropped, .txt not listed
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(os.path.basename(r["src_file"]), []).append(r)
+    assert [r["line_no"] for r in by_file["node1.log"]] == [1, 3]
+
+    parsed = {
+        (r["block_id"], r["line_no"]): r
+        for r in parse_log_lines(raw).collect()
+    }
+    # both timestamp formats parse through the shared parser
+    assert str(parsed[("blk_-160899", 1)]["datetime"]) == "2008-11-09 20:35:18"
+    assert str(parsed[("blk_-160899", 3)]["datetime"]) == "2008-11-09 20:35:20"
+    assert parsed[("blk_42", 1)]["level"] == "ERROR"  # provenance carried
+
+
+def test_python_datasource_hdfslog_tail_stream(spark, tmp_path):
+    """The hdfslog STREAM reader tails files: a micro-batch delivers only
+    lines appended since the last offset; new files join mid-stream."""
+    from log_analysis_bigdata_spark.sources.pylogsource import (
+        HdfsLogDataSource,
+    )
+
+    d = tmp_path / "taildir"
+    os.makedirs(d)
+    f1 = d / "node1.log"
+    f1.write_text("line one\nline two\n")
+
+    spark.dataSource.register(HdfsLogDataSource)
+    stream = (
+        spark.readStream.format("hdfslog").option("path", str(d)).load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tail_stream")
+        .option("checkpointLocation", str(tmp_path / "tail_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [r["value"] for r in spark.sql(
+            "select value from tail_stream order by src_file, line_no"
+        ).collect()]
+        assert got == ["line one", "line two"]
+
+        # append to an existing file AND drop a brand-new file
+        with open(f1, "a") as fh:
+            fh.write("line three\n")
+        (d / "node2.log").write_text("other file\n")
+        q.processAllAvailable()
+        got = [r["value"] for r in spark.sql(
+            "select value from tail_stream order by src_file, line_no"
+        ).collect()]
+        # ONLY the increments arrived — no re-delivery of lines 1-2
+        assert got == ["line one", "line two", "line three", "other file"]
+    finally:
+        q.stop()
