@@ -129,7 +129,16 @@ def ml_lr_train_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.pmod(
         F.pmod(F.col("vec_id") * F.lit(_SPLIT_MULT), F.lit(_SPLIT_MOD)), F.lit(5)
     )
-    train = emb.filter(bucket != 0).drop("x0")
+    # coalesce(1) makes the fit DETERMINISTIC: LR's treeAggregate sums
+    # gradients in partition order, so a multi-partition fit's
+    # coefficients wobble with task scheduling (two margin flakes
+    # observed under concurrent Spark jobs, one past |x0|=0.1 and one
+    # past 0.25 at sf0.001). One partition = one fixed reduction order
+    # = bit-stable coefficients. This is a correctness-gate harness
+    # choice: the gate SFs train ≤40k rows, where single-partition cost
+    # is nil; a production fit keeps parallelism and tolerates the
+    # last-ulp wobble.
+    train = emb.filter(bucket != 0).drop("x0").coalesce(1)
     test = emb.filter(bucket == 0)
     model = train_weighted_lr(balanced_class_weights(train, "label_index"))
     pred = model.transform(test).filter(F.abs("x0") >= _MARGIN)

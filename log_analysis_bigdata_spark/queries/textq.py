@@ -1770,3 +1770,114 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.filter(hamming <= 3).select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     )
+
+
+@register(
+    "simhash_near_components",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+    sig AS (
+      SELECT doc_id, CAST({_near_sig_sql()} AS BIGINT) AS simhash
+      FROM corpus
+    ),
+    bands AS (
+      SELECT doc_id, simhash, t.b AS b,
+             (simhash >> (CAST(t.b AS INTEGER) * 8)) & 255 AS band_val
+      FROM sig, range(4) t(b)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cands
+      WHERE bit_count(xor(sig_a, sig_b)) <= 1
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+    """,
+    tags=("dedup", "simhash", "components", "iterative", "clustering"),
+)
+def simhash_near_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CLUSTERS: the hamming ≤ 1 subset of
+    simhash_near_pairs' banded candidates becomes the edge list, and the
+    shared connected-components operator (operators/components.py,
+    iterative min-label propagation with O(1)-deep lineage) assigns each
+    document its canonical group — min doc_id per component is the
+    keeper, completing the candidate→verify→cluster→canonicalize dedup
+    pipeline for the simhash path exactly as dedup_components does for
+    the embedding path. Hamming ≤ 1 (not 3) for the clustering stage:
+    transitive closure compounds tolerance (a ≤3 chain of length k
+    drifts k·3 bits), so the edge set for clustering is kept strict
+    while pair REPORTING (simhash_near_pairs) stays at ≤ 3.
+
+    Scale: band-bucketed candidate generation (never all-pairs) + one
+    shuffle per label-propagation round, rounds = component diameter
+    (measured 14 at sf0.01); max_iter raises rather than mislabeling.
+    """
+    corpus = _dup_corpus_spark(spark, sf_dir)
+    tok_hash = F.transform(
+        F.array_distinct(F.split(F.trim(F.col("text")), " +")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    hs = corpus.select("doc_id", tok_hash.alias("hs"))
+
+    def bit_vote(j: int):
+        # closure factory: a 2-arg lambda would receive (element, index)
+        return lambda h: (F.shiftright(h, j) % 2) * 2 - 1
+
+    simhash = sum(
+        F.when(
+            F.aggregate(
+                F.transform(F.col("hs"), bit_vote(j)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(NEAR_BITS)
+    )
+    sig = hs.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, b * 8) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    pairs = cands.filter(
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 1
+    ).select("doc_a", "doc_b")
+
+    from ..operators.components import connected_components
+
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node"), F.col("component")
+    )

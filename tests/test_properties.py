@@ -1,0 +1,169 @@
+"""Property-based tests (hypothesis) for the pure invariants the
+operators' correctness arguments rest on. These are Spark-free and run
+in milliseconds per example, so hypothesis can hammer the input space —
+the Spark renderings of the same logic are oracle-checked separately
+(tests/test_oracle_parity.py); what's verified here is the MATH the
+docstrings claim:
+
+- simhash banding pigeonhole: the 4×8-bit band split generates every
+  pair within Hamming distance 3 (exact recall, the claim in
+  queries/textq.py:simhash_near_pairs);
+- space-saving bounds: est − err ≤ true ≤ est, and every key with true
+  count > N/m is monitored (streaming/stateful.py:_update_topk);
+- stateful EWMA: folding a stream in arbitrary micro-batch chunks
+  equals the one-shot fold (streaming/stateful.py:_update_ewma).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# --- simhash banding pigeonhole ---------------------------------------------
+
+@given(
+    sig=st.integers(min_value=0, max_value=(1 << 32) - 1),
+    flip_bits=st.sets(st.integers(min_value=0, max_value=31), max_size=3),
+)
+def test_simhash_band_pigeonhole_exact_recall(sig, flip_bits):
+    """Any pair of 32-bit signatures within Hamming distance 3 shares at
+    least one of the 4 8-bit bands — so the banded equi-join cannot miss
+    a qualifying pair (recall is exact, not probabilistic)."""
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+    hamming = bin(sig ^ other).count("1")
+    assert hamming <= 3
+    shares_band = any(
+        (sig >> (8 * b)) & 255 == (other >> (8 * b)) & 255 for b in range(4)
+    )
+    assert shares_band
+
+
+@given(
+    a=st.integers(min_value=0, max_value=(1 << 32) - 1),
+    b=st.integers(min_value=0, max_value=(1 << 32) - 1),
+)
+def test_simhash_band_join_verify_filter_is_sound(a, b):
+    """The verify stage only keeps pairs the banded join surfaced AND
+    whose true distance ≤ 3; candidates beyond distance 3 are filtered,
+    never reported (no false positives from band collisions)."""
+    hamming = bin(a ^ b).count("1")
+    kept = (
+        any((a >> (8 * i)) & 255 == (b >> (8 * i)) & 255 for i in range(4))
+        and hamming <= 3
+    )
+    if kept:
+        assert hamming <= 3  # whatever survives satisfies the contract
+
+
+# --- space-saving summary bounds --------------------------------------------
+
+def _run_space_saving(items):
+    from log_analysis_bigdata_spark.streaming import stateful as stf
+
+    state = {}
+
+    class FakeState:
+        @property
+        def exists(self):
+            return "v" in state
+
+        @property
+        def get(self):
+            return state["v"]
+
+        def update(self, v):
+            state["v"] = v
+
+    out = None
+    for chunk in items:
+        pdf = pd.DataFrame({"item": chunk})
+        out = list(stf._update_topk(("g",), [pdf], FakeState()))[0]
+    return out
+
+
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=300
+    ),
+    n_chunks=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_space_saving_bounds_hold(stream, n_chunks):
+    """Metwally guarantees on arbitrary streams fed in arbitrary
+    micro-batch chunkings: est − err ≤ true ≤ est for every monitored
+    item, and any item with true count > N/m is monitored."""
+    from log_analysis_bigdata_spark.streaming.stateful import TOPK_M
+
+    k = max(1, len(stream) // n_chunks)
+    chunks = [stream[i : i + k] for i in range(0, len(stream), k)]
+    out = _run_space_saving(chunks)
+
+    true = pd.Series(stream).value_counts().to_dict()
+    n_total = len(stream)
+    monitored = set(out["item"])
+    for _, row in out.iterrows():
+        t = true.get(row["item"], 0)
+        assert row["est_count"] - row["max_err"] <= t <= row["est_count"]
+    for item, t in true.items():
+        if t > n_total / TOPK_M:
+            assert item in monitored  # heavy hitters are never lost
+
+
+# --- stateful EWMA chunked-fold equivalence ---------------------------------
+
+def _run_ewma(chunks):
+    from log_analysis_bigdata_spark.streaming import stateful as stf
+
+    state = {}
+
+    class FakeState:
+        @property
+        def exists(self):
+            return "v" in state
+
+        @property
+        def get(self):
+            return state["v"]
+
+        def update(self, v):
+            state["v"] = v
+
+    out = None
+    t = 0
+    for chunk in chunks:
+        rows = {
+            "ts_us": list(range(t, t + len(chunk))),
+            "event_id": list(range(t, t + len(chunk))),
+            "value": chunk,
+        }
+        t += len(chunk)
+        out = list(stf._update_ewma((7,), [pd.DataFrame(rows)], FakeState()))[0]
+    return out
+
+
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=100,
+    ),
+    split=st.integers(min_value=0, max_value=99),
+)
+@settings(max_examples=60, deadline=None)
+def test_ewma_chunked_fold_equals_oneshot(values, split):
+    """Folding [a | b] through two state updates is BIT-IDENTICAL to one
+    fold of a+b — the property that makes the streaming EWMA equal its
+    batch twin no matter how the stream is micro-batched."""
+    cut = min(split, len(values))
+    chunked = [c for c in (values[:cut], values[cut:]) if c]
+    one = _run_ewma([values])
+    two = _run_ewma(chunked)
+    assert one.iloc[0]["n_events"] == two.iloc[0]["n_events"] == len(values)
+    e1, e2 = one.iloc[0]["ewma"], two.iloc[0]["ewma"]
+    assert e1 == e2 or (pd.isna(e1) and pd.isna(e2))
