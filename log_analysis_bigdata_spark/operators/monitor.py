@@ -12,6 +12,16 @@ Batch: read ``Observation.get`` after any action. Streaming: the same
 ``observe`` call surfaces per-micro-batch under
 ``StreamingQueryProgress.observedMetrics`` — one metric definition serves
 both engines, same philosophy as the shared batch/stream transforms.
+
+KNOWN SPARK GOTCHA (4.1, verified here): an object-form ``Observation``
+registers with the session's ``ObservationManager`` and that manager then
+rides along in later RDD-closure serialization — a subsequent
+``pyspark.ml`` fit ON THE SAME SESSION dies with ``Task not
+serializable: ObservationManager``. When mixing batch observations with
+MLlib in one process, attach observations in an isolated
+``spark.newSession()`` (shares the SparkContext, owns its SessionState)
+— the pattern tests/test_operators.py demonstrates. Streaming's
+name-form observe does not register an Observation and is unaffected.
 """
 
 from __future__ import annotations

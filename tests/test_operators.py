@@ -180,14 +180,18 @@ def test_connected_components_chain_and_islands(spark):
 
 def test_observed_ingest_health_batch(spark):
     """Dataset.observe: health metrics ride the SAME job as the query —
-    no second scan — and report exact counts."""
+    no second scan — and report exact counts. Runs in an isolated
+    newSession(): a registered Observation poisons LATER pyspark.ml fits
+    on the same session (Spark 4.1 ObservationManager serialization bug,
+    documented in operators/monitor.py) — without isolation this test
+    made the downstream ml_lr_train_confusion parity test fail."""
     from log_analysis_bigdata_spark.catalog import load_table
     from log_analysis_bigdata_spark.operators.monitor import (
         ingest_health_metrics,
         observed,
     )
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = load_table(spark.newSession(), "/root/testdata/sf0.001", "events")
     df, obs = observed(
         ev, "ingest_health",
         *ingest_health_metrics(["user_id", "ts"], value_col="value"),
