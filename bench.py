@@ -103,6 +103,7 @@ HEADLINE = [
     "variant_props_stats",
     "fuzzy_match_names",
     "mad_outliers_events",
+    "grouping_sets_order_stats",
 ]
 
 

@@ -114,6 +114,7 @@ _DRIVER_WINDOW = (
     "variant_props_stats",
     "fuzzy_match_names",
     "mad_outliers_events",
+    "grouping_sets_order_stats",
     # Everything else: verdicts from r3/r4 postdate the last testdata
     # regeneration and round 5 does not touch their code paths; their
     # green rows stand. The full local parity sweep for ALL registry
