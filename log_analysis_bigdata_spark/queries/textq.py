@@ -1676,6 +1676,66 @@ def _near_sig_sql() -> str:
     return votes
 
 
+def _near_sig_spark(corpus: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over distinct whitespace
+    tokens, each hashed to a 32-bit int via the first 8 md5 hex chars
+    (identical in the DuckDB twin, ``_near_sig_sql``)."""
+    tok_hash = F.transform(
+        F.array_distinct(F.split(F.trim(F.col("text")), " +")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    hs = corpus.select("doc_id", tok_hash.alias("hs"))
+
+    def bit_vote(j: int):
+        # closure factory: a 2-arg lambda would receive (element, index)
+        return lambda h: (F.shiftright(h, j) % 2) * 2 - 1
+
+    simhash = sum(
+        F.when(
+            F.aggregate(
+                F.transform(F.col("hs"), bit_vote(j)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(NEAR_BITS)
+    )
+    return hs.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+def _near_cand_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded candidate generation + hamming verify: 4 bands × 8 bits,
+    per-band equi-self-join, bit_count(XOR) filter BEFORE the pair
+    distinct (hamming is a function of the pair's signatures, so the
+    distinct set is identical either way — filtering first shrinks the
+    distinct's shuffle to the true near-pairs instead of every band
+    collision). Returns (doc_a, doc_b, hamming:int), doc_a < doc_b."""
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn("band_val", F.expr("shiftright(simhash, b * 8) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "simhash_near_pairs",
     oracle=f"""
@@ -1719,57 +1779,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (covers hamming ≤ 7) so buckets thin out — same plan, wider key.
     """
     corpus = _dup_corpus_spark(spark, sf_dir)
-    tok_hash = F.transform(
-        F.array_distinct(F.split(F.trim(F.col("text")), " +")),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
-    )
-    hs = corpus.select("doc_id", tok_hash.alias("hs"))
-
-    def bit_vote(j: int):
-        # closure factory: a 2-arg lambda would receive (element, index)
-        return lambda h: (F.shiftright(h, j) % 2) * 2 - 1
-
-    simhash = sum(
-        F.when(
-            F.aggregate(
-                F.transform(F.col("hs"), bit_vote(j)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1 << j).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(NEAR_BITS)
-    )
-    sig = hs.select("doc_id", simhash.cast("bigint").alias("simhash"))
-
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(4)])
-        ).alias("b"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, b * 8) & 255"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cands.filter(hamming <= 3).select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    )
+    return _near_cand_pairs(_near_sig_spark(corpus), max_hamming=3)
 
 
 @register(
@@ -1795,7 +1805,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_a, doc_b FROM cands
       WHERE bit_count(xor(sig_a, sig_b)) <= 1
     ),
-    edges AS (
+    -- MATERIALIZED: DuckDB inlines CTEs by default, so the recursive
+    -- reach join would re-evaluate the 32xmd5 signature pipeline on
+    -- every fixpoint iteration (measured 19.5 s -> 0.9 s at sf0.01).
+    edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
       UNION SELECT doc_a, doc_a FROM pairs
@@ -1823,58 +1836,18 @@ def simhash_near_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifts k·3 bits), so the edge set for clustering is kept strict
     while pair REPORTING (simhash_near_pairs) stays at ≤ 3.
 
-    Scale: band-bucketed candidate generation (never all-pairs) + one
-    shuffle per label-propagation round, rounds = component diameter
-    (measured 14 at sf0.01); max_iter raises rather than mislabeling.
+    Scale: band-bucketed candidate generation (never all-pairs; hamming
+    verify runs before the pair distinct so the distinct shuffles only
+    true near-pairs) + two small shuffles per label-propagation round,
+    rounds = O(log diameter) via pointer jumping (operators/
+    components.py — was 14 diameter-bound rounds / 30 s at sf0.01
+    before the jump, ~5 rounds after); max_iter raises rather than
+    mislabeling.
     """
     corpus = _dup_corpus_spark(spark, sf_dir)
-    tok_hash = F.transform(
-        F.array_distinct(F.split(F.trim(F.col("text")), " +")),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    pairs = _near_cand_pairs(_near_sig_spark(corpus), max_hamming=1).select(
+        "doc_a", "doc_b"
     )
-    hs = corpus.select("doc_id", tok_hash.alias("hs"))
-
-    def bit_vote(j: int):
-        # closure factory: a 2-arg lambda would receive (element, index)
-        return lambda h: (F.shiftright(h, j) % 2) * 2 - 1
-
-    simhash = sum(
-        F.when(
-            F.aggregate(
-                F.transform(F.col("hs"), bit_vote(j)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1 << j).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(NEAR_BITS)
-    )
-    sig = hs.select("doc_id", simhash.cast("bigint").alias("simhash"))
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, b * 8) & 255"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
-    )
-    pairs = cands.filter(
-        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 1
-    ).select("doc_a", "doc_b")
 
     from ..operators.components import connected_components
 
