@@ -181,11 +181,15 @@ def main() -> None:
         out["errors"] = errors
         out["partial_total"] = total
 
-    # Full JSON goes to a FILE (BENCH_r04's warm dict was truncated by
-    # the driver's stdout tail capture — only 5/60 warm numbers
-    # survived); stdout's final line is the same complete JSON, compact,
-    # preceded by a short human summary so the tail capture always
-    # contains the whole timing set.
+    # Evidence-capture contract (learned rounds 3-5): the driver stores
+    # only the LAST 2000 chars of stdout and parses the final line as
+    # JSON. The full three-pass JSON is ~6 KB, so printing it last left
+    # `parsed` null in BENCH_r03..r05. Layout that survives:
+    #   stdout line 1: full compact JSON, cold dict LAST — the tail
+    #     fragment above the final line is then cold per-query data;
+    #   stdout final line: a <=1950-char summary JSON (warm per-query
+    #     seconds + cold/median TOTALS) that always parses whole.
+    #   BENCH_LOCAL.json: the full three-pass JSON, committed per round.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
         json.dump(out, fh, indent=1)
@@ -195,7 +199,57 @@ def main() -> None:
         f"warm-min total {total}s at sf{sf} (full JSON: BENCH_LOCAL.json)",
         file=sys.stderr,
     )
-    print(json.dumps(out, separators=(",", ":")))
+    full_order = {
+        k: v for k, v in out.items() if k not in ("queries_median", "queries_cold")
+    }
+    full_order["queries_median"] = medians
+    full_order["queries_cold"] = colds  # last: the tail fragment shows cold
+    print(json.dumps(full_order, separators=(",", ":")))
+
+    # Per-query keys use a unique name prefix ("q_key" documents the
+    # scheme; full names are in line 1 / BENCH_LOCAL.json in the same
+    # pinned order) because full names alone are ~1.4 KB — both passes
+    # with full names can never fit the window.
+    def prefix_keys(names: list[str], width: int) -> dict[str, str]:
+        mapped: dict[str, str] = {}
+        for n in names:
+            k, w = n[:width], width
+            while k in mapped.values():
+                w += 1
+                k = n[:w]
+            mapped[n] = k
+        return mapped
+
+    def build_line(width: int, ndp: int) -> str:
+        keys = prefix_keys(list(timings), width)
+        summary = {
+            "metric": "headline_queries_wall",
+            "value": out["value"],
+            "unit": "sec",
+            "sf": out["sf"],
+            "n_ok": len(timings),
+            "n_err": len(errors),
+            "total_cold": round(sum(colds.values()), 2),
+            "total_median": round(sum(medians.values()), 2),
+            "q_key": f"name[:{width}]",
+            "q_val": "[cold_s,warm_min_s]",
+            "queries": {
+                keys[k]: [round(colds[k], ndp), round(v, ndp)]
+                for k, v in timings.items()
+            },
+        }
+        if errors:
+            summary["errors"] = {
+                k: v[:60] for k, v in list(errors.items())[:3]
+            }
+        return json.dumps(summary, separators=(",", ":"))
+
+    line = build_line(14, 2)
+    for width, ndp in ((12, 1), (10, 1), (8, 1)):
+        if len(line) <= 1900:
+            break
+        line = build_line(width, ndp)
+    print(line)
     spark.stop()
 
 

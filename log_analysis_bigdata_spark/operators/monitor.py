@@ -37,8 +37,13 @@ def ingest_health_metrics(
     counts, and (optionally) the value column's min/max envelope."""
     metrics: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for c in required_cols:
+        # coalesce: sum over ZERO rows is NULL, and a downstream gate
+        # asserting n_null_col == 0 would evaluate NULL on an empty
+        # micro-batch — empty input must report 0 nulls (ADVICE r5)
         metrics.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"n_null_{c}")
         )
     if value_col is not None:
         metrics.append(F.min(value_col).alias(f"min_{value_col}"))

@@ -1700,8 +1700,10 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict proves candidate recall held.
 
     CONFIG SENSITIVITY (ADVICE r4): candidate recall depends on the
-    Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch,
-    default 10k) and input partitioning, not only on the data. m=50
+    Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch —
+    PINNED to 10k in session.get_spark since round 6, with a test
+    asserting the effective value) and input partitioning, not only on
+    the data. m=50
     local candidates for a global top-10 over ~150 distinct users at
     test SFs gives m ≥ 5× k headroom per batch; if a future driver
     verdict flips red here, triage as RECALL LOSS under a config/

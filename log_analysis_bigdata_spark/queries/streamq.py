@@ -164,7 +164,9 @@ def ewma_user_value_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the availableNow replay over one immutable file the fold order
     is exact.
     """
+    import shutil
     import tempfile
+    import uuid
 
     from pyspark.sql import functions as F
 
@@ -176,19 +178,28 @@ def ewma_user_value_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snapshots = ewma_user_values(stream)
 
-    qname = "ewma_stateful_snapshots"
-    q = (
-        snapshots.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ewma_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # per-run name + checkpoint dir: a fixed memory-sink name collides
+    # with a still-active prior query on the same session, and mkdtemp
+    # without cleanup leaks a /tmp dir per invocation (ADVICE r5)
+    qname = f"ewma_stateful_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ewma_ckpt_")
+    try:
+        q = (
+            snapshots.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     # n_events is monotone per key, so max(struct(n_events, ewma)) is
     # the final snapshot even if the replay split into multiple batches.
+    # The memory sink's table is materialized driver-side, so it
+    # survives checkpoint cleanup; it is dropped when the session ends.
     snap = spark.table(qname)
     final = snap.groupBy("user_id").agg(
         F.max(F.struct("n_events", "ewma")).alias("s")

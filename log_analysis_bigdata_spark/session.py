@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pinned, not defaulted: heavy_hitters_topk's candidate-recall
+        # analysis (queries/relational.py) assumes 10k-row Arrow batches
+        # for its local top-m pass — pinning makes that a session
+        # invariant instead of a config sensitivity (VERDICT r5 #6).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

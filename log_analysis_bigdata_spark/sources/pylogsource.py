@@ -136,20 +136,31 @@ class HdfsLogStreamReader(SimpleDataSourceStreamReader):
         return {f: 0 for f in self._list_files()}
 
     def read(self, start: dict):
-        end = dict(start)
+        current = self._list_files()
+        # prune offsets for deleted files so the offset dict can't grow
+        # without bound across rotations (ADVICE r5)
+        end = {p: v for p, v in start.items() if p in set(current)}
         rows = []
-        for path in self._list_files():
+        for path in current:
             done = int(start.get(path, 0))
-            n = done
+            n = 0
+            with open(path, "r", encoding="utf-8", errors="replace") as fh:
+                for i, line in enumerate(fh, start=1):
+                    n = i
+            # rotation/truncation: the file now has FEWER lines than the
+            # committed offset — it was recreated. Reset to 0 and deliver
+            # its current content, rather than silently holding the stale
+            # high-water mark forever (ADVICE r5).
+            if n < done:
+                done = 0
             with open(path, "r", encoding="utf-8", errors="replace") as fh:
                 for i, line in enumerate(fh, start=1):
                     if i <= done:
                         continue
-                    n = i
                     line = line.rstrip("\n")
                     if line:
                         rows.append((line, path, i))
-            end[path] = n
+            end[path] = max(n, done)
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -205,6 +205,20 @@ def test_observed_ingest_health_batch(spark):
     assert n_clicks > 0
 
 
+def test_ingest_health_empty_input_reports_zero_nulls(spark):
+    """sum over zero rows is NULL; the metric set coalesces to 0 so an
+    empty micro-batch can't turn a n_null == 0 gate into NULL
+    (ADVICE r5)."""
+    from log_analysis_bigdata_spark.operators.monitor import (
+        ingest_health_metrics,
+    )
+
+    empty = spark.range(0).select(F.col("id").alias("user_id"))
+    row = empty.agg(*ingest_health_metrics(["user_id"])).collect()[0]
+    assert row["n_rows"] == 0
+    assert row["n_null_user_id"] == 0  # NULL would fail this ==
+
+
 def test_observed_metrics_streaming_progress(spark, tmp_path):
     """The same observe call on a STREAM surfaces per-micro-batch in
     StreamingQueryProgress.observedMetrics — one metric definition for

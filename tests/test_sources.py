@@ -390,3 +390,41 @@ def test_python_datasource_hdfslog_tail_stream(spark, tmp_path):
         assert got == ["line one", "line two", "line three", "other file"]
     finally:
         q.stop()
+
+
+def test_python_datasource_hdfslog_rotation(spark, tmp_path):
+    """Rotation/truncation handling (ADVICE r5): a file recreated with
+    FEWER lines than the committed offset resets to 0 and its new
+    content is delivered; offsets of deleted files are pruned rather
+    than kept forever."""
+    from log_analysis_bigdata_spark.sources.pylogsource import (
+        HdfsLogStreamReader,
+    )
+
+    d = tmp_path / "rotdir"
+    os.makedirs(d)
+    f1 = d / "node1.log"
+    f2 = d / "node2.log"
+    f1.write_text("a1\na2\na3\n")
+    f2.write_text("b1\n")
+
+    reader = HdfsLogStreamReader({"path": str(d)})
+    start = reader.initialOffset()
+    rows, off = reader.read(start)
+    assert sorted(r[0] for r in rows) == ["a1", "a2", "a3", "b1"]
+    assert off[str(f1)] == 3
+
+    # rotate: node1 recreated shorter; node2 deleted entirely
+    f1.write_text("fresh1\n")
+    os.remove(f2)
+    rows, off2 = reader.read(off)
+    assert [r[0] for r in rows] == ["fresh1"]  # delivered, not silently lost
+    assert off2[str(f1)] == 1  # reset to the new high-water mark
+    assert str(f2) not in off2  # deleted file's offset pruned
+
+    # steady state after rotation: appends flow normally again
+    with open(f1, "a") as fh:
+        fh.write("fresh2\n")
+    rows, off3 = reader.read(off2)
+    assert [r[0] for r in rows] == ["fresh2"]
+    assert off3[str(f1)] == 2

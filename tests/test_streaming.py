@@ -666,8 +666,21 @@ def test_stateful_ewma_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(key, prev)
 
 
+def _has_protobuf() -> bool:
+    """The real dependency is google.protobuf, not the google namespace
+    package (ADVICE r5: any other google-* install would un-skip a test
+    that still can't run). find_spec on a dotted name raises if the
+    parent package is absent, hence the try."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 @pytest.mark.skipif(
-    __import__("importlib").util.find_spec("google") is None,
+    not _has_protobuf(),
     reason="transformWithStateInPandas needs protobuf for its state-server "
     "wire protocol; not installed in this sandbox (module import + plan "
     "construction still covered below via the classic-API twins)",

@@ -85,6 +85,17 @@ def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
     spark = get_spark(app_name="driver_parity")
+    # Warm the JVM and Python UDF workers (same as bench.py) so the
+    # first query's reported time isn't dominated by one-time session
+    # startup — this is a correctness sweep; per-query seconds are only
+    # recorded to spot outliers.
+    spark.range(1000).count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(1000).repartition(8).select(_warm(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
     con = duck_connection(sf)
     queries = all_queries()
     n_fail = 0
