@@ -104,6 +104,13 @@ HEADLINE = [
     "fuzzy_match_names",
     "mad_outliers_events",
     "grouping_sets_order_stats",
+    # round-6: the end-to-end dedup pipeline (candidate → verify →
+    # cluster → canonicalize in one entry), deterministic reservoir
+    # sampling, BPE token estimation, cross-format dedup
+    "dedup_pipeline_docs",
+    "reservoir_sample_docs",
+    "bpe_token_estimate_docs",
+    "crossformat_dedup_docs",
 ]
 
 

@@ -1,0 +1,121 @@
+"""End-to-end MinHash dedup pipeline: shingle → signature → banded-LSH
+candidates → exact-Jaccard verify → connected components → canonical
+keepers — the full candidate→verify→cluster→canonicalize chain a
+training-data pipeline runs before packing a corpus.
+
+The reference computes none of this (its dedup surface is the
+LLM-pipeline brief's, not the log jobs'); the stage *shapes* reuse the
+engine's own building blocks: functions.text for shingles/MinHash,
+operators.components for the iterative clustering.
+
+Stage-by-stage shuffle budget — the 100 TB argument, plan-asserted over
+a doc_id-bucketed corpus table in tests/test_plans.py:
+
+  1. shingle / signature / band digests — narrow, zero shuffle;
+  2. candidate generation — the ONLY corpus-wide shuffle, an equi-
+     self-join keyed on (band_idx, band_digest): the LSH bucket key.
+     Never all-pairs; collisions, not the corpus, go quadratic;
+  3. pair distinct + Jaccard verify — candidate-sized. The verify
+     joins the (tiny) candidate list back to the shingle-set table by
+     doc_id: with the corpus bucketed by doc_id that side reads
+     pre-partitioned (no Exchange) and only candidates move;
+  4. clustering — edge-sized min-label propagation with pointer
+     jumping (operators/components.py), O(log diameter) rounds;
+  5. keeper summary — component-label agg, output-sized.
+
+Docs with zero shingles (< 3 tokens) are dropped before banding: their
+MinHash components are all-NULL, which would both (a) diverge across
+engines (DuckDB ``||`` propagates NULL where Spark ``concat_ws`` skips
+it) and (b) collapse every such doc into ONE band bucket — a
+catastrophic skew key at 100 TB. A real pipeline routes sub-shingle
+docs to exact dedup instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import minhash_component, shingles, tokens
+from .components import connected_components
+
+N_MINHASH = 8  # 2 bands x 4 rows
+# verify threshold: jaccard >= JACCARD_NUM / JACCARD_DEN, compared as
+# DEN*|A∩B| >= NUM*|A∪B| — integer arithmetic, so the predicate is
+# bit-identical in Spark and the DuckDB oracle (a rounded double
+# threshold can flip on pairs landing exactly on the boundary).
+JACCARD_NUM = 4
+JACCARD_DEN = 5
+
+
+def shingle_sets(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sh) word-3-gram shingle arrays; empty-shingle docs
+    dropped (see module docstring)."""
+    return corpus.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def band_digests(sh: DataFrame) -> DataFrame:
+    """(doc_id, band0, band1): md5 digest per 4-signature band."""
+    sigs = [minhash_component(F.col("sh"), i) for i in range(N_MINHASH)]
+    return sh.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", *sigs[0:4])).alias("band0"),
+        F.md5(F.concat_ws("|", *sigs[4:8])).alias("band1"),
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct LSH candidates, doc_a < doc_b: unpivot
+    the two band digests to (band_idx, digest) rows and equi-self-join
+    on that composite key — one hash shuffle on the LSH bucket key, the
+    union-of-per-band-joins plan expressed as a single join."""
+    long = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), F.col("band0").alias("d")),
+                F.struct(F.lit(1).alias("bi"), F.col("band1").alias("d")),
+            )
+        ).alias("bd"),
+    ).select("doc_id", F.col("bd.bi").alias("bi"), F.col("bd.d").alias("d"))
+    a = long.select(F.col("doc_id").alias("doc_a"), "bi", "d")
+    b = long.select(F.col("doc_id").alias("doc_b"), "bi", "d")
+    return (
+        a.join(b, ["bi", "d"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard >= NUM/DEN on the candidate pairs only
+    — linear in candidates, never quadratic in corpus."""
+    shd = sh.select("doc_id", F.array_distinct("sh").alias("shd"))
+    sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a"))
+    sb = shd.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b"))
+    j = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return j.filter(
+        F.lit(JACCARD_DEN) * inter >= F.lit(JACCARD_NUM) * union
+    ).select("doc_a", "doc_b")
+
+
+def minhash_dedup_pipeline(corpus: DataFrame) -> DataFrame:
+    """corpus(doc_id, text) -> (keep_doc_id, n_members, max_doc_id):
+    one row per near-dup cluster; keep_doc_id = the component's min
+    doc_id (the canonical document a dedup pass retains), n_members
+    counts how many documents collapse into it."""
+    sh = shingle_sets(corpus).persist()  # shingle arrays feed 3 stages
+    ver = verify_jaccard(candidate_pairs(band_digests(sh)), sh)
+    comp = connected_components(ver, src="doc_a", dst="doc_b")
+    out = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_doc_id"),
+    ).select(
+        F.col("component").alias("keep_doc_id"), "n_members", "max_doc_id"
+    )
+    return out

@@ -53,72 +53,74 @@ _LOADED = False
 # The correctness driver evaluates only the FIRST 50 registry entries per
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
-# on file). Round-5 window = the 32 queries whose newest verdict predates
-# the driver's testdata regeneration (rotate them all in), then re-checks
-# of round-5-touched code paths, then the round-5 additions; slots 43-50
-# fill from registry order with core-pipeline re-checks.
+# on file). Round-6 window (50 slots): the one never-verdicted query
+# first, then every query whose latest verdict dates to round 3 (the
+# oldest remaining cohort — same rotation policy round 5 applied to the
+# r2 cohort), then first verdicts for round-6 additions, then re-checks
+# of round-6-touched code paths.
 _DRIVER_WINDOW = (
-    # --- round-5 window ---
-    # (1) the 32 queries whose newest driver verdict dates to round 2 —
-    # BEFORE the driver's testdata regeneration (the exact failure mode
-    # that produced r3's stale-green stats_agg_events). VERDICT r4 task 2:
-    # rotate all of them in so every registry entry holds a post-
-    # regeneration verdict.
-    "serving_by_key",
-    "serving_delete",
-    "serving_high_score",
-    "serving_time_range",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "dedup_exact_docs",
-    "doc_fingerprint",
-    "minhash_signatures",
-    "minhash_dup_pairs",
-    "ngram_jaccard_pairs",
-    "simhash_text_docs",
-    "simhash_buckets",
-    "simhash_dup_groups",
+    # (1) VERDICT r5 task 1: the ONLY catalog query with no driver
+    # verdict ever (added round 5e, missed that round's window).
+    "simhash_near_components",
+    # (2) the 43 queries whose latest verdict is round 3 — rotate the
+    # whole cohort so no entry's newest verdict is older than r4.
+    "serving_latest_n",
+    "serving_stats",
+    "serving_compound_filter",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_excess_share_suppliers",
+    "q21_final_shipper",
+    "q22_dormant_customers",
+    "approx_distinct_users",
+    "approx_percentile_value",
+    "chunk_documents",
+    "constant_columns_detect",
+    "contamination_check",
+    "grouped_zscore_window",
+    "hash_split_summary",
+    "integrity_check_report",
+    "ivf_topk_nprobe",
+    "json_extract_events",
+    "knn_join_topk",
+    "mixture_weights_lang",
+    "ml_lr_train_confusion",
+    "pii_redact_docs",
+    "psi_value_drift",
+    "quality_decile_stats",
+    "repetition_metrics_docs",
+    "sequence_pack_docs",
+    "skew_report_events",
+    "stratified_sample_docs",
+    "tfidf_top_terms",
+    "unigram_logprob_docs",
+    "unpivot_lineitem_metrics",
+    "window_running_value",
+    # (3) new round-6 queries — first verdicts.
+    "dedup_pipeline_docs",
+    "reservoir_sample_docs",
+    "bpe_token_estimate_docs",
+    "crossformat_dedup_docs",
+    # (4) re-checks of round-6-touched code paths: components.py was
+    # rewritten (pointer jumping) and the simhash candidate pipeline
+    # refactored into a shared helper.
     "dedup_components",
-    "embedding_near_dup",
-    "embedding_norms",
-    "cosine_topk",
-    "ann_bucketed_topk",
-    "ivf_topk",
-    "case_bucket_order_price",
-    "cube_order_status",
-    "date_parts_orders",
-    "grouped_agg_weighted_mean",
-    "profile_documents",
-    "lang_histogram",
-    "token_counts_docs",
-    "text_quality_docs",
-    "quality_filter_docs",
-    # (2) re-checks of queries whose code paths were touched in round 5:
-    # stream_dedup_blocks (dedup_messages grew a message-identity key for
-    # the T3 fix) and interval_overlap_sessions (oracle gained the
-    # (ts, event_id) tiebreaker per ADVICE r4).
-    "stream_dedup_blocks",
-    "interval_overlap_sessions",
-    "heavy_hitters_topk",
-    # (3) new round-5 queries — first verdicts.
-    "ewma_user_value_stateful",
-    "session_flow_top_transitions",
-    "pivot_daily_event_counts",
-    "grouped_minhash_union",
-    "anti_join_docs_quarantine",
-    "langid_ngram_predict",
     "simhash_near_pairs",
-    "variant_props_stats",
-    "fuzzy_match_names",
-    "mad_outliers_events",
-    "grouping_sets_order_stats",
-    # Everything else: verdicts from r3/r4 postdate the last testdata
-    # regeneration and round 5 does not touch their code paths; their
+    # Everything else: verdicts from r4/r5 postdate the last testdata
+    # regeneration and round 6 does not touch their code paths; their
     # green rows stand. The full local parity sweep for ALL registry
-    # entries is committed as EVIDENCE_r05.md (per-query result list).
+    # entries is committed as EVIDENCE_r06.md (per-query result list).
 )
 
 
@@ -126,6 +128,7 @@ def all_queries() -> dict[str, QueryDef]:
     global _LOADED
     if not _LOADED:
         from . import (  # noqa: F401
+            corpusq,
             logq,
             mlq,
             multimodalq,

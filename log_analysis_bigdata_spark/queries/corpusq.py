@@ -1,0 +1,240 @@
+"""Corpus-preparation pipeline queries — round-6 additions to the
+LLM-training-data surface: the end-to-end dedup pipeline (candidate →
+verify → cluster → canonicalize in ONE registry entry), deterministic
+reservoir sampling, BPE-style token estimation, and cross-format
+(normalization-robust) dedup.
+
+All four follow the package's determinism rules (queries/__init__.py):
+integer comparisons instead of float thresholds, md5 for every hash,
+total orders before every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    JACCARD_DEN,
+    JACCARD_NUM,
+    minhash_dedup_pipeline,
+)
+from . import register
+from .textq import _DUP_CORPUS_SQL, _SHINGLE_SQL, _dup_corpus_spark, _sig_sql
+
+
+@register(
+    "dedup_pipeline_docs",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+    sh_t AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM corpus),
+    sh_ne AS (SELECT doc_id, sh FROM sh_t WHERE len(sh) > 0),
+    sigs AS (
+      SELECT doc_id,
+             md5({_sig_sql(0)} || '|' || {_sig_sql(1)} || '|'
+                 || {_sig_sql(2)} || '|' || {_sig_sql(3)}) AS band0,
+             md5({_sig_sql(4)} || '|' || {_sig_sql(5)} || '|'
+                 || {_sig_sql(6)} || '|' || {_sig_sql(7)}) AS band1
+      FROM sh_ne
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON (a.band0 = b.band0 OR a.band1 = b.band1)
+       AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh_ne),
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b
+      WHERE {JACCARD_DEN} * len(list_intersect(sa.shd, sb.shd))
+            >= {JACCARD_NUM} * len(list_distinct(sa.shd || sb.shd))
+    ),
+    -- MATERIALIZED: DuckDB inlines CTEs, so the recursive reach join
+    -- would otherwise re-run the whole minhash pipeline per iteration
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      UNION SELECT doc_b, doc_a FROM ver
+      UNION SELECT doc_a, doc_a FROM ver
+      UNION SELECT doc_b, doc_b FROM ver
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (SELECT src AS node, min(dst) AS component FROM reach
+               GROUP BY src)
+    SELECT component AS keep_doc_id,
+           count(*) AS n_members,
+           max(node) AS max_doc_id
+    FROM labels GROUP BY component
+    """,
+    tags=("dedup", "pipeline", "minhash", "lsh", "components", "iterative"),
+)
+def dedup_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end dedup chain in one entry: minhash → banded-LSH
+    candidates → exact-Jaccard verify (integer >= 4/5 compare) →
+    connected components → canonical keeper per cluster. Stage plans
+    and the bucketed zero-corpus-shuffle variant are asserted in
+    tests/test_plans.py; stage semantics live in operators/dedup.py.
+    The oracle replays every stage plus a recursive-CTE fixpoint."""
+    return minhash_dedup_pipeline(_dup_corpus_spark(spark, sf_dir))
+
+
+K_RESERVOIR = 100
+
+
+@register(
+    "reservoir_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           md5('rsv|' || CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+    ORDER BY sample_key, doc_id
+    LIMIT {K_RESERVOIR}
+    """,
+    tags=("sampling", "reservoir"),
+)
+def reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample via consistent hashing — the
+    deterministic, distributed analog of reservoir sampling: keep the
+    k smallest md5(seed|doc_id) keys. Same marginal uniformity (md5 is
+    uniform over ids), but re-run-stable, append-stable (a new doc
+    displaces at most one incumbent), and mergeable: each partition
+    keeps its local top-k and the driver merges — which is exactly
+    Spark's TakeOrderedAndProject physical plan, no full sort, no full
+    shuffle (plan-asserted in tests/test_plans.py). A seeded rand()
+    reservoir is NOT re-run-stable under Spark task retries; hashing
+    the key is the production-safe form."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("rsv|"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(K_RESERVOIR)
+    )
+
+
+@register(
+    "bpe_token_estimate_docs",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+             AS n_word_runs,
+           CAST(coalesce(list_aggregate(list_transform(
+                 regexp_extract_all(text, '[A-Za-z]+'),
+                 w -> (len(w) + 3) // 4), 'sum'), 0) AS BIGINT)
+             AS n_word_pieces,
+           CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+             AS n_digit_chars,
+           CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT)
+             AS n_other_chars,
+           CAST(coalesce(list_aggregate(list_transform(
+                 regexp_extract_all(text, '[A-Za-z]+'),
+                 w -> (len(w) + 3) // 4), 'sum'), 0)
+               + len(regexp_replace(text, '[^0-9]', '', 'g'))
+               + len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+             AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+    tags=("text", "tokenize", "bpe"),
+)
+def bpe_token_estimate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimate, pure column expressions: letter
+    runs contribute ceil(len/4) subword pieces (BPE merges average ~4
+    chars/token on English text), digits tokenize per-character (as
+    GPT-2/cl100k largely do), every other non-space char is its own
+    token. All integer arithmetic — the estimate is bit-identical
+    cross-engine, unlike a float chars-per-token ratio. At 100 TB this
+    is a narrow per-row pass: no shuffle, whole-stage codegen, and the
+    regexes are anchored character classes (no backtracking blowup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = "regexp_extract_all(text, '[A-Za-z]+', 0)"
+    pieces = (
+        f"aggregate({words}, 0L, (acc, w) -> acc + (length(w) + 3) div 4)"
+    )
+    n_digit = "cast(length(regexp_replace(text, '[^0-9]', '')) as bigint)"
+    n_other = (
+        r"cast(length(regexp_replace(text, '[A-Za-z0-9\\s]', '')) as bigint)"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(size({words}) as bigint)").alias("n_word_runs"),
+        F.expr(pieces).alias("n_word_pieces"),
+        F.expr(n_digit).alias("n_digit_chars"),
+        F.expr(n_other).alias("n_other_chars"),
+        F.expr(f"{pieces} + {n_digit} + {n_other}").alias("est_bpe_tokens"),
+    )
+
+
+# Cross-format variant corpus: the same content under different
+# formatting — case-flipped re-keys at +1M (doc_id % 10), whitespace-
+# inflated re-keys at +2M (doc_id % 15) — so normalization-robust dedup
+# has non-trivial clusters (docs at % 30 get BOTH variants: 3-member
+# groups) while plain exact dedup (dedup_exact_docs) would miss all of
+# them.
+_VARIANT_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, upper(text) AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           '  ' || replace(text, ' ', '  ') || ' ' AS text
+    FROM documents WHERE doc_id % 15 = 0
+"""
+
+
+def _variant_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    case_v = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    space_v = docs.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.expr("replace(text, ' ', '  ')"), F.lit(" ")
+        ).alias("text"),
+    )
+    return docs.unionByName(case_v).unionByName(space_v)
+
+
+@register(
+    "crossformat_dedup_docs",
+    oracle=f"""
+    WITH corpus AS ({_VARIANT_CORPUS_SQL})
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS canon_hash,
+           count(*) AS n_variants,
+           min(doc_id) AS keep_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM corpus
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+    tags=("dedup", "normalization", "crossformat"),
+)
+def crossformat_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup: canonicalize (lowercase,
+    collapse every non-alnum run to one space, trim) then hash-groupBy
+    — catches the same content re-encoded with different case/spacing/
+    punctuation, which raw content-hash dedup misses. One shuffle on a
+    32-hex key, same scale shape as dedup_exact_docs."""
+    corpus = _variant_corpus_spark(spark, sf_dir)
+    canon = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    )
+    return (
+        corpus.groupBy(canon.alias("canon_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

@@ -276,3 +276,81 @@ def test_bucketed_sessionize_eliminates_shuffle(spark, tmp_path):
         assert "Exchange" in cplan  # unbucketed twin must shuffle
     finally:
         spark.sql("DROP DATABASE IF EXISTS sessdb CASCADE")
+
+
+def _fmt(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bucketed_dedup_pipeline_shuffles_corpus_only_by_bucket_keys(
+    spark, tmp_path
+):
+    """VERDICT r5 task 8: the end-to-end dedup pipeline's plan-level
+    scale proof. Over a doc_id-bucketed corpus, stages 1-3 (shingle →
+    bands → LSH candidates → Jaccard verify) shuffle the CORPUS only on
+    its two bucket keys: the (band_idx, digest) LSH bucket for candidate
+    generation, and nothing at all for the verify joins — the bucketed
+    scan already satisfies their doc_id distribution, so only the tiny
+    candidate side moves. The unbucketed control must add corpus-wide
+    doc_id Exchanges. (Stages 4-5 run over the edge list — orders of
+    magnitude smaller — and localCheckpoint eagerly, so they cannot
+    appear in one explain tree; components' own plan discipline is
+    covered by its tests.)"""
+    from log_analysis_bigdata_spark.catalog import load_table
+    from log_analysis_bigdata_spark.operators.dedup import (
+        band_digests,
+        candidate_pairs,
+        shingle_sets,
+        verify_jaccard,
+    )
+
+    def stages_1_to_3(corpus):
+        sh = shingle_sets(corpus)
+        return verify_jaccard(candidate_pairs(band_digests(sh)), sh)
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS dedupdb LOCATION '{tmp_path}'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # broadcast off: the contrast under test is shuffle-vs-bucket on
+        # the corpus side; a broadcast of the candidate list would hide it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        docs = load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "text"
+        )
+        (
+            docs.write.mode("overwrite")
+            .bucketBy(8, "doc_id")
+            .saveAsTable("dedupdb.documents_by_id")
+        )
+        ver_b = stages_1_to_3(spark.table("dedupdb.documents_by_id"))
+        plan_b = _fmt(spark, ver_b)
+        ver_u = stages_1_to_3(docs)
+        plan_u = _fmt(spark, ver_u)
+
+        # bucketing removed the corpus-side verify Exchanges
+        assert plan_b.count("Exchange") < plan_u.count("Exchange")
+        # the one corpus-wide shuffle that remains is keyed on the LSH
+        # band bucket (band_idx, digest) — never on raw doc rows
+        assert "hashpartitioning(bi" in plan_b
+        # bucketed scan feeds the verify joins directly
+        assert "Bucketed: true" in plan_b
+        # same answer either way
+        got = sorted(map(tuple, ver_b.collect()))
+        want = sorted(map(tuple, ver_u.collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS dedupdb CASCADE")
+
+
+def test_reservoir_sample_is_topk_not_full_sort(spark):
+    """reservoir_sample_docs must compile to TakeOrderedAndProject —
+    per-partition top-k then driver merge (the distributed reservoir
+    merge), never a full Exchange+Sort of the corpus."""
+    plan = _plan(spark, "reservoir_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
