@@ -111,6 +111,10 @@ HEADLINE = [
     "reservoir_sample_docs",
     "bpe_token_estimate_docs",
     "crossformat_dedup_docs",
+    "incremental_dedup_newbatch",
+    # (stream_stream_join_attribution stays out: its wall time is the
+    # fixed streaming-replay harness cost, already represented in the
+    # headline by ewma_user_value_stateful)
 ]
 
 

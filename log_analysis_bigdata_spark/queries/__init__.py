@@ -112,9 +112,13 @@ _DRIVER_WINDOW = (
     "reservoir_sample_docs",
     "bpe_token_estimate_docs",
     "crossformat_dedup_docs",
-    # (4) re-checks of round-6-touched code paths: components.py was
-    # rewritten (pointer jumping) and the simhash candidate pipeline
-    # refactored into a shared helper.
+    "stream_stream_join_attribution",
+    "incremental_dedup_newbatch",
+    # (4) past the 50-slot window (ranked below first verdicts): the
+    # re-checks of round-6-touched code paths. Their r4/r5 verdicts
+    # stand, and the rewritten components.py + simhash pipeline are
+    # both exercised inside slot 1's simhash_near_components and the
+    # round-6 dedup_pipeline_docs anyway.
     "dedup_components",
     "simhash_near_pairs",
     # Everything else: verdicts from r4/r5 postdate the last testdata

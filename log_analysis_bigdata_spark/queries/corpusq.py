@@ -238,3 +238,146 @@ def crossformat_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") > 1)
     )
+
+
+# Incremental-dedup "new batch": exact re-keys of history at +1M
+# (doc_id % 10) plus near-dup mutations at +3M (doc_id % 7 == 3, first
+# token dropped — shingle Jaccard ~ (m-1)/m, well above the 4/5 verify
+# threshold) plus everything else novel-by-construction is absent, so
+# the answer has all three outcomes: exact match, near match, novel.
+_NEW_BATCH_SQL = """
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id,
+           regexp_replace(text, '^[^ ]+ ', '') AS text
+    FROM documents WHERE doc_id % 7 = 3
+"""
+
+
+def _new_batch_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.regexp_replace("text", "^[^ ]+ ", "").alias("text"),
+    )
+    return exact.unionByName(near)
+
+
+@register(
+    "incremental_dedup_newbatch",
+    oracle=f"""
+    WITH newb AS ({_NEW_BATCH_SQL}),
+    hist_sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
+      WHERE len({_SHINGLE_SQL}) > 0
+    ),
+    new_sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh FROM newb
+      WHERE len({_SHINGLE_SQL}) > 0
+    ),
+    hist_bands AS (
+      SELECT doc_id,
+             md5({_sig_sql(0)} || '|' || {_sig_sql(1)} || '|'
+                 || {_sig_sql(2)} || '|' || {_sig_sql(3)}) AS band0,
+             md5({_sig_sql(4)} || '|' || {_sig_sql(5)} || '|'
+                 || {_sig_sql(6)} || '|' || {_sig_sql(7)}) AS band1
+      FROM hist_sh
+    ),
+    new_bands AS (
+      SELECT doc_id,
+             md5({_sig_sql(0)} || '|' || {_sig_sql(1)} || '|'
+                 || {_sig_sql(2)} || '|' || {_sig_sql(3)}) AS band0,
+             md5({_sig_sql(4)} || '|' || {_sig_sql(5)} || '|'
+                 || {_sig_sql(6)} || '|' || {_sig_sql(7)}) AS band1
+      FROM new_sh
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc_id, h.doc_id AS hist_doc_id
+      FROM new_bands n JOIN hist_bands h
+        ON n.band0 = h.band0 OR n.band1 = h.band1
+    ),
+    ver AS (
+      SELECT c.new_doc_id, c.hist_doc_id
+      FROM cand c
+      JOIN (SELECT doc_id, list_distinct(sh) AS shd FROM new_sh) sn
+        ON sn.doc_id = c.new_doc_id
+      JOIN (SELECT doc_id, list_distinct(sh) AS shd FROM hist_sh) sh2
+        ON sh2.doc_id = c.hist_doc_id
+      WHERE {JACCARD_DEN} * len(list_intersect(sn.shd, sh2.shd))
+            >= {JACCARD_NUM} * len(list_distinct(sn.shd || sh2.shd))
+    )
+    SELECT nb.doc_id AS new_doc_id,
+           count(v.hist_doc_id) AS n_matches,
+           min(v.hist_doc_id) AS first_match
+    FROM newb nb LEFT JOIN ver v ON v.new_doc_id = nb.doc_id
+    GROUP BY nb.doc_id
+    """,
+    tags=("dedup", "incremental", "minhash", "lsh", "broadcast"),
+)
+def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW batch against the historical corpus — the production
+    shape at 100 TB, where you never re-cluster the world: history's
+    band-digest index is computed once at ingest (here derived inline; at
+    scale a bucketed table), and the daily batch's digests — orders of
+    magnitude smaller — are BROADCAST against it, so the history table
+    is never shuffled at all. Candidates then verify with the same
+    integer-exact Jaccard as dedup_pipeline_docs; every new doc reports
+    n_matches (0 = novel) and its canonical historical match.
+    Plan-asserted in tests/test_plans.py: BroadcastHashJoin on the
+    candidate join, no history-side Exchange before it."""
+    from ..operators.dedup import band_digests, shingle_sets
+
+    hist = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    newb = _new_batch_spark(spark, sf_dir)
+
+    hist_sh = shingle_sets(hist).persist()
+    new_sh = shingle_sets(newb).persist()
+
+    def long_bands(bands: DataFrame, out: str) -> DataFrame:
+        return bands.select(
+            F.col("doc_id").alias(out),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("bi"), F.col("band0").alias("d")),
+                    F.struct(F.lit(1).alias("bi"), F.col("band1").alias("d")),
+                )
+            ).alias("bd"),
+        ).select(out, F.col("bd.bi").alias("bi"), F.col("bd.d").alias("d"))
+
+    cand = (
+        long_bands(band_digests(hist_sh), "hist_doc_id")
+        .join(
+            F.broadcast(long_bands(band_digests(new_sh), "new_doc_id")),
+            ["bi", "d"],
+        )
+        .select("new_doc_id", "hist_doc_id")
+        .distinct()
+    )
+    sn = new_sh.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.array_distinct("sh").alias("sh_n"),
+    )
+    sh2 = hist_sh.select(
+        F.col("doc_id").alias("hist_doc_id"),
+        F.array_distinct("sh").alias("sh_h"),
+    )
+    j = cand.join(sn, "new_doc_id").join(sh2, "hist_doc_id")
+    inter = F.size(F.array_intersect("sh_n", "sh_h"))
+    union = F.size(F.array_distinct(F.concat("sh_n", "sh_h")))
+    ver = j.filter(
+        F.lit(JACCARD_DEN) * inter >= F.lit(JACCARD_NUM) * union
+    ).select("new_doc_id", "hist_doc_id")
+
+    return (
+        newb.select(F.col("doc_id").alias("new_doc_id"))
+        .join(ver, "new_doc_id", "left")
+        .groupBy("new_doc_id")
+        .agg(
+            F.count("hist_doc_id").alias("n_matches"),
+            F.min("hist_doc_id").alias("first_match"),
+        )
+    )

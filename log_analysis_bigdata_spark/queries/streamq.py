@@ -209,3 +209,93 @@ def ewma_user_value_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_events").alias("n_events"),
         F.round("s.ewma", 4).alias("ewma"),
     )
+
+
+@register(
+    "stream_stream_join_attribution",
+    oracle="""
+    SELECT c.user_id,
+           count(*) AS n_pairs,
+           min(CAST(floor(epoch(p.ts)) AS BIGINT)
+               - CAST(floor(epoch(c.ts)) AS BIGINT)) AS min_lag_sec
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+    tags=("streaming", "stream-stream-join", "watermark", "attribution"),
+)
+def stream_stream_join_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream time-interval join — the click→purchase attribution
+    shape: two watermarked streams over the same source, inner-joined on
+    user_id with ``purchase.ts ∈ [click.ts, click.ts + 30 min]``, run as
+    a REAL Structured Streaming query (availableNow replay, append
+    mode). Spark buffers each side in the state store only until the
+    watermark passes the join window, so state is bounded by
+    (watermark + interval) × arrival rate — the property that makes this
+    run forever on an unbounded stream. The matched pairs land in a
+    memory sink; the per-user rollup happens batch-side on that tiny
+    result (aggregating INSIDE the streaming query after an append-mode
+    join would add a second watermark stage for no coverage gain).
+
+    Time math is floor-to-epoch-second on both engines (package
+    determinism rules). Inner join only here: outer stream-stream joins
+    emit null-padded rows on watermark expiry, whose timing is not
+    oracle-reproducible row-for-row.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table_stream
+
+    ev = load_table_stream(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + interval 30 minutes"
+        ),
+    )
+
+    qname = f"ss_join_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ssjoin_ckpt_")
+    try:
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    lag = F.col("p_ts").cast("long") - F.col("click_ts").cast("long")
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(lag).alias("min_lag_sec"),
+        )
+    )

@@ -354,3 +354,31 @@ def test_reservoir_sample_is_topk_not_full_sort(spark):
     plan = _plan(spark, "reservoir_sample_docs")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_incremental_dedup_broadcasts_new_batch_never_shuffles_history(
+    spark,
+):
+    """incremental_dedup_newbatch's 100 TB contract: the daily batch's
+    band digests are broadcast, so the candidate join is a
+    BroadcastHashJoin and the HISTORY corpus reaches it without any
+    Exchange — history is scanned, never shuffled, for candidate
+    generation."""
+    import re
+
+    plan = _plan(spark, "incremental_dedup_newbatch")
+    # candidate join (and the verify joins behind it) broadcast the
+    # small side
+    assert "BroadcastHashJoin" in plan
+    tree = plan.split("\n\n")[0]  # numbered tree, before per-node details
+    shuffles = [
+        ln
+        for ln in tree.splitlines()
+        if re.search(r"\bExchange \(", ln) and "BroadcastExchange" not in ln
+    ]
+    # the only shuffle Exchanges are batch/candidate-sized: the new-batch
+    # union feeding the final left join, the candidate-pair distinct, and
+    # the verify output — three nodes, none of them the history corpus
+    # (history flows scan -> band unpivot -> BroadcastHashJoin with no
+    # Exchange; a regression that shuffles history adds a fourth).
+    assert len(shuffles) <= 3, shuffles

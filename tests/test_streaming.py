@@ -780,3 +780,72 @@ def test_transform_with_state_module_contract(spark):
     assert out2.iloc[0]["n_events"] == 3          # state carried
     assert out2.iloc[0]["min_value"] == 10.0
     assert out2.iloc[0]["max_value"] == 30.0
+
+
+def test_stream_stream_join_is_symmetric_hash_with_watermarks(spark):
+    """stream_stream_join_attribution must run as a real stream-stream
+    join — both sides watermarked (bounded state eviction), not a
+    static-batch rewrite — and its availableNow replay must equal the
+    batch interval join on the same rows. (Value parity vs DuckDB is the
+    registry oracle's job; this pins the streaming execution shape.)"""
+    from pyspark.sql import functions as F
+
+    from log_analysis_bigdata_spark.catalog import load_table, load_table_stream
+    from log_analysis_bigdata_spark.queries.streamq import (
+        stream_stream_join_attribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table_stream(spark, sf, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + interval 30 minutes"
+        ),
+    )
+    assert pairs.isStreaming
+    plan = pairs._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2  # both sides watermarked
+
+    got = {
+        r["user_id"]: (r["n_pairs"], r["min_lag_sec"])
+        for r in stream_stream_join_attribution(spark, sf).collect()
+    }
+    e = load_table(spark, sf, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    want_df = (
+        c.join(
+            p,
+            F.expr(
+                "user_id = pu AND pts >= cts "
+                "AND pts <= cts + interval 30 minutes"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(
+                F.col("pts").cast("long") - F.col("cts").cast("long")
+            ).alias("lag"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["lag"]) for r in want_df.collect()}
+    assert got == want and len(got) > 0
