@@ -5,6 +5,22 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver collect). Wall time per query + total.
+
+COLD-PASS NUMBERS ARE JIT-NOISE-DOMINATED FOR SUB-2s QUERIES — compare
+rounds on the warm-min / 3-run-median sections, never on cold deltas
+(VERDICT r5 #4 investigation, 2026-08-14, sf0.1 local[32]):
+  - r5 flagged q7/q8/q9/q10 + 3 report shapes ~1.5-2x slower cold than
+    r4 with byte-identical plans. This round's run (15 MORE headline
+    queries in the same session) has them back near r4 levels
+    (q8 1.54 -> 1.25, q10 0.96 -> 0.75) with, again, unchanged plans.
+  - Isolated fresh-JVM 3-run protocol per query: cold 4.0-5.0s,
+    3-run min 1.0-1.7s — an isolated cold is 3-5x ANY in-suite cold,
+    so "cold" position-in-suite numbers mostly measure how much JIT/
+    codegen/parquet-footer cache the preceding queries happened to
+    warm, which shifts whenever the headline set grows.
+  - Warm-min for the same queries is stable across r4/r5/r6 (±10%).
+    Since r6 the driver tail always carries both passes, so round-over-
+    round comparison should use the warm dict there or BENCH_LOCAL.json.
 """
 
 from __future__ import annotations
