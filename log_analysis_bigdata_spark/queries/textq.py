@@ -1679,30 +1679,37 @@ def _near_sig_sql() -> str:
 def _near_sig_spark(corpus: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over distinct whitespace
     tokens, each hashed to a 32-bit int via the first 8 md5 hex chars
-    (identical in the DuckDB twin, ``_near_sig_sql``)."""
+    (identical in the DuckDB twin, ``_near_sig_sql``).
+
+    ONE aggregate pass, not 32: the per-bit formulation (32 separate
+    aggregate() expressions over ``hs``) re-inlines the md5 token-hash
+    transform into every vote after CollapseProject — HOF bodies get no
+    CSE — so the md5s ran 32× per row (measured 7.0 s → 2.9 s at sf0.01
+    for the whole edge pipeline). Here the token hashes are folded once
+    into a 32-slot vote array (zip_with inside aggregate), then the
+    votes are reduced to the signature; ``hs`` appears once in the
+    expression tree, so the hashing runs once. Bit-identical output to
+    the per-bit form (verified) and to the SQL twin."""
     tok_hash = F.transform(
         F.array_distinct(F.split(F.trim(F.col("text")), " +")),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
     )
     hs = corpus.select("doc_id", tok_hash.alias("hs"))
-
-    def bit_vote(j: int):
-        # closure factory: a 2-arg lambda would receive (element, index)
-        return lambda h: (F.shiftright(h, j) % 2) * 2 - 1
-
-    simhash = sum(
-        F.when(
-            F.aggregate(
-                F.transform(F.col("hs"), bit_vote(j)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1 << j).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(NEAR_BITS)
-    )
-    return hs.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    # SQL form: the Python shiftright/shiftleft wrappers require literal
+    # bit counts; the SQL expressions accept the lambda-bound j.
+    sim_expr = f"""
+    aggregate(
+      zip_with(
+        aggregate(hs, cast(array_repeat(0L, {NEAR_BITS}) as array<bigint>),
+          (acc, h) -> zip_with(acc,
+            transform(sequence(0, {NEAR_BITS - 1}),
+                      j -> (shiftright(h, j) % 2) * 2 - 1),
+            (a, b) -> a + b)),
+        transform(sequence(0, {NEAR_BITS - 1}), j -> shiftleft(1L, j)),
+        (v, p) -> IF(v > 0, p, 0L)),
+      0L, (acc2, x) -> acc2 + x)
+    """
+    return hs.select("doc_id", F.expr(sim_expr).alias("simhash"))
 
 
 def _near_cand_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
