@@ -128,9 +128,17 @@ HEADLINE = [
     "bpe_token_estimate_docs",
     "crossformat_dedup_docs",
     "incremental_dedup_newbatch",
-    # (stream_stream_join_attribution stays out: its wall time is the
-    # fixed streaming-replay harness cost, already represented in the
-    # headline by ewma_user_value_stateful)
+    "chunk_dedup_retention",
+    # udtf_chunk_docs next to its JVM twin chunk_documents (already in
+    # the list) — shows the Python-UDTF-vs-sequence+explode gap the same
+    # way the pandas demos sit beside their JVM twins
+    "udtf_chunk_docs",
+    "pagerank_supplier_graph",
+    "zorder_locality_events",
+    "incremental_agg_merge_events",
+    # (stream_stream_join_attribution / stream_static_enrich_segments
+    # stay out: their wall time is the fixed streaming-replay harness
+    # cost, already represented by ewma_user_value_stateful)
 ]
 
 

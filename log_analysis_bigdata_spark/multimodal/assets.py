@@ -13,10 +13,13 @@ Operator shapes (all narrow — no shuffle, linear scale-out):
   a video payload becomes a frame row. The mapInPandas generator yields
   multiple output rows per input row, the real plumbing a frame sampler
   needs; at scale each task samples only its partition's assets.
-- :func:`decode_image_stub` — the codec seam. Real decoding needs
-  PIL/ffmpeg (absent here); the stub raises unless ``fake=True``, in
-  which case it emits a deterministic pseudo-decode so the downstream
-  schema/batch contract is testable.
+- :func:`decode_ppm_images` — REAL decode for uncompressed netpbm P6
+  payloads (pure numpy header parse + frombuffer raster; no codec
+  library), same Arrow mapInPandas shape.
+- :func:`decode_image_stub` — the codec seam for COMPRESSED formats.
+  JPEG/PNG/video need PIL/ffmpeg (absent here); the stub raises unless
+  ``fake=True``, in which case it emits a deterministic pseudo-decode so
+  the downstream schema/batch contract is testable.
 - :func:`resize_plan` — pure-column resize arithmetic (target dims,
   scale factors) that would parameterize the decoder.
 """
@@ -222,4 +225,73 @@ def resize_plan(assets: DataFrame, target: int = 224) -> DataFrame:
         F.round(scale, 4).alias("scale"),
         F.round(F.col("width") * scale).cast("int").alias("target_w"),
         F.round(F.col("height") * scale).cast("int").alias("target_h"),
+    )
+
+
+def _parse_ppm(buf: bytes) -> tuple[int, int, int, float]:
+    """Parse one binary netpbm P6 image: header ``P6 <w> <h> <maxval>``
+    (ASCII tokens, ``#`` comments allowed) + one whitespace byte + raw
+    interleaved RGB. Returns (width, height, channels, mean_pixel)."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(buf):
+            c = buf[pos : pos + 1]
+            if c in b" \t\r\n":
+                pos += 1
+            elif c == b"#":
+                nl = buf.find(b"\n", pos)
+                pos = len(buf) if nl < 0 else nl + 1
+            else:
+                break
+        start = pos
+        while pos < len(buf) and buf[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        vals.append(int(buf[start:pos]))
+    w, h, _maxval = vals
+    pos += 1  # exactly one whitespace byte separates header from raster
+    n = w * h * 3
+    if len(buf) < pos + n:
+        raise ValueError("truncated PPM raster")
+    data = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
+    return w, h, 3, (float(data.mean()) if n else 0.0)
+
+
+def decode_ppm_images(assets: DataFrame) -> DataFrame:
+    """REAL image decode — no codec library required — for the
+    uncompressed netpbm P6 (PPM) format: a pure numpy header parse +
+    ``frombuffer`` over the raw RGB raster, run as the same Arrow-batched
+    ``mapInPandas`` shape as :func:`decode_image_stub`. This closes the
+    decode seam for uncompressed payloads; entropy-coded formats
+    (JPEG/PNG/video) still require the env-gated codec path in
+    ``decode_image_stub`` (PIL/ffmpeg absent in this container).
+
+    Scale: narrow per-partition pass, Arrow batch in / Arrow batch out;
+    each task decodes only its partition's assets, so throughput scales
+    with executors exactly like byte_stats.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "mean_pixel": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, c, m = _parse_ppm(bytes(payload))
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["mean_pixel"].append(m)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        decode, DECODED_SCHEMA
     )

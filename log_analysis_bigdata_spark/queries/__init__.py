@@ -54,16 +54,26 @@ _LOADED = False
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
 # on file). Round-6 window (50 slots): the one never-verdicted query
-# first, then every query whose latest verdict dates to round 3 (the
-# oldest remaining cohort — same rotation policy round 5 applied to the
-# r2 cohort), then first verdicts for round-6 additions, then re-checks
-# of round-6-touched code paths.
+# first, then the round-3-latest cohort (the oldest remaining — same
+# rotation policy round 5 applied to the r2 cohort), then first
+# verdicts for every round-6 addition. 1 + 37 + 12 = 50: six r3-cohort
+# members yield their slots to round-6 first verdicts — a never-
+# verdicted query outranks a re-rotation of a triple-green one, and
+# each yielder has an in-window or fresher sibling on its code path:
+# grouped_zscore_window (pandas-zscore twin + the window shapes in
+# quality_decile_stats), ivf_topk_nprobe (ivf_topk r5 shares the IVF
+# pipeline), json_extract_events (variant_props_stats r5 covers the
+# JSON-parse family), unpivot_lineitem_metrics (pivot_daily_event_
+# counts r5, same pivot/melt axis), constant_columns_detect
+# (ml_lr_train_confusion in-window exercises mlq), window_running_value
+# (quality_decile_stats' ntile/window shapes in-window).
 _DRIVER_WINDOW = (
     # (1) VERDICT r5 task 1: the ONLY catalog query with no driver
     # verdict ever (added round 5e, missed that round's window).
     "simhash_near_components",
-    # (2) the 43 queries whose latest verdict is round 3 — rotate the
-    # whole cohort so no entry's newest verdict is older than r4.
+    # (2) the round-3-latest cohort (minus the six slot-yielders
+    # named above) — rotated so no entry's newest verdict is older
+    # than r4.
     "serving_latest_n",
     "serving_stats",
     "serving_compound_filter",
@@ -86,13 +96,9 @@ _DRIVER_WINDOW = (
     "approx_distinct_users",
     "approx_percentile_value",
     "chunk_documents",
-    "constant_columns_detect",
     "contamination_check",
-    "grouped_zscore_window",
     "hash_split_summary",
     "integrity_check_report",
-    "ivf_topk_nprobe",
-    "json_extract_events",
     "knn_join_topk",
     "mixture_weights_lang",
     "ml_lr_train_confusion",
@@ -105,8 +111,6 @@ _DRIVER_WINDOW = (
     "stratified_sample_docs",
     "tfidf_top_terms",
     "unigram_logprob_docs",
-    "unpivot_lineitem_metrics",
-    "window_running_value",
     # (3) new round-6 queries — first verdicts.
     "dedup_pipeline_docs",
     "reservoir_sample_docs",
@@ -114,6 +118,12 @@ _DRIVER_WINDOW = (
     "crossformat_dedup_docs",
     "stream_stream_join_attribution",
     "incremental_dedup_newbatch",
+    "chunk_dedup_retention",
+    "stream_static_enrich_segments",
+    "udtf_chunk_docs",
+    "pagerank_supplier_graph",
+    "zorder_locality_events",
+    "incremental_agg_merge_events",
     # (4) past the 50-slot window (ranked below first verdicts): the
     # re-checks of round-6-touched code paths. Their r4/r5 verdicts
     # stand, and the rewritten components.py + simhash pipeline are
@@ -133,6 +143,8 @@ def all_queries() -> dict[str, QueryDef]:
     if not _LOADED:
         from . import (  # noqa: F401
             corpusq,
+            graphq,
+            layoutq,
             logq,
             mlq,
             multimodalq,

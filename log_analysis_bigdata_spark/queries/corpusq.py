@@ -381,3 +381,98 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("hist_doc_id").alias("first_match"),
         )
     )
+
+
+DEDUP_CHUNK = 20  # non-overlapping token windows for granular dedup
+
+
+@register(
+    "chunk_dedup_retention",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    n AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS tok,
+             len(string_split_regex(trim(text), ' +')) AS n_tok
+      FROM corpus
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(range(CAST(floor((n_tok - 1) / {DEDUP_CHUNK}) AS BIGINT)
+                          + 1)) AS chunk_idx,
+             tok, n_tok
+      FROM n
+    ),
+    h AS (
+      SELECT doc_id, chunk_idx,
+             md5(array_to_string(list_slice(tok,
+                 chunk_idx * {DEDUP_CHUNK} + 1,
+                 least((chunk_idx + 1) * {DEDUP_CHUNK}, n_tok)), ' ')) AS ch
+      FROM ex
+    ),
+    r AS (
+      SELECT doc_id, ch,
+             row_number() OVER (PARTITION BY ch
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM h
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM r GROUP BY doc_id
+    """,
+    tags=("dedup", "chunk", "granular", "c4"),
+)
+def chunk_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) dedup — the C4/RefinedWeb granularity:
+    split every doc into non-overlapping DEDUP_CHUNK(=20)-token windows,
+    keep only each chunk-hash's FIRST occurrence corpus-wide (ordered by
+    (doc_id, chunk_idx) — deterministic, append-stable), and report per
+    doc how many chunks survive. Full-copy docs retain zero chunks;
+    partially-copied docs are trimmed, not dropped — the property that
+    makes chunk dedup strictly stronger than doc-level exact dedup.
+
+    Scale: tokenize+explode is narrow; the only corpus-wide shuffle is
+    the row_number window keyed on the chunk HASH (uniform md5 — no
+    skew); the per-doc rollup then shuffles one row per chunk. No
+    Python, no quadratic step anywhere.
+    """
+    from pyspark.sql import Window
+
+    corpus = _dup_corpus_spark(spark, sf_dir)
+    tok = F.split(F.trim(F.col("text")), " +")
+    n_tok = F.size(tok)
+    n_chunks = F.floor((n_tok - 1) / DEDUP_CHUNK).cast("long") + 1
+    ex = corpus.select(
+        "doc_id",
+        tok.alias("tok"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    h = ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("tok"),
+                    F.col("chunk_idx") * DEDUP_CHUNK + 1,
+                    F.lit(DEDUP_CHUNK),
+                ),
+                " ",
+            )
+        ).alias("ch"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("ch").orderBy("doc_id", "chunk_idx")
+    )
+    r = h.select("doc_id", rn.alias("rn"))
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint")
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        kept.alias("n_kept"),
+        (F.count(F.lit(1)) - kept).cast("bigint").alias("n_dropped"),
+    )

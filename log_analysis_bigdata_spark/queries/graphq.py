@@ -1,0 +1,161 @@
+"""Graph-analytics queries over the relational tables: deterministic
+integer PageRank (the second iterative-algorithm family next to
+operators/components.py's connected components).
+
+Determinism design: PageRank in floating point is NOT cross-engine
+hash-stable (per-key double sums depend on reduction order), so ranks
+are kept in integer micro-units with floor division — addition of
+bigints is order-independent, and ``floor(a * b / c)`` on bigints is
+bit-identical in Spark and DuckDB. The damping update is
+
+    r'(v) = JUMP + Σ_{u→v} floor(DAMP_NUM * r(u) / (DAMP_DEN * outdeg(u)))
+
+with JUMP = 150_000, DAMP_NUM/DAMP_DEN = 850/1000 and r0 = 1_000_000 —
+the classic 0.15/0.85 PageRank scaled by 1e6. A fixed iteration count
+(unrolled in the SQL oracle) replaces the convergence test; three
+rounds on a bipartite customer↔supplier graph is already past the
+point where the top ranks stabilize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+PR_ITERS = 3
+PR_JUMP = 150_000
+PR_DAMP_NUM = 850
+PR_DAMP_DEN = 1000
+PR_INIT = 1_000_000
+SUPP_OFFSET = 10_000_000  # supplier node ids, disjoint from customers
+
+# Directed edge list, both directions: customer ↔ supplier whenever a
+# lineitem links them. Bidirectional edges mean no dangling nodes, so
+# the rank mass lost to floor() is the only leak (identical on both
+# engines).
+_EDGES_SQL = f"""
+      SELECT DISTINCT o.o_custkey AS src,
+             l.l_suppkey + {SUPP_OFFSET} AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      UNION
+      SELECT DISTINCT l.l_suppkey + {SUPP_OFFSET} AS src,
+             o.o_custkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _pr_step_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT e.dst AS node,
+             {PR_JUMP} + CAST(coalesce(sum(
+               ({PR_DAMP_NUM} * r.rank) // ({PR_DAMP_DEN} * d.outdeg)
+             ), 0) AS BIGINT) AS rank
+      FROM edges e
+      JOIN {prev} r ON r.node = e.src
+      JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    )"""
+
+
+@register(
+    "pagerank_supplier_graph",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({PR_INIT} AS BIGINT) AS rank FROM deg),
+    {_pr_step_sql("r0", "r1")},
+    {_pr_step_sql("r1", "r2")},
+    {_pr_step_sql("r2", "r3")}
+    SELECT node, rank FROM r3
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """,
+    tags=("graph", "pagerank", "iterative"),
+)
+def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the customer↔supplier order graph, 3
+    rounds, top-20 nodes. The driver loop is the standard Spark
+    iterative discipline (operators/components.py): each round is one
+    edges⋈ranks join + a groupBy(dst) sum, the new rank frame is
+    localCheckpoint-ed (eager) so round N's plan never re-derives rounds
+    1..N-1, and the edge/degree frames are materialized ONCE before the
+    loop. Integer micro-unit arithmetic makes every round's output
+    bit-identical to the unrolled-CTE oracle (module docstring).
+
+    Scale: per round, one shuffle of the edge list keyed on src (join)
+    and one on dst (agg) — the same budget as one round of label
+    propagation; ranks/degrees are node-sized. Top-20 is
+    TakeOrderedAndProject, no full sort.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("c"),
+        (F.col("l_suppkey") + SUPP_OFFSET).alias("s"),
+    )
+    edges = (
+        cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select(
+        "node", F.lit(PR_INIT).cast("bigint").alias("rank")
+    ).localCheckpoint(eager=True)
+    contrib_src = edges.join(
+        deg.withColumnRenamed("node", "src"), "src"
+    ).localCheckpoint(eager=True)  # (src, dst, outdeg), reused every round
+    # Same loop-shuffle sizing as operators/components.py: per-round
+    # joins/aggs should shuffle at edge-set scale, not the session's
+    # corpus-scale default (restored in finally).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = contrib_src.count()
+    loop_parts = max(1, min(int(prev_parts), n_edges // 200_000 + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        ranks = _pr_loop(contrib_src, ranks)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+def _pr_loop(contrib_src: DataFrame, ranks: DataFrame) -> DataFrame:
+    for _ in range(PR_ITERS):
+        step = (
+            contrib_src.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(PR_JUMP)
+                    + F.coalesce(
+                        # SQL `div`: exact bigint division (the Python
+                        # `/` operator would route through double)
+                        F.sum(
+                            F.expr(
+                                f"({PR_DAMP_NUM} * rank) div "
+                                f"({PR_DAMP_DEN} * outdeg)"
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                )
+                .cast("bigint")
+                .alias("rank")
+            )
+        )
+        ranks = step.localCheckpoint(eager=True)
+    return ranks

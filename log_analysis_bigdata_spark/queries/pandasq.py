@@ -276,3 +276,72 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id bigint, n_events bigint, total_value double, n_orders bigint",
         )
     )
+
+
+@register(
+    "udtf_chunk_docs",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS tok,
+             len(string_split_regex(trim(text), ' +')) AS n_tok
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, tok, n_tok,
+             unnest(range(CAST(floor((n_tok - 1) / 15) AS BIGINT) + 1))
+               AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(list_slice(tok, chunk_idx * 15 + 1,
+             least(chunk_idx * 15 + 20, n_tok)), ' ') AS chunk_text
+    FROM ex
+    """,
+    tags=("udtf", "python", "chunking", "weak-by-design"),
+)
+def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 3.5+/4 ``@udtf``): the one Python
+    execution shape the module docstring's inventory was missing — a
+    table function yielding N output rows per input row, lateral-joined
+    in SQL. Demonstrated on the chunk_documents spec (size-20/stride-15
+    sliding token windows) so the DuckDB oracle can verify the UDTF
+    path end-to-end. Runs as ``ArrowEvalPythonUDTF`` — the session
+    factory pins ``spark.sql.execution.pythonUDTF.arrow.enabled`` so
+    batches cross to Python via Arrow, not row pickling (plan_audit
+    treats row-serialized BatchEvalPython as a violation).
+
+    WEAK-BY-DESIGN, same pattern as per_user_model_fit: even Arrow-fed,
+    eval() is a per-row Python generator, so the JVM sequence+explode
+    twin ``chunk_documents`` is the 100 TB path — this entry proves the
+    API works and matches it bit-for-bit. Reach for a real UDTF only
+    when the per-row expansion is imperative/stateful in a way HOFs
+    can't express (e.g. a tokenizer with carry-over state).
+    """
+    import re
+    import uuid
+
+    from pyspark.sql.functions import lit, udtf
+
+    from .textq import CHUNK_SIZE, CHUNK_STRIDE
+
+    @udtf(returnType="doc_id bigint, chunk_idx bigint, chunk_text string")
+    class ChunkUdtf:
+        def eval(self, doc_id, text):  # noqa: ANN001 — runtime-typed row fn
+            toks = re.split(" +", text.strip()) if text is not None else []
+            n_tok = len(toks)
+            n_chunks = (max(n_tok - 1, 0)) // CHUNK_STRIDE + 1
+            for i in range(n_chunks):
+                start = i * CHUNK_STRIDE
+                yield (
+                    doc_id,
+                    i,
+                    " ".join(toks[start : start + CHUNK_SIZE]),
+                )
+
+    fn = f"chunk_udtf_{uuid.uuid4().hex[:10]}"
+    view = f"docs_{uuid.uuid4().hex[:10]}"
+    spark.udtf.register(fn, ChunkUdtf)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT c.doc_id, c.chunk_idx, c.chunk_text "
+        f"FROM {view}, LATERAL {fn}(doc_id, text) AS c"
+    )

@@ -299,3 +299,65 @@ def stream_stream_join_attribution(
             F.min(lag).alias("min_lag_sec"),
         )
     )
+
+
+@register(
+    "stream_static_enrich_segments",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS total_value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "stream-static-join", "enrichment", "broadcast"),
+)
+def stream_static_enrich_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static enrichment — the dimension-join every event
+    pipeline runs: a STREAMING events source joined to the static
+    customer table (market segment), aggregated per segment, replayed
+    with availableNow. The static side needs no watermark and no state:
+    Spark re-plans it per micro-batch and (small dim) broadcasts it, so
+    the stream is enriched map-side — at 100 TB/day of events the dim
+    join costs zero shuffles of the stream. Money sums are per-item
+    integer cents (package determinism rules).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table, load_table_stream
+
+    ev = load_table_stream(spark, sf_dir, "events").select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_value_cents"),
+    )
+
+    qname = f"ss_enrich_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ssenrich_ckpt_")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname)

@@ -49,6 +49,10 @@ def get_spark(
         # for its local top-m pass — pinning makes that a session
         # invariant instead of a config sensitivity (VERDICT r5 #6).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python UDTFs run Arrow-batched (ArrowEvalPythonUDTF), not
+        # row-serialized BatchEvalPython — same policy as the pandas
+        # UDF surface; plan_audit treats BatchEvalPython as a violation
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

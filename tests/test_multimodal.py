@@ -81,3 +81,48 @@ def test_decode_stub_fake_contract(spark):
     assert len(rows) == n_images
     for r in rows:
         assert r["channels"] in (0, 1)
+
+
+def test_decode_ppm_images_real_decode(spark):
+    """The REAL decode path (no codec library): deterministic P6 PPM
+    payloads — gradient rasters with known exact means, a header comment,
+    multi-digit dims — decode through the Arrow mapInPandas operator to
+    exact (width, height, channels, mean_pixel)."""
+    import numpy as np
+
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _parse_ppm,
+        decode_ppm_images,
+    )
+
+    def ppm(w, h, comment=False):
+        raster = (np.arange(w * h * 3, dtype=np.int64) % 251).astype(np.uint8)
+        head = b"P6\n" + (b"# synthetic\n" if comment else b"")
+        head += f"{w} {h}\n255\n".encode()
+        return head + raster.tobytes(), float(raster.mean())
+
+    payloads = [ppm(4, 3), ppm(17, 9, comment=True), ppm(128, 2)]
+    # pure-python parser agrees with the construction
+    for buf, mean in payloads:
+        w, h, c, m = _parse_ppm(buf)
+        assert c == 3 and m == mean
+
+    df = spark.createDataFrame(
+        [(i, bytearray(buf)) for i, (buf, _) in enumerate(payloads)],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in decode_ppm_images(df).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (4, 3)
+    assert (got[1]["width"], got[1]["height"]) == (17, 9)
+    assert (got[2]["width"], got[2]["height"]) == (128, 2)
+    for i, (_, mean) in enumerate(payloads):
+        assert got[i]["channels"] == 3
+        assert got[i]["mean_pixel"] == mean  # exact — uint8 mean is finite
+
+    # malformed payloads fail loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_ppm(b"P5\n1 1\n255\n\x00")  # P5 is not P6
+    with _pytest.raises(ValueError):
+        _parse_ppm(b"P6\n4 4\n255\n\x00\x00")  # truncated raster
