@@ -136,6 +136,7 @@ HEADLINE = [
     "pagerank_supplier_graph",
     "zorder_locality_events",
     "incremental_agg_merge_events",
+    "semdedup_embedding_cells",
     # (stream_stream_join_attribution / stream_static_enrich_segments
     # stay out: their wall time is the fixed streaming-replay harness
     # cost, already represented by ewma_user_value_stateful)

@@ -56,22 +56,24 @@ _LOADED = False
 # on file). Round-6 window (50 slots): the one never-verdicted query
 # first, then the round-3-latest cohort (the oldest remaining — same
 # rotation policy round 5 applied to the r2 cohort), then first
-# verdicts for every round-6 addition. 1 + 37 + 12 = 50: six r3-cohort
-# members yield their slots to round-6 first verdicts — a never-
-# verdicted query outranks a re-rotation of a triple-green one, and
-# each yielder has an in-window or fresher sibling on its code path:
-# grouped_zscore_window (pandas-zscore twin + the window shapes in
-# quality_decile_stats), ivf_topk_nprobe (ivf_topk r5 shares the IVF
-# pipeline), json_extract_events (variant_props_stats r5 covers the
-# JSON-parse family), unpivot_lineitem_metrics (pivot_daily_event_
+# verdicts for every round-6 addition. 1 + 36 + 13 = 50: seven
+# r3-cohort members yield their slots to round-6 first verdicts — a
+# never-verdicted query outranks a re-rotation of a triple-green one,
+# and each yielder has an in-window or fresher sibling on its code
+# path: grouped_zscore_window (pandas-zscore twin + the window shapes
+# in quality_decile_stats), ivf_topk_nprobe (ivf_topk r5 shares the
+# IVF pipeline), json_extract_events (variant_props_stats r5 covers
+# the JSON-parse family), unpivot_lineitem_metrics (pivot_daily_event_
 # counts r5, same pivot/melt axis), constant_columns_detect
 # (ml_lr_train_confusion in-window exercises mlq), window_running_value
-# (quality_decile_stats' ntile/window shapes in-window).
+# (quality_decile_stats' ntile/window shapes in-window), and
+# chunk_documents (in-window udtf_chunk_docs oracle-verifies the
+# IDENTICAL size-20/stride-15 chunking spec).
 _DRIVER_WINDOW = (
     # (1) VERDICT r5 task 1: the ONLY catalog query with no driver
     # verdict ever (added round 5e, missed that round's window).
     "simhash_near_components",
-    # (2) the round-3-latest cohort (minus the six slot-yielders
+    # (2) the round-3-latest cohort (minus the seven slot-yielders
     # named above) — rotated so no entry's newest verdict is older
     # than r4.
     "serving_latest_n",
@@ -95,7 +97,6 @@ _DRIVER_WINDOW = (
     "q22_dormant_customers",
     "approx_distinct_users",
     "approx_percentile_value",
-    "chunk_documents",
     "contamination_check",
     "hash_split_summary",
     "integrity_check_report",
@@ -124,6 +125,7 @@ _DRIVER_WINDOW = (
     "pagerank_supplier_graph",
     "zorder_locality_events",
     "incremental_agg_merge_events",
+    "semdedup_embedding_cells",
     # (4) past the 50-slot window (ranked below first verdicts): the
     # re-checks of round-6-touched code paths. Their r4/r5 verdicts
     # stand, and the rewritten components.py + simhash pipeline are

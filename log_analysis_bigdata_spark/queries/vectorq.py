@@ -791,3 +791,106 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "semdedup_embedding_cells",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    e AS (
+      SELECT a.vec_id, a.cell, e.embedding,
+             {_NORM_SQL.format(a="e.embedding")} AS nrm
+      FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+    ),
+    pairs AS (
+      SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b
+      FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE round({_DOT_SQL.format(a="x.embedding", b="y.embedding")}
+                  / (x.nrm * y.nrm), 4) >= {NEAR_DUP_THRESHOLD!r}
+    ),
+    cells AS (SELECT cell, count(*) AS n_members FROM assign GROUP BY cell),
+    p AS (
+      SELECT cell, count(*) AS n_dup_pairs,
+             count(DISTINCT id_b) AS n_dropped
+      FROM pairs GROUP BY cell
+    )
+    SELECT c.cell, c.n_members,
+           CAST(coalesce(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(p.n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM cells c LEFT JOIN p ON p.cell = c.cell
+    """,
+    tags=("dedup", "embedding", "semdedup", "clustering"),
+)
+def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, public
+    arXiv:2303.09540 recipe): cluster embeddings with the coarse
+    k-means quantizer, compare pairs ONLY within a cluster, and drop the
+    higher-id member of every near-duplicate pair (the deterministic
+    stand-in for "farther from centroid"). Per cell the output reports
+    members, dup pairs, and docs a dedup pass would drop.
+
+    This is the third leg of the embedding-dedup family: LSH-banded
+    pairs (embedding_near_dup) probe by hash buckets, components
+    (dedup_components) resolve transitive clusters, SemDeDup bounds the
+    quadratic step by CLUSTER size — the shape that scales to billions
+    of embeddings because k grows with N, keeping cells ~constant-sized:
+    the all-pairs step is O(N·cell_size), never O(N²), and each cell's
+    pairs compute inside one partition after one shuffle on cell id.
+    Centroids are k×d doubles → broadcast; assignment is narrow.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        (F.col("vec_id") % IVF_CELLS).alias("seed_cell"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id", "seed_cell", "dim", F.col("x").cast("double").alias("x")
+    )
+    cent = dims.groupBy(F.col("seed_cell").alias("c"), "dim").agg(
+        F.avg("x").alias("cx")
+    )
+    dist = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+            ).alias("d2")
+        )
+    )
+    assign = dist.groupBy("vec_id").agg(F.min_by("c", "d2").alias("cell"))
+    e = assign.join(emb, "vec_id").select(
+        "vec_id", "cell", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    x = e.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    y = e.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+    )
+    pairs = (
+        x.join(y, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= NEAR_DUP_THRESHOLD)
+        .select("cell", "id_a", "id_b")
+    )
+    cells = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    p = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("dp"),
+        F.countDistinct("id_b").alias("dr"),
+    )
+    return cells.join(p, "cell", "left").select(
+        "cell",
+        "n_members",
+        F.coalesce("dp", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+        F.coalesce("dr", F.lit(0)).cast("bigint").alias("n_dropped"),
+    )

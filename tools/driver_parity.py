@@ -96,6 +96,25 @@ def main() -> int:
     spark.range(1000).repartition(8).select(_warm(col("id"))).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ...and the join/agg/sort/HOF codegen paths: whichever query runs
+    # first otherwise absorbs their one-time JIT (measured ~5s of the
+    # slot-1 query's wall time — it made slot-1 simhash_near_components
+    # look 2x slower in EVIDENCE_r05/r06 than the same query mid-sweep).
+    a = spark.range(2000).selectExpr(
+        "id", "id % 7 AS k", "array_repeat(id, 4) AS arr"
+    )
+    (
+        a.join(a.selectExpr("id AS id2", "id % 7 AS k"), "k")
+        .selectExpr(
+            "k",
+            "aggregate(arr, 0L, (acc, x) -> acc + x) AS s",
+            "row_number() OVER (PARTITION BY k ORDER BY id) AS rn",
+        )
+        .groupBy("k")
+        .agg({"s": "sum", "rn": "max"})
+        .orderBy("k")
+        .write.format("noop").mode("overwrite").save()
+    )
     con = duck_connection(sf)
     queries = all_queries()
     n_fail = 0
