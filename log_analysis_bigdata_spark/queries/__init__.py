@@ -56,7 +56,7 @@ _LOADED = False
 # on file). Round-6 window (50 slots): the one never-verdicted query
 # first, then the round-3-latest cohort (the oldest remaining — same
 # rotation policy round 5 applied to the r2 cohort), then first
-# verdicts for every round-6 addition. 1 + 36 + 13 = 50: seven
+# verdicts for every round-6 addition. 1 + 35 + 14 = 50: eight
 # r3-cohort members yield their slots to round-6 first verdicts — a
 # never-verdicted query outranks a re-rotation of a triple-green one,
 # and each yielder has an in-window or fresher sibling on its code
@@ -68,12 +68,14 @@ _LOADED = False
 # (ml_lr_train_confusion in-window exercises mlq), window_running_value
 # (quality_decile_stats' ntile/window shapes in-window), and
 # chunk_documents (in-window udtf_chunk_docs oracle-verifies the
-# IDENTICAL size-20/stride-15 chunking spec).
+# IDENTICAL size-20/stride-15 chunking spec), approx_percentile_value
+# (weakest yield claim, acknowledged: approx_distinct_users stays
+# in-window from the same approx-sketch agg family and file section).
 _DRIVER_WINDOW = (
     # (1) VERDICT r5 task 1: the ONLY catalog query with no driver
     # verdict ever (added round 5e, missed that round's window).
     "simhash_near_components",
-    # (2) the round-3-latest cohort (minus the seven slot-yielders
+    # (2) the round-3-latest cohort (minus the eight slot-yielders
     # named above) — rotated so no entry's newest verdict is older
     # than r4.
     "serving_latest_n",
@@ -96,7 +98,6 @@ _DRIVER_WINDOW = (
     "q21_final_shipper",
     "q22_dormant_customers",
     "approx_distinct_users",
-    "approx_percentile_value",
     "contamination_check",
     "hash_split_summary",
     "integrity_check_report",
@@ -126,6 +127,7 @@ _DRIVER_WINDOW = (
     "zorder_locality_events",
     "incremental_agg_merge_events",
     "semdedup_embedding_cells",
+    "arrow_map_embedding_norms",
     # (4) past the 50-slot window (ranked below first verdicts): the
     # re-checks of round-6-touched code paths. Their r4/r5 verdicts
     # stand, and the rewritten components.py + simhash pipeline are

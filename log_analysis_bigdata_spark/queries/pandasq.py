@@ -2,10 +2,13 @@
 pandas_udf grouped aggregation.
 
 Together with the scalar pandas UDF (mlq.ml_score_embeddings), the
-mapInPandas operators (multimodal), and applyInPandasWithState
-(streaming.stateful), this completes every Python-execution shape Spark
-offers — each used only where column expressions genuinely can't express
-the computation, each Arrow-batched, never row-at-a-time.
+mapInPandas operators (multimodal), applyInPandasWithState
+(streaming.stateful), the cogroup applyInPandas (relational), and —
+added round 6 — the Python UDTF (udtf_chunk_docs, ArrowEvalPythonUDTF)
+and raw-Arrow mapInArrow (arrow_map_embedding_norms), this completes
+every Python-execution shape Spark offers — each used only where column
+expressions genuinely can't express the computation, each
+Arrow-batched, never row-at-a-time.
 
 Both queries here are chosen to be SQL-recomputable so the DuckDB oracle
 can verify the UDF path end-to-end (same trick as ml_score_embeddings).
@@ -344,4 +347,75 @@ def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT c.doc_id, c.chunk_idx, c.chunk_text "
         f"FROM {view}, LATERAL {fn}(doc_id, text) AS c"
+    )
+
+
+@register(
+    "arrow_map_embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+             AS l2_norm,
+           round(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_aggregate(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')),
+                 4) AS unit_first
+    FROM embeddings
+    """,
+    tags=("arrow", "mapInArrow", "vector"),
+)
+def arrow_map_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface — RecordBatches cross to Python as raw
+    pyarrow (no pandas materialization), the right shape when the
+    computation is numpy-vectorizable over Arrow buffers: here the
+    embedding ListArray's values buffer is reshaped (fixed dim) and the
+    per-row L2 norm + first normalized component come from two
+    vectorized numpy passes, zero per-row Python. Compared to the
+    pandas_udf path this skips the Arrow→pandas conversion entirely —
+    the choice for binary/tensor columns where pandas object boxing
+    dominates. The JVM HOF twin is embedding_norms (vectorq): built-in
+    aggregate/transform remains the 100 TB default; mapInArrow is for
+    logic that genuinely needs numpy/scipy kernels.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..catalog import load_table
+
+    def norms(batches):
+        for batch in batches:
+            vec_id = batch.column(0)
+            emb = batch.column(1)
+            offsets = emb.offsets.to_numpy()
+            lengths = np.diff(offsets)
+            values = emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            if len(lengths) and (lengths == lengths[0]).all():
+                m = values.reshape(-1, int(lengths[0]))
+                sums = (m * m).sum(axis=1)
+                first = m[:, 0]
+            else:  # ragged fallback (not hit by this table's fixed dim)
+                sums = np.array(
+                    [float((values[s:e] ** 2).sum())
+                     for s, e in zip(offsets[:-1], offsets[1:])]
+                )
+                first = np.array(
+                    [values[s] if e > s else np.nan
+                     for s, e in zip(offsets[:-1], offsets[1:])]
+                )
+            nrm = np.sqrt(sums)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    pa.array(np.round(nrm, 4)),
+                    pa.array(np.round(first / nrm, 4)),
+                ],
+                names=["vec_id", "l2_norm", "unit_first"],
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(
+        norms, "vec_id long, l2_norm double, unit_first double"
     )

@@ -244,7 +244,11 @@ def stream_stream_join_attribution(
     Time math is floor-to-epoch-second on both engines (package
     determinism rules). Inner join only here: outer stream-stream joins
     emit null-padded rows on watermark expiry, whose timing is not
-    oracle-reproducible row-for-row.
+    oracle-reproducible row-for-row. The per-run memory-sink table
+    (uuid-named to avoid collisions with a still-active prior query) is
+    pair-count-sized and lives until the session ends — the bounded
+    trade the checkpoint dir cleanup in finally doesn't cover, since the
+    returned DataFrame still reads it.
     """
     import shutil
     import tempfile
@@ -323,7 +327,9 @@ def stream_static_enrich_segments(
     Spark re-plans it per micro-batch and (small dim) broadcasts it, so
     the stream is enriched map-side — at 100 TB/day of events the dim
     join costs zero shuffles of the stream. Money sums are per-item
-    integer cents (package determinism rules).
+    integer cents (package determinism rules). The uuid-named memory
+    sink is 5-rows-sized and session-lifetime (same bounded trade as
+    stream_stream_join_attribution).
     """
     import shutil
     import tempfile

@@ -164,3 +164,66 @@ def write_jdbc(
     for k, v in options.items():
         writer = writer.option(k, v)
     return writer
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-running ingest needs: streaming/append jobs leave thousands of
+    KB-sized parquet files whose per-file open/footer/task overhead
+    eventually dominates scan cost. Rewrite the table into
+    ceil(total_bytes / target_file_bytes) files (~HDFS-block-sized by
+    default) and atomically swap directories; data is byte-identical
+    (same rows, new layout).
+
+    Scale notes: the rewrite is one distributed job — a scan +
+    coalesce(n_out) write, no shuffle (coalesce narrows; row order
+    within files may change, which parquet tables don't guarantee
+    anyway). At 100 TB you run this per-PARTITION (date=.../hour=...)
+    so each compaction touches only closed partitions, and swap via the
+    metastore; the directory swap here is the filesystem-table
+    rendering of the same idea. Returns {files_before, files_after,
+    bytes_total} for the maintenance log.
+    """
+    import glob as _glob
+    import math
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    files = [
+        f
+        for f in _glob.glob(_os.path.join(path, "**", "*.parquet"),
+                            recursive=True)
+        if _os.path.isfile(f)
+    ]
+    n_before = len(files)
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+
+    tmp = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:10]}"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(
+        tmp
+    )
+    old = f"{path.rstrip('/')}__old_{_uuid.uuid4().hex[:10]}"
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old)
+
+    n_after = len(
+        [
+            f
+            for f in _glob.glob(
+                _os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+            if _os.path.isfile(f)
+        ]
+    )
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "bytes_total": total,
+    }

@@ -428,3 +428,31 @@ def test_python_datasource_hdfslog_rotation(spark, tmp_path):
     rows, off3 = reader.read(off2)
     assert [r[0] for r in rows] == ["fresh2"]
     assert off3[str(f1)] == 2
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: 64 tiny files -> a handful of
+    target-sized ones, rows byte-identical, maintenance stats
+    reported."""
+    from log_analysis_bigdata_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "events_small_files")
+    (
+        spark.range(10_000)
+        .selectExpr("id", "id % 97 AS k", "cast(id * 1.5 as double) AS v")
+        .repartition(64)
+        .write.parquet(path)
+    )
+    before = spark.read.parquet(path)
+    want = sorted(map(tuple, before.collect()))
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 64
+
+    stats = compact_parquet(spark, path, target_file_bytes=64 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 64
+    assert stats["files_after"] == len(glob.glob(path + "/*.parquet"))
+
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == want  # same rows, new layout
