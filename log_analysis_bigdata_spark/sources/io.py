@@ -170,6 +170,7 @@ def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Small-file compaction — the table-maintenance pass every
     long-running ingest needs: streaming/append jobs leave thousands of
@@ -205,9 +206,13 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / target_file_bytes))
 
     tmp = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:10]}"
-    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(
-        tmp
-    )
+    # hive-partitioned tables must be rewritten WITH partitionBy or the
+    # key=value directory layout (and its partition pruning) is lost —
+    # the partition keys would silently become plain data columns
+    writer = spark.read.parquet(path).coalesce(n_out).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     old = f"{path.rstrip('/')}__old_{_uuid.uuid4().hex[:10]}"
     _os.rename(path, old)
     _os.rename(tmp, path)

@@ -11,7 +11,10 @@ docstrings claim:
 - space-saving bounds: est − err ≤ true ≤ est, and every key with true
   count > N/m is monitored (streaming/stateful.py:_update_topk);
 - stateful EWMA: folding a stream in arbitrary micro-batch chunks
-  equals the one-shot fold (streaming/stateful.py:_update_ewma).
+  equals the one-shot fold (streaming/stateful.py:_update_ewma);
+- Z-order tiles: equal z-buckets imply equal coordinate high bits on
+  BOTH dimensions — the file-skipping envelope claim in
+  queries/layoutq.py:zorder_locality_events.
 """
 
 from __future__ import annotations
@@ -167,3 +170,52 @@ def test_ewma_chunked_fold_equals_oneshot(values, split):
     assert one.iloc[0]["n_events"] == two.iloc[0]["n_events"] == len(values)
     e1, e2 = one.iloc[0]["ewma"], two.iloc[0]["ewma"]
     assert e1 == e2 or (pd.isna(e1) and pd.isna(e2))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_zorder_bucket_implies_tile_locality(points):
+    """The data-skipping claim behind zorder_locality_events, as pure
+    math: two points whose z-values share all bits above Z_BUCKET_SHIFT
+    (= same z-bucket) agree on every coordinate bit above
+    Z_BUCKET_SHIFT/2 — i.e. they lie in the same 64x64 (u, h) tile, so a
+    bucket's min/max envelope on EITHER dimension is at most 63 wide.
+    This is what makes per-file min/max stats prune both columns."""
+    from log_analysis_bigdata_spark.queries.layoutq import (
+        Z_BUCKET_SHIFT,
+        _z_interleave_sql,
+    )
+
+    def z(u, h):
+        v = 0
+        for j in range(16):
+            v |= ((u >> j) & 1) << (2 * j)
+            v |= ((h >> j) & 1) << (2 * j + 1)
+        return v
+
+    # the python model matches the SQL expression's arithmetic by
+    # construction (same formula); sanity-check one term count
+    assert _z_interleave_sql("u", "h").count("+") == 31
+
+    tile_bits = Z_BUCKET_SHIFT // 2
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for u, h in points:
+        buckets[z(u, h) >> Z_BUCKET_SHIFT].append((u, h))
+    for members in buckets.values():
+        us = [u for u, _ in members]
+        hs = [h for _, h in members]
+        assert max(us) - min(us) < (1 << tile_bits)
+        assert max(hs) - min(hs) < (1 << tile_bits)
+        # stronger: identical high bits, not merely nearby
+        assert len({u >> tile_bits for u in us}) == 1
+        assert len({h >> tile_bits for h in hs}) == 1

@@ -456,3 +456,35 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
 
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == want  # same rows, new layout
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a hive-partitioned table with partition_by keeps the
+    key=value directory layout (and therefore partition pruning); rows
+    identical."""
+    from log_analysis_bigdata_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "events_partitioned")
+    (
+        spark.range(2_000)
+        .selectExpr("id", "id % 4 AS day", "cast(id * 2.5 as double) AS v")
+        .repartition(16)
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    import glob
+    import os
+
+    assert len(glob.glob(path + "/day=*/*.parquet")) >= 16
+
+    stats = compact_parquet(
+        spark, path, target_file_bytes=10 * 1024 * 1024,
+        partition_by=["day"],
+    )
+    # layout preserved: still hive dirs, fewer files per partition
+    days = sorted(os.path.basename(d) for d in glob.glob(path + "/day=*"))
+    assert days == ["day=0", "day=1", "day=2", "day=3"]
+    assert stats["files_after"] < stats["files_before"]
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == want

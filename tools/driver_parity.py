@@ -115,6 +115,11 @@ def main() -> int:
         .orderBy("k")
         .write.format("noop").mode("overwrite").save()
     )
+    # ...and the localCheckpoint path the iterative operators
+    # (components, pagerank) hit on their first round
+    spark.range(4000).selectExpr(
+        "id % 13 AS a", "id % 7 AS b"
+    ).distinct().localCheckpoint(eager=True).count()
     con = duck_connection(sf)
     queries = all_queries()
     n_fail = 0
