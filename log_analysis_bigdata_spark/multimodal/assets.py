@@ -251,7 +251,11 @@ def _parse_ppm(buf: bytes) -> tuple[int, int, int, float]:
         if start == pos:
             raise ValueError("malformed PPM header")
         vals.append(int(buf[start:pos]))
-    w, h, _maxval = vals
+    w, h, maxval = vals
+    if maxval != 255:
+        # maxval > 255 means 2 bytes/sample — reading the raster as
+        # uint8 would silently produce garbage stats, so fail loudly
+        raise ValueError(f"only 8-bit P6 supported (maxval {maxval})")
     pos += 1  # exactly one whitespace byte separates header from raster
     n = w * h * 3
     if len(buf) < pos + n:

@@ -20,8 +20,31 @@ unexecutable plan — the standard Spark iterative-algorithm discipline
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def loop_parallelism(spark, n_rows: int, rows_per_partition: int = 200_000):
+    """Scope spark.sql.shuffle.partitions to an iterative loop, sized to
+    the loop's OWN working set (edge/rank frames) instead of the
+    session's corpus-scale default: a 4k-edge graph at 32 shuffle
+    partitions pays ~32x the task-scheduling cost per round for zero
+    parallelism gain (measured 3.7s -> 2.3s for the label-propagation
+    loop at sf0.01). Never above the session default, so a 100 TB edge
+    set keeps full parallelism; the conf is restored on exit. Session-
+    scoped, single-driver-thread assumption — shared by
+    connected_components and queries/graphq's PageRank so the two
+    iterative operators cannot drift apart."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(1, min(int(prev), n_rows // rows_per_partition + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def connected_components(
@@ -58,23 +81,10 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # Size the loop's shuffle parallelism to the EDGE SET, not the
-    # session's corpus-scale default: each round is 2 joins + an agg
-    # over the (usually tiny) edge/label frames, and a near-dup graph at
-    # sf0.01 is ~4k edges — 32-partition shuffles per round pay ~32×
-    # the task-scheduling cost for zero parallelism gain (measured
-    # 3.7 s → 2.3 s for the whole loop). ~200k edges per partition;
-    # never above the session default, so a 100 TB edge set keeps full
-    # parallelism. Restored in finally — the conf is session-scoped.
-    spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    n_edges = sym.count()  # sym is already materialized; this is cheap
-    loop_parts = max(1, min(int(prev_parts), n_edges // 200_000 + 1))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # sym is already materialized, so the edge count is cheap; see
+    # loop_parallelism for why rounds shuffle at edge-set scale
+    with loop_parallelism(edges.sparkSession, sym.count()):
         labels = _propagate(sym, labels, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels
 
 

@@ -66,20 +66,29 @@ def band_digests(sh: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) distinct LSH candidates, doc_a < doc_b: unpivot
-    the two band digests to (band_idx, digest) rows and equi-self-join
-    on that composite key — one hash shuffle on the LSH bucket key, the
-    union-of-per-band-joins plan expressed as a single join."""
-    long = bands.select(
-        "doc_id",
+def band_long(bands: DataFrame, id_alias: str = "doc_id") -> DataFrame:
+    """(id, bi, d): unpivot the two band digests to (band_idx, digest)
+    rows — THE LSH bucket key every candidate join shuffles or
+    broadcasts on. One definition, shared by the self-join pipeline
+    below and the batch-vs-history probe (queries/corpusq), so a band
+    layout change cannot silently diverge between them."""
+    return bands.select(
+        F.col("doc_id").alias(id_alias),
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("bi"), F.col("band0").alias("d")),
                 F.struct(F.lit(1).alias("bi"), F.col("band1").alias("d")),
             )
         ).alias("bd"),
-    ).select("doc_id", F.col("bd.bi").alias("bi"), F.col("bd.d").alias("d"))
+    ).select(id_alias, F.col("bd.bi").alias("bi"), F.col("bd.d").alias("d"))
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct LSH candidates, doc_a < doc_b: unpivot
+    the two band digests to (band_idx, digest) rows and equi-self-join
+    on that composite key — one hash shuffle on the LSH bucket key, the
+    union-of-per-band-joins plan expressed as a single join."""
+    long = band_long(bands)
     a = long.select(F.col("doc_id").alias("doc_a"), "bi", "d")
     b = long.select(F.col("doc_id").alias("doc_b"), "bi", "d")
     return (
@@ -112,6 +121,11 @@ def minhash_dedup_pipeline(corpus: DataFrame) -> DataFrame:
     sh = shingle_sets(corpus).persist()  # shingle arrays feed 3 stages
     ver = verify_jaccard(candidate_pairs(band_digests(sh)), sh)
     comp = connected_components(ver, src="doc_a", dst="doc_b")
+    # comp is localCheckpoint-materialized inside connected_components,
+    # so the returned frame no longer reads the shingle cache — release
+    # it now instead of leaking one cached copy per invocation into the
+    # session-lifetime cache manager (bench runs each entry 3x)
+    sh.unpersist(blocking=False)
     out = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max("node").alias("max_doc_id"),
@@ -119,3 +133,39 @@ def minhash_dedup_pipeline(corpus: DataFrame) -> DataFrame:
         F.col("component").alias("keep_doc_id"), "n_members", "max_doc_id"
     )
     return out
+
+
+def incremental_verified_matches(
+    hist_sh: DataFrame, new_sh: DataFrame
+) -> DataFrame:
+    """(new_doc_id, hist_doc_id) verified near-matches of a NEW batch
+    against the historical corpus: the batch's band digests are
+    BROADCAST against the history band index (history is scanned, never
+    shuffled, for candidate generation), then candidates verify with
+    the integer-exact Jaccard. Returned LAZY so callers can explain the
+    plan (tests/test_plans.py asserts the broadcast + shuffle budget)
+    or materialize it (queries/corpusq checkpoints it to release the
+    shingle caches)."""
+    cand = (
+        band_long(band_digests(hist_sh), "hist_doc_id")
+        .join(
+            F.broadcast(band_long(band_digests(new_sh), "new_doc_id")),
+            ["bi", "d"],
+        )
+        .select("new_doc_id", "hist_doc_id")
+        .distinct()
+    )
+    sn = new_sh.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.array_distinct("sh").alias("sh_n"),
+    )
+    sh2 = hist_sh.select(
+        F.col("doc_id").alias("hist_doc_id"),
+        F.array_distinct("sh").alias("sh_h"),
+    )
+    j = cand.join(sn, "new_doc_id").join(sh2, "hist_doc_id")
+    inter = F.size(F.array_intersect("sh_n", "sh_h"))
+    union = F.size(F.array_distinct(F.concat("sh_n", "sh_h")))
+    return j.filter(
+        F.lit(JACCARD_DEN) * inter >= F.lit(JACCARD_NUM) * union
+    ).select("new_doc_id", "hist_doc_id")

@@ -329,48 +329,21 @@ def incremental_dedup_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_matches (0 = novel) and its canonical historical match.
     Plan-asserted in tests/test_plans.py: BroadcastHashJoin on the
     candidate join, no history-side Exchange before it."""
-    from ..operators.dedup import band_digests, shingle_sets
+    from ..operators.dedup import incremental_verified_matches, shingle_sets
 
     hist = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     newb = _new_batch_spark(spark, sf_dir)
 
     hist_sh = shingle_sets(hist).persist()
     new_sh = shingle_sets(newb).persist()
-
-    def long_bands(bands: DataFrame, out: str) -> DataFrame:
-        return bands.select(
-            F.col("doc_id").alias(out),
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("bi"), F.col("band0").alias("d")),
-                    F.struct(F.lit(1).alias("bi"), F.col("band1").alias("d")),
-                )
-            ).alias("bd"),
-        ).select(out, F.col("bd.bi").alias("bi"), F.col("bd.d").alias("d"))
-
-    cand = (
-        long_bands(band_digests(hist_sh), "hist_doc_id")
-        .join(
-            F.broadcast(long_bands(band_digests(new_sh), "new_doc_id")),
-            ["bi", "d"],
-        )
-        .select("new_doc_id", "hist_doc_id")
-        .distinct()
+    # materialize the (tiny) verified pair set eagerly so both shingle
+    # caches can be released NOW — otherwise each invocation leaks one
+    # persisted copy per corpus into the session cache manager until GC
+    ver = incremental_verified_matches(hist_sh, new_sh).localCheckpoint(
+        eager=True
     )
-    sn = new_sh.select(
-        F.col("doc_id").alias("new_doc_id"),
-        F.array_distinct("sh").alias("sh_n"),
-    )
-    sh2 = hist_sh.select(
-        F.col("doc_id").alias("hist_doc_id"),
-        F.array_distinct("sh").alias("sh_h"),
-    )
-    j = cand.join(sn, "new_doc_id").join(sh2, "hist_doc_id")
-    inter = F.size(F.array_intersect("sh_n", "sh_h"))
-    union = F.size(F.array_distinct(F.concat("sh_n", "sh_h")))
-    ver = j.filter(
-        F.lit(JACCARD_DEN) * inter >= F.lit(JACCARD_NUM) * union
-    ).select("new_doc_id", "hist_doc_id")
+    hist_sh.unpersist(blocking=False)
+    new_sh.unpersist(blocking=False)
 
     return (
         newb.select(F.col("doc_id").alias("new_doc_id"))

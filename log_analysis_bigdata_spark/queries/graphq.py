@@ -117,17 +117,12 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib_src = edges.join(
         deg.withColumnRenamed("node", "src"), "src"
     ).localCheckpoint(eager=True)  # (src, dst, outdeg), reused every round
-    # Same loop-shuffle sizing as operators/components.py: per-round
-    # joins/aggs should shuffle at edge-set scale, not the session's
-    # corpus-scale default (restored in finally).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    n_edges = contrib_src.count()
-    loop_parts = max(1, min(int(prev_parts), n_edges // 200_000 + 1))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # per-round joins/aggs shuffle at edge-set scale, not the session's
+    # corpus-scale default — shared helper with connected_components
+    from ..operators.components import loop_parallelism
+
+    with loop_parallelism(spark, contrib_src.count()):
         ranks = _pr_loop(contrib_src, ranks)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
 
 

@@ -329,7 +329,13 @@ def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, chunk_idx bigint, chunk_text string")
     class ChunkUdtf:
         def eval(self, doc_id, text):  # noqa: ANN001 — runtime-typed row fn
-            toks = re.split(" +", text.strip()) if text is not None else []
+            if text is None:
+                return  # oracle's range(NULL) yields no rows
+            # strip(" ") not strip(): SQL trim() removes SPACES only, so
+            # bare strip() (which also eats \n/\t) would tokenize
+            # differently from the oracle/JVM twin on texts with
+            # trailing non-space whitespace
+            toks = re.split(" +", text.strip(" "))
             n_tok = len(toks)
             n_chunks = (max(n_tok - 1, 0)) // CHUNK_STRIDE + 1
             for i in range(n_chunks):

@@ -16,6 +16,37 @@ from ..streaming.windows import session_windows, sliding_counts, tumbling_counts
 from . import register
 
 
+def _replay_to_memory(df, output_mode: str, prefix: str) -> str:
+    """Run a streaming frame to completion (availableNow) into a
+    memory sink and return the sink table name. One harness for every
+    streaming registry entry: uuid query name (a fixed name collides
+    with a still-active prior query on the same session), throwaway
+    checkpoint dir removed in finally (ADVICE r5 leak fix — applied
+    once here instead of per call site). The memory table itself is
+    result-sized and session-lifetime: the caller's returned DataFrame
+    still reads it, so it cannot be dropped here."""
+    import shutil
+    import tempfile
+    import uuid
+
+    qname = f"{prefix}_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return qname
+
+
+
 @register(
     "tumbling_window_events",
     oracle="""
@@ -164,10 +195,6 @@ def ewma_user_value_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the availableNow replay over one immutable file the fold order
     is exact.
     """
-    import shutil
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     from ..catalog import load_table_stream
@@ -177,24 +204,7 @@ def ewma_user_value_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     snapshots = ewma_user_values(stream)
-
-    # per-run name + checkpoint dir: a fixed memory-sink name collides
-    # with a still-active prior query on the same session, and mkdtemp
-    # without cleanup leaks a /tmp dir per invocation (ADVICE r5)
-    qname = f"ewma_stateful_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="ewma_ckpt_")
-    try:
-        q = (
-            snapshots.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    qname = _replay_to_memory(snapshots, "update", "ewma_stateful")
 
     # n_events is monotone per key, so max(struct(n_events, ewma)) is
     # the final snapshot even if the replay split into multiple batches.
@@ -250,10 +260,6 @@ def stream_stream_join_attribution(
     trade the checkpoint dir cleanup in finally doesn't cover, since the
     returned DataFrame still reads it.
     """
-    import shutil
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     from ..catalog import load_table_stream
@@ -279,20 +285,7 @@ def stream_stream_join_attribution(
         ),
     )
 
-    qname = f"ss_join_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="ssjoin_ckpt_")
-    try:
-        q = (
-            pairs.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    qname = _replay_to_memory(pairs, "append", "ss_join")
 
     lag = F.col("p_ts").cast("long") - F.col("click_ts").cast("long")
     return (
@@ -331,10 +324,6 @@ def stream_static_enrich_segments(
     sink is 5-rows-sized and session-lifetime (same bounded trade as
     stream_stream_join_attribution).
     """
-    import shutil
-    import tempfile
-    import uuid
-
     from pyspark.sql import functions as F
 
     from ..catalog import load_table, load_table_stream
@@ -352,18 +341,5 @@ def stream_static_enrich_segments(
         .alias("total_value_cents"),
     )
 
-    qname = f"ss_enrich_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="ssenrich_ckpt_")
-    try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    qname = _replay_to_memory(agg, "complete", "ss_enrich")
     return spark.table(qname)

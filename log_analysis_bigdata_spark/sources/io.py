@@ -177,8 +177,8 @@ def compact_parquet(
     KB-sized parquet files whose per-file open/footer/task overhead
     eventually dominates scan cost. Rewrite the table into
     ceil(total_bytes / target_file_bytes) files (~HDFS-block-sized by
-    default) and atomically swap directories; data is byte-identical
-    (same rows, new layout).
+    default) and swap directories (two renames — see the crash-window
+    note inline); data is byte-identical (same rows, new layout).
 
     Scale notes: the rewrite is one distributed job — a scan +
     coalesce(n_out) write, no shuffle (coalesce narrows; row order
@@ -209,13 +209,29 @@ def compact_parquet(
     # hive-partitioned tables must be rewritten WITH partitionBy or the
     # key=value directory layout (and its partition pruning) is lost —
     # the partition keys would silently become plain data columns
-    writer = spark.read.parquet(path).coalesce(n_out).write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
+    try:
+        writer = (
+            spark.read.parquet(path).coalesce(n_out).write.mode("overwrite")
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+    except BaseException:
+        _shutil.rmtree(tmp, ignore_errors=True)  # no half-written leak
+        raise
+    # Swap = two renames, not atomic: a crash between them leaves the
+    # table absent and the data at __old_<uuid> (recoverable by hand;
+    # the restore below covers in-process failure of the second rename).
+    # A metastore-backed table would swap pointers instead — this is
+    # the plain-filesystem rendering.
     old = f"{path.rstrip('/')}__old_{_uuid.uuid4().hex[:10]}"
     _os.rename(path, old)
-    _os.rename(tmp, path)
+    try:
+        _os.rename(tmp, path)
+    except BaseException:
+        _os.rename(old, path)  # restore the original table
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
     _shutil.rmtree(old)
 
     n_after = len(

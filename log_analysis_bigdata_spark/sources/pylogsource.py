@@ -131,45 +131,78 @@ class HdfsLogStreamReader(SimpleDataSourceStreamReader):
             )
         return [self._dir]
 
+    # Offset value per file: [generation, lines_delivered]. The
+    # generation bumps when rotation/truncation is detected (current
+    # line count < committed count), so offsets stay MONOTONE across a
+    # rotation — resetting the raw line count alone would make the end
+    # offset sort below the start offset, and readBetweenOffsets-based
+    # recovery would replay that batch as empty, silently dropping the
+    # rows the original batch delivered. Legacy plain-int offsets (from
+    # pre-generation checkpoints) parse as generation 0.
+    @staticmethod
+    def _parse(v) -> tuple[int, int]:
+        if isinstance(v, (list, tuple)):
+            return int(v[0]), int(v[1])
+        return 0, int(v)
+
     def initialOffset(self) -> dict:
         # start of history: nothing delivered from any current file
-        return {f: 0 for f in self._list_files()}
+        return {f: [0, 0] for f in self._list_files()}
 
     def read(self, start: dict):
         current = self._list_files()
-        # prune offsets for deleted files so the offset dict can't grow
-        # without bound across rotations (ADVICE r5)
-        end = {p: v for p, v in start.items() if p in set(current)}
         rows = []
+        # offsets for deleted files are pruned (ADVICE r5): building
+        # `end` from `current` only keeps the dict from growing without
+        # bound across rotations
+        end = {}
         for path in current:
-            done = int(start.get(path, 0))
+            gen, done = self._parse(start.get(path, 0))
+            # ONE pass delivers and counts together (a separate counting
+            # pass would double tailer I/O, and lines appended between
+            # two passes would be delivered without being counted —
+            # duplicate delivery on the next trigger)
             n = 0
+            deliver = []
             with open(path, "r", encoding="utf-8", errors="replace") as fh:
                 for i, line in enumerate(fh, start=1):
                     n = i
-            # rotation/truncation: the file now has FEWER lines than the
-            # committed offset — it was recreated. Reset to 0 and deliver
-            # its current content, rather than silently holding the stale
-            # high-water mark forever (ADVICE r5).
+                    if i > done:
+                        line = line.rstrip("\n")
+                        if line:
+                            deliver.append((line, path, i))
             if n < done:
-                done = 0
-            with open(path, "r", encoding="utf-8", errors="replace") as fh:
-                for i, line in enumerate(fh, start=1):
-                    if i <= done:
-                        continue
-                    line = line.rstrip("\n")
-                    if line:
-                        rows.append((line, path, i))
-            end[path] = max(n, done)
+                # rotation/truncation: the file was recreated with fewer
+                # lines than committed. New generation; deliver the new
+                # file's content from line 1 (second pass, rotation-only),
+                # capped at the first pass's count so a concurrent append
+                # can't slip uncounted rows into this batch. A recreated
+                # file that is already LONGER than the old offset is
+                # indistinguishable from appends under line-count offsets
+                # — documented limitation of broker-less tailing.
+                gen += 1
+                deliver = []
+                with open(path, "r", encoding="utf-8", errors="replace") as fh:
+                    for i, line in enumerate(fh, start=1):
+                        if i > n:
+                            break
+                        line = line.rstrip("\n")
+                        if line:
+                            deliver.append((line, path, i))
+            rows.extend(deliver)
+            end[path] = [gen, n]
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # deterministic replay for recovery: re-read the [start, end)
-        # line window of each file
+        # deterministic replay for recovery: re-read each file's
+        # (start, end] line window; a generation bump inside the batch
+        # means the window restarts at line 1 of the recreated file
         rows = []
-        for path, hi in end.items():
-            lo = int(start.get(path, 0))
-            hi = int(hi)
+        for path, e in end.items():
+            egen, hi = self._parse(e)
+            sgen, lo = self._parse(start.get(path, 0))
+            if egen > sgen:
+                lo = 0
             if hi <= lo or not os.path.exists(path):
                 continue
             with open(path, "r", encoding="utf-8", errors="replace") as fh:

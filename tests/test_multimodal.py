@@ -126,3 +126,7 @@ def test_decode_ppm_images_real_decode(spark):
         _parse_ppm(b"P5\n1 1\n255\n\x00")  # P5 is not P6
     with _pytest.raises(ValueError):
         _parse_ppm(b"P6\n4 4\n255\n\x00\x00")  # truncated raster
+    with _pytest.raises(ValueError):
+        # 16-bit maxval (2 bytes/sample) must fail loudly, not decode
+        # the first half of the raster as garbage uint8 stats
+        _parse_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)

@@ -366,7 +366,21 @@ def test_incremental_dedup_broadcasts_new_batch_never_shuffles_history(
     generation."""
     import re
 
-    plan = _plan(spark, "incremental_dedup_newbatch")
+    from log_analysis_bigdata_spark.catalog import load_table
+    from log_analysis_bigdata_spark.operators.dedup import (
+        incremental_verified_matches,
+        shingle_sets,
+    )
+    from log_analysis_bigdata_spark.queries.corpusq import _new_batch_spark
+
+    # explain the LAZY operator stage: the registry entry checkpoints it
+    # eagerly (to release the shingle caches), which would hide the
+    # candidate/verify joins from the final frame's explain
+    hist = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    ver = incremental_verified_matches(
+        shingle_sets(hist), shingle_sets(_new_batch_spark(spark, SF_SMOKE))
+    )
+    plan = _fmt(spark, ver)
     # candidate join (and the verify joins behind it) broadcast the
     # small side
     assert "BroadcastHashJoin" in plan

@@ -412,22 +412,37 @@ def test_python_datasource_hdfslog_rotation(spark, tmp_path):
     start = reader.initialOffset()
     rows, off = reader.read(start)
     assert sorted(r[0] for r in rows) == ["a1", "a2", "a3", "b1"]
-    assert off[str(f1)] == 3
+    assert off[str(f1)] == [0, 3]  # [generation, lines]
 
     # rotate: node1 recreated shorter; node2 deleted entirely
     f1.write_text("fresh1\n")
     os.remove(f2)
     rows, off2 = reader.read(off)
     assert [r[0] for r in rows] == ["fresh1"]  # delivered, not silently lost
-    assert off2[str(f1)] == 1  # reset to the new high-water mark
+    # generation bump keeps the offset MONOTONE across the rotation —
+    # the raw line count went 3 -> 1, which alone would make recovery
+    # replay this batch as empty (end offset below start offset)
+    assert off2[str(f1)] == [1, 1]
     assert str(f2) not in off2  # deleted file's offset pruned
+
+    # restart-recovery replay of the rotation batch returns the same
+    # rows read() delivered (the exactly-once contract)
+    replay = list(reader.readBetweenOffsets(off, off2))
+    assert [r[0] for r in replay] == ["fresh1"]
 
     # steady state after rotation: appends flow normally again
     with open(f1, "a") as fh:
         fh.write("fresh2\n")
     rows, off3 = reader.read(off2)
     assert [r[0] for r in rows] == ["fresh2"]
-    assert off3[str(f1)] == 2
+    assert off3[str(f1)] == [1, 2]
+    replay = list(reader.readBetweenOffsets(off2, off3))
+    assert [r[0] for r in replay] == ["fresh2"]
+
+    # legacy plain-int offsets (pre-generation checkpoints) still parse
+    rows, off4 = reader.read({str(f1): 1})
+    assert [r[0] for r in rows] == ["fresh2"]
+    assert off4[str(f1)] == [0, 2]
 
 
 def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
