@@ -793,10 +793,30 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_CELLS = 16  # ~300 vectors/cell at sf0.1 — cell size, not corpus
+# size, bounds the within-cell quadratic step; k grows with N (the IVF
+# queries keep IVF_CELLS=4 for a coarser probe granularity)
+
+_SEMDEDUP_ASSIGN_SQL = f"""
+    dims AS (
+      SELECT vec_id, vec_id % {SEMDEDUP_CELLS} AS seed_cell, t.i AS dim,
+             CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (SELECT seed_cell AS c, dim, avg(x) AS cx FROM dims GROUP BY 1, 2),
+    dist AS (
+      SELECT d.vec_id, c.c, sum((d.x - c.cx) * (d.x - c.cx)) AS d2
+      FROM dims d JOIN cent c ON d.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    assign AS (SELECT vec_id, arg_min(c, d2) AS cell FROM dist GROUP BY vec_id)
+"""
+
+
 @register(
     "semdedup_embedding_cells",
     oracle=f"""
-    WITH {_IVF_ASSIGN_SQL},
+    WITH {_SEMDEDUP_ASSIGN_SQL},
     e AS (
       SELECT a.vec_id, a.cell, e.embedding,
              {_NORM_SQL.format(a="e.embedding")} AS nrm
@@ -841,7 +861,7 @@ def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
         "vec_id",
-        (F.col("vec_id") % IVF_CELLS).alias("seed_cell"),
+        (F.col("vec_id") % SEMDEDUP_CELLS).alias("seed_cell"),
         F.posexplode("embedding").alias("dim", "x"),
     ).select(
         "vec_id", "seed_cell", "dim", F.col("x").cast("double").alias("x")
