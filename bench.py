@@ -140,6 +140,8 @@ HEADLINE = [
     # mapInArrow beside the JVM HOF embedding_norms family — same
     # side-by-side policy as the pandas/UDTF demos
     "arrow_map_embedding_norms",
+    "bpe_merge_candidates",
+    "hard_negatives_per_query",
     # (stream_stream_join_attribution / stream_static_enrich_segments
     # stay out: their wall time is the fixed streaming-replay harness
     # cost, already represented by ewma_user_value_stateful)

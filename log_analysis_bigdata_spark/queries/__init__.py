@@ -128,11 +128,18 @@ _DRIVER_WINDOW = (
     "incremental_agg_merge_events",
     "semdedup_embedding_cells",
     "arrow_map_embedding_norms",
-    # (4) past the 50-slot window (ranked below first verdicts): the
-    # re-checks of round-6-touched code paths. Their r4/r5 verdicts
-    # stand, and the rewritten components.py + simhash pipeline are
-    # both exercised inside slot 1's simhash_near_components and the
-    # round-6 dedup_pipeline_docs anyway.
+    # (4) past the 50-slot window: first, the two round-6 LATE
+    # additions (registered after the 50 slots were committed to the
+    # rotation+first-verdict split above) — strict local parity at
+    # sf0.01 is on file in EVIDENCE_r06.md; they head the window next
+    # round, same policy that put simhash_near_components at slot 1
+    # this round.
+    "bpe_merge_candidates",
+    "hard_negatives_per_query",
+    # Then the re-checks of round-6-touched code paths. Their r4/r5
+    # verdicts stand, and the rewritten components.py + simhash
+    # pipeline are both exercised inside slot 1's
+    # simhash_near_components and the round-6 dedup_pipeline_docs.
     "dedup_components",
     "simhash_near_pairs",
     # Everything else: verdicts from r4/r5 postdate the last testdata

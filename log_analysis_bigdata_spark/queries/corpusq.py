@@ -449,3 +449,62 @@ def chunk_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.alias("n_kept"),
         (F.count(F.lit(1)) - kept).cast("bigint").alias("n_dropped"),
     )
+
+
+TOP_MERGES = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH n AS (
+      SELECT string_split_regex(trim(text), ' +') AS tok,
+             len(string_split_regex(trim(text), ' +')) AS n_tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, n_tok),
+                    i -> tok[i] || ' ' || tok[i + 1])) AS pair
+      FROM n WHERE n_tok >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {TOP_MERGES}
+    """,
+    tags=("text", "tokenize", "bpe", "merge"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core BPE-training iteration, corpus-scale: count every
+    adjacent token pair and rank the top merge candidates — one
+    iteration of the merge loop a tokenizer trainer runs (here over
+    word tokens; byte-level BPE is the same plan over byte-pair
+    columns). Zip-with of two shifted slices builds the pair list
+    without per-element element_at (the O(n²) re-inlining trap
+    functions/text.shingles documents), explode + count is one
+    map-side-combinable shuffle on the pair key, and the top-20 is
+    TakeOrderedAndProject — at 100 TB this is exactly a word-count with
+    a skewed-but-combinable key distribution, the friendliest shuffle
+    shape there is.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.trim(F.col("text")), " +")
+    ex = (
+        docs.select(tok.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        ex.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(TOP_MERGES)
+    )

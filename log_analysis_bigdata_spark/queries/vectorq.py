@@ -914,3 +914,81 @@ def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("dp", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
         F.coalesce("dr", F.lit(0)).cast("bigint").alias("n_dropped"),
     )
+
+
+N_HARDNEG_QUERIES = 20
+
+
+@register(
+    "hard_negatives_per_query",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qv,
+             {_NORM_SQL.format(a="embedding")} AS qn
+      FROM embeddings WHERE vec_id < {N_HARDNEG_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label,
+             round({_DOT_SQL.format(a="e.embedding", b="q.qv")}
+                   / ({_NORM_SQL.format(a="e.embedding")} * q.qn), 4)
+               AS cosine
+      FROM embeddings e JOIN q
+        ON e.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT qid, qlabel, vec_id AS neg_id, label AS neg_label, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT qid, qlabel, neg_id, neg_label, cosine
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("vector", "hard-negatives", "training", "topk"),
+)
+def hard_negatives_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for
+    each anchor (here the first 20 vectors), find the single most
+    cosine-similar vector with a DIFFERENT label; those are the
+    negatives that actually teach a bi-encoder. Plan: the anchor set is
+    tiny by construction → BROADCAST against the corpus (one narrow
+    scoring pass, no corpus shuffle), then a per-anchor top-1 via
+    min-by-style window on the anchor key — at 100 TB with millions of
+    anchors this becomes the ANN-probe variant (IVF cells or LSH bands
+    restrict candidates first, exactly the ivf_topk/ann_bucketed_topk
+    machinery); the brute-force form here is the recall baseline the
+    probe variant is judged against, same pattern as cosine_topk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("label") != F.col("qlabel")
+    ).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        F.round(
+            dot(F.col("embedding"), F.col("qv"))
+            / (norm(F.col("embedding")) * F.col("qn")),
+            4,
+        ).alias("cosine"),
+    )
+    best = scored.groupBy("qid", "qlabel").agg(
+        F.max_by(
+            F.struct("vec_id", "label", "cosine"),
+            F.struct("cosine", (-F.col("vec_id")).alias("tie")),
+        ).alias("s")
+    )
+    return best.select(
+        "qid",
+        "qlabel",
+        F.col("s.vec_id").alias("neg_id"),
+        F.col("s.label").alias("neg_label"),
+        F.col("s.cosine").alias("cosine"),
+    )
