@@ -40,7 +40,11 @@ def _replay_to_memory(df, output_mode: str, prefix: str) -> str:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        except BaseException:
+            q.stop()  # don't leave a zombie query holding the session
+            raise
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return qname
