@@ -164,7 +164,14 @@ class HdfsLogStreamReader(SimpleDataSourceStreamReader):
             # duplicate delivery on the next trigger)
             n = 0
             deliver = []
-            with open(path, "r", encoding="utf-8", errors="replace") as fh:
+            try:
+                fh = open(path, "r", encoding="utf-8", errors="replace")
+            except OSError:
+                # deleted between the directory listing and the open —
+                # skip it this batch; omitting it from `end` prunes its
+                # offset, the same path a pre-listing delete takes
+                continue
+            with fh:
                 for i, line in enumerate(fh, start=1):
                     n = i
                     if i > done:
