@@ -253,11 +253,22 @@ def main() -> None:
     # with full names can never fit the window.
     def prefix_keys(names: list[str], width: int) -> dict[str, str]:
         mapped: dict[str, str] = {}
+        taken = set()
         for n in names:
             k, w = n[:width], width
-            while k in mapped.values():
+            while k in taken:
+                if w >= len(n):
+                    # n is a full prefix of an earlier name's key —
+                    # widening can't disambiguate (ADVICE r6); bound the
+                    # loop with a numeric suffix instead of hanging.
+                    i = 2
+                    while f"{n}#{i}" in taken:
+                        i += 1
+                    k = f"{n}#{i}"
+                    break
                 w += 1
                 k = n[:w]
+            taken.add(k)
             mapped[n] = k
         return mapped
 

@@ -39,6 +39,15 @@ def loop_parallelism(spark, n_rows: int, rows_per_partition: int = 200_000):
     connected_components and queries/graphq's PageRank so the two
     iterative operators cannot drift apart."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if spark.streams.active:
+        # The narrowing is session-global: a streaming micro-batch
+        # planned concurrently on this session would silently compile
+        # with the reduced partition count (ADVICE r6). Streaming jobs
+        # plan on their own thread, so the single-driver-thread
+        # assumption doesn't hold — skip the optimization entirely; the
+        # loop still runs correctly at the session default.
+        yield
+        return
     parts = max(1, min(int(prev), n_rows // rows_per_partition + 1))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))

@@ -346,8 +346,12 @@ def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " ".join(toks[start : start + CHUNK_SIZE]),
                 )
 
-    fn = f"chunk_udtf_{uuid.uuid4().hex[:10]}"
-    view = f"docs_{uuid.uuid4().hex[:10]}"
+    # Fixed names, replace-on-register semantics: uuid-per-call names
+    # leaked a catalog entry per invocation (ADVICE r6 — bench runs each
+    # entry 3×); register() and createOrReplaceTempView both overwrite,
+    # so repeated runs reuse the same two slots.
+    fn = "chunk_udtf_q"
+    view = "udtf_chunk_docs_src"
     spark.udtf.register(fn, ChunkUdtf)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
     return spark.sql(

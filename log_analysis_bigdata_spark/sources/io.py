@@ -208,7 +208,26 @@ def compact_parquet(
     tmp = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:10]}"
     # hive-partitioned tables must be rewritten WITH partitionBy or the
     # key=value directory layout (and its partition pruning) is lost —
-    # the partition keys would silently become plain data columns
+    # the partition keys would silently become plain data columns.
+    # Detect the layout from the key=value directory names and REJECT a
+    # call whose partition_by doesn't cover it (ADVICE r6) — the
+    # flattening is otherwise only visible later as lost pruning.
+    discovered = sorted(
+        {
+            seg.split("=", 1)[0]
+            for f in files
+            for seg in _os.path.relpath(f, path).split(_os.sep)[:-1]
+            if "=" in seg
+        }
+    )
+    missing = [c for c in discovered if c not in (partition_by or [])]
+    if missing:
+        raise ValueError(
+            f"compact_parquet: {path} is hive-partitioned by {discovered} "
+            f"but partition_by={list(partition_by or [])} omits {missing}; "
+            "compacting without them would flatten the partition columns "
+            "into data files and silently lose partition pruning"
+        )
     try:
         writer = (
             spark.read.parquet(path).coalesce(n_out).write.mode("overwrite")

@@ -166,10 +166,18 @@ class HdfsLogStreamReader(SimpleDataSourceStreamReader):
             deliver = []
             try:
                 fh = open(path, "r", encoding="utf-8", errors="replace")
-            except OSError:
+            except FileNotFoundError:
                 # deleted between the directory listing and the open —
                 # skip it this batch; omitting it from `end` prunes its
                 # offset, the same path a pre-listing delete takes
+                continue
+            except OSError:
+                # transient open failure (EACCES/EMFILE/...): the file
+                # still exists, so carry the committed offset forward
+                # unchanged. Pruning it here would treat a blip as a
+                # deletion and re-deliver the whole file from line 1 on
+                # the next successful batch (ADVICE r6).
+                end[path] = [gen, done]
                 continue
             with fh:
                 for i, line in enumerate(fh, start=1):

@@ -503,3 +503,65 @@ def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     assert stats["files_after"] < stats["files_before"]
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == want
+
+
+def test_compact_parquet_rejects_missing_partition_by(spark, tmp_path):
+    """Compacting a hive-partitioned table WITHOUT covering partition_by
+    is rejected (ADVICE r6): silently flattening the key=value layout
+    into data files would lose partition pruning with no visible error."""
+    import pytest as _pytest
+
+    from log_analysis_bigdata_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "events_partitioned_reject")
+    (
+        spark.range(200)
+        .selectExpr("id", "id % 2 AS day")
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    with _pytest.raises(ValueError, match="hive-partitioned.*day"):
+        compact_parquet(spark, path, target_file_bytes=1 << 20)
+    # table untouched by the rejected call
+    assert spark.read.parquet(path).count() == 200
+
+
+def test_hdfslog_transient_open_error_keeps_offset(tmp_path):
+    """A transient (non-FileNotFound) open failure must carry the
+    committed offset forward, not prune it — pruning re-delivers the
+    whole file on the next healthy batch (ADVICE r6)."""
+    import builtins
+
+    from log_analysis_bigdata_spark.sources.pylogsource import (
+        HdfsLogStreamReader,
+    )
+
+    log = tmp_path / "app.log"
+    log.write_text("l1\nl2\nl3\n")
+    reader = HdfsLogStreamReader.__new__(HdfsLogStreamReader)
+    reader._dir = str(tmp_path)
+    reader._suffix = ".log"
+
+    start = reader.initialOffset()
+    rows, end = reader.read(start)
+    assert len(list(rows)) == 3 and end[str(log)] == [0, 3]
+
+    real_open = builtins.open
+
+    def flaky_open(path, *a, **kw):
+        if str(path) == str(log):
+            raise PermissionError(13, "transient EACCES", str(path))
+        return real_open(path, *a, **kw)
+
+    builtins.open = flaky_open
+    try:
+        rows2, end2 = reader.read(end)
+    finally:
+        builtins.open = real_open
+    # no rows this batch, but the offset survives the blip
+    assert list(rows2) == [] and end2[str(log)] == [0, 3]
+
+    # next healthy batch: only NEW lines, no re-delivery from line 1
+    log.write_text("l1\nl2\nl3\nl4\n")
+    rows3, end3 = reader.read(end2)
+    assert [r[0] for r in rows3] == ["l4"] and end3[str(log)] == [0, 4]
