@@ -110,3 +110,69 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(asset_table(spark, sf_dir), target=224).select(
         "asset_id", "width", "height", "scale"
     )
+
+
+@register(
+    "multimodal_ppm_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents
+    ),
+    full_px AS (
+      -- raster byte i = (doc_id*7 + i) % 256; the mean over all
+      -- w*h*3 decoded samples, in exact integer micro-units
+      SELECT d.doc_id,
+             CAST((10000 * sum((d.doc_id * 7 + t.i) % 256))
+                  // (d.w * d.h * 3) AS BIGINT) AS mean_pixel_e4
+      FROM d, unnest(range(0, d.w * d.h * 3)) AS t(i)
+      GROUP BY d.doc_id, d.w, d.h
+    ),
+    rz AS (
+      -- nearest-neighbor 2x2: src = (dst * src_dim) // 2, channel c at
+      -- raster index (sy*w + sx)*3 + c
+      SELECT d.doc_id, c.c AS ch,
+             CAST((10000 * sum(
+                (d.doc_id * 7
+                 + (((ty.y * d.h) // 2) * d.w + ((tx.x * d.w) // 2)) * 3
+                 + c.c) % 256)) // 4 AS BIGINT) AS m_e4
+      FROM d,
+           unnest(range(0, 2)) AS ty(y),
+           unnest(range(0, 2)) AS tx(x),
+           unnest(range(0, 3)) AS c(c)
+      GROUP BY d.doc_id, c.c
+    )
+    SELECT d.doc_id AS asset_id,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           f.mean_pixel_e4,
+           max(CASE WHEN rz.ch = 0 THEN rz.m_e4 END) AS r_mean_e4,
+           max(CASE WHEN rz.ch = 1 THEN rz.m_e4 END) AS g_mean_e4,
+           max(CASE WHEN rz.ch = 2 THEN rz.m_e4 END) AS b_mean_e4
+    FROM d
+    JOIN full_px f ON f.doc_id = d.doc_id
+    JOIN rz ON rz.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.w, d.h, f.mean_pixel_e4
+    """,
+    tags=("multimodal", "decode", "pixels", "mapInPandas"),
+)
+def multimodal_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel math on REALLY-DECODED image payloads (VERDICT r6 task 6):
+    synthesize a byte-for-byte valid P6 PPM per document (raster byte i
+    = (doc_id*7 + i) % 256 — the acquisition stand-in, since the
+    container ships no image corpus), run the from-scratch PPM parser
+    over the binary column, nearest-neighbor-downsample the decoded
+    (h, w, 3) array to 2×2, and report full-image + per-channel resized
+    means. The oracle recomputes every decoded SAMPLE from the closed
+    form — so a decode/reshape/index bug (channel order, row-major
+    mixups, NN rounding) breaks the hash. Means are integer micro-units
+    (see PPM_PIXEL_SCHEMA note). The reference's analogous
+    bytes→numeric contract is ML_predict.py:109's float32 matrix build.
+
+    Scale: synth + decode + resize are one fused narrow mapInPandas
+    chain — zero shuffles, linear scale-out; a real ingest would read
+    the payload column from parquet instead of synthesizing it."""
+    from ..multimodal.assets import ppm_pixel_stats, synth_ppm_assets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ppm_pixel_stats(synth_ppm_assets(docs), target=2)

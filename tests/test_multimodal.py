@@ -130,3 +130,46 @@ def test_decode_ppm_images_real_decode(spark):
         # 16-bit maxval (2 bytes/sample) must fail loudly, not decode
         # the first half of the raster as garbage uint8 stats
         _parse_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+
+
+def test_ppm_pixel_stats_hand_computed(spark):
+    """Pin the decode→NN-resize→stats math on one hand-checkable image:
+    2×2 RGB with known bytes; NN resize to 2×2 is identity, so channel
+    means are directly computable."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        ppm_pixel_stats,
+    )
+
+    # pixels (row-major, RGB): (0,1,2) (3,4,5) / (6,7,8) (9,10,11)
+    raster = bytes(range(12))
+    buf = b"P6\n2 2\n255\n" + raster
+    df = spark.createDataFrame([(1, buf)], ["asset_id", "payload"])
+    row = ppm_pixel_stats(df, target=2).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    # full mean = mean(0..11) = 5.5 -> 55000 micro-units
+    assert row["mean_pixel_e4"] == 55_000
+    # channel sums: R 0+3+6+9=18, G 22, B 26; mean over 4 px
+    assert row["r_mean_e4"] == 10_000 * 18 // 4
+    assert row["g_mean_e4"] == 10_000 * 22 // 4
+    assert row["b_mean_e4"] == 10_000 * 26 // 4
+
+
+def test_synth_ppm_roundtrip_matches_formula(spark):
+    """synth_ppm_assets payloads must decode (via the real parser) to
+    exactly the (doc_id*7 + i) % 256 raster the oracle assumes."""
+    import numpy as np
+
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _parse_ppm,
+        synth_ppm_assets,
+    )
+
+    docs = spark.createDataFrame([(7,), (12,)], ["doc_id"])
+    for r in synth_ppm_assets(docs).collect():
+        d = r["asset_id"]
+        buf = bytes(r["payload"])
+        w, h, c, _m = _parse_ppm(buf)
+        assert (w, h, c) == (4 + d % 5, 3 + d % 4, 3)
+        got = np.frombuffer(buf[-w * h * 3 :], dtype=np.uint8)
+        want = (d * 7 + np.arange(w * h * 3)) % 256
+        assert (got == want).all()

@@ -219,3 +219,39 @@ def test_zorder_bucket_implies_tile_locality(points):
         # stronger: identical high bits, not merely nearby
         assert len({u >> tile_bits for u in us}) == 1
         assert len({h >> tile_bits for h in hs}) == 1
+
+
+@given(st.integers(min_value=0, max_value=10**13))
+@settings(max_examples=200, deadline=None)
+def test_semdedup_k_bounds_mean_cell_size(n):
+    """The SemDeDup cell-count formula must turn the O(N·cell_size)
+    docstring claim into an invariant (VERDICT r6): for every corpus
+    size N, mean cell size N/k <= TARGET once k is above the floor, k
+    never falls below the floor, and k is minimal (k-1 cells would
+    break the bound). Seeding is vec_id % k, so the SEED cells are
+    balanced within 1; the k-means refinement can skew individual
+    cells, but the quadratic-work budget k * (N/k)^2 = N * (N/k) is
+    governed by the mean, which this formula pins."""
+    from log_analysis_bigdata_spark.queries.vectorq import (
+        SEMDEDUP_MIN_CELLS,
+        SEMDEDUP_TARGET_CELL,
+        semdedup_k,
+    )
+
+    k = semdedup_k(n)
+    assert k >= SEMDEDUP_MIN_CELLS
+    # mean-cell bound: N/k <= TARGET whenever the floor isn't binding
+    if k > SEMDEDUP_MIN_CELLS:
+        assert n <= k * SEMDEDUP_TARGET_CELL
+        # minimality: one fewer cell would exceed the target mean
+        assert n > (k - 1) * SEMDEDUP_TARGET_CELL
+    else:
+        assert n <= SEMDEDUP_MIN_CELLS * SEMDEDUP_TARGET_CELL or k == max(
+            SEMDEDUP_MIN_CELLS,
+            -(-n // SEMDEDUP_TARGET_CELL),
+        )
+    # DuckDB-oracle equivalence: greatest(floor, (n + t - 1) // t)
+    assert k == max(
+        SEMDEDUP_MIN_CELLS,
+        (n + SEMDEDUP_TARGET_CELL - 1) // SEMDEDUP_TARGET_CELL,
+    )
