@@ -2,12 +2,26 @@
 tokenization, n-gram shingling, MinHash components, language-ID
 heuristic, quality metrics. All pure Catalyst expressions (JVM-side).
 
-MinHash design: signature component i = min over shingles of
-``md5("s<i>|" || shingle)``. Hex-string min is engine-independent
-(byte-wise lexicographic), so the same construction is expressible in
-the DuckDB oracle — unlike builtin ``hash()`` which differs per engine.
-Shingles are word 3-grams: the shingle space is |vocab|³, which keeps
-random-document collisions rare where unigram tokens would not.
+MinHash design (Broder 1997's single-base-hash form): each shingle is
+hashed ONCE — ``base = hex(md5(x))[:15] as int64 mod P`` with
+P = 2^31 - 1 — and signature component i is the min over shingles of
+the universal-hash mix ``(a_i * base + b_i) mod P``. One expensive
+digest per shingle + k cheap integer mixes replaces the previous
+k-digests-per-shingle construction (8× md5 → 1× md5 on the dedup
+pipeline's hottest stage). md5 is used as the base because it is the
+engine-independent hash available in both Spark and the DuckDB oracle
+(builtin ``hash()`` differs per engine); all mix arithmetic stays below
+2^62, so int64 is exact in both. Shingles are word 3-grams: the shingle
+space is |vocab|³, which keeps random-document collisions rare where
+unigram tokens would not.
+
+CSE hazard (see round-6 simhash note): Catalyst gives lambda bodies no
+common-subexpression elimination and CollapseProject happily re-inlines
+a projected expression into every consumer, so the per-shingle base
+hash MUST be materialized (persist / checkpoint / exchange boundary)
+before fanning out to the k component mins — otherwise the single md5
+silently becomes k md5s again. ``shingle_hashes`` produces the array to
+materialize; ``minhash_component`` consumes it.
 """
 
 from __future__ import annotations
@@ -44,11 +58,41 @@ def shingles(tok: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_component(shingle_col: Column, seed: int) -> Column:
-    """One MinHash signature component over a shingle array."""
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_mix_consts(seed: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the seed-th universal-hash mix,
+    a ∈ [1, P), b ∈ [0, P) — fixed golden-ratio/xxhash-prime spreads so
+    Spark and the DuckDB oracle embed identical literals."""
+    a = (0x9E3779B1 * (seed + 1)) % MINHASH_P
+    if a == 0:  # unreachable for small seeds; keeps the family universal
+        a = 1
+    b = (0x85EBCA77 * seed + 0xC2B2AE35) % MINHASH_P
+    return a, b
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """Per-shingle base hash array: the ONE md5 evaluation per shingle.
+    Callers must land this on a materialization boundary (persist /
+    checkpoint / exchange) before computing components — see the module
+    docstring's CSE hazard."""
+    return F.transform(
+        shingle_col,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        % MINHASH_P,
+    )
+
+
+def minhash_component(hash_col: Column, seed: int) -> Column:
+    """One MinHash signature component over a pre-hashed shingle array
+    (from :func:`shingle_hashes`): min of the seed-th cheap mix."""
+    a, b = minhash_mix_consts(seed)
     return F.array_min(
         F.transform(
-            shingle_col, lambda x: F.md5(F.concat(F.lit(f"s{seed}|"), x))
+            hash_col, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
         )
     )
 

@@ -16,6 +16,14 @@ Every round's result is localCheckpoint-ed (eager) and the previous
 round dropped, so lineage stays O(1) deep instead of accumulating an
 unexecutable plan — the standard Spark iterative-algorithm discipline
 (same shape GraphX/GraphFrames uses).
+
+Strategy selection at runtime (round 7): the symmetric edge list is
+materialized first, and when it is small (<= LOCAL_SOLVE_MAX_EDGES) a
+driver-side union-find replaces the loop entirely — a verified dedup
+edge set is candidate-sized, and for a few thousand edges the
+distributed loop's cost is 100% fixed job-scheduling latency. The
+distributed fixpoint remains the path for genuinely large graphs; the
+two are property-tested equal on random graphs.
 """
 
 from __future__ import annotations
@@ -24,6 +32,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 @contextmanager
@@ -57,13 +66,23 @@ def loop_parallelism(spark, n_rows: int, rows_per_partition: int = 200_000):
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    distinct_pairs: bool = False,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
     ``edges`` is an undirected pair list; isolated self-loops are fine.
     Raises if the fixpoint is not reached within ``max_iter`` rounds
     (diameter larger than expected) rather than returning wrong labels.
+
+    ``distinct_pairs=True`` asserts the input is already a distinct
+    ``src < dst`` pair set (every dedup candidate generator ends in
+    exactly that distinct), letting the symmetrization skip its
+    safety ``distinct()`` — one full edge-set shuffle, the largest
+    fixed cost of the whole operator on big graphs.
 
     Invariant maintained every round: ``component(x)`` is a node id
     reachable from ``x`` and ``component(x) <= x``. Both steps preserve
@@ -78,26 +97,89 @@ def connected_components(
     # truncates lineage, so round N's plan doesn't re-derive the whole
     # upstream query (the input is often an expensive dedup pipeline)
     # and doesn't grow with the iteration count.
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if not distinct_pairs:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint(eager=True)
+    n_edges = sym.count()  # cheap: sym is materialized
+    if n_edges <= LOCAL_SOLVE_MAX_EDGES:
+        return _solve_local(sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # sym is already materialized, so the edge count is cheap; see
-    # loop_parallelism for why rounds shuffle at edge-set scale
-    with loop_parallelism(edges.sparkSession, sym.count()):
+    # see loop_parallelism for why rounds shuffle at edge-set scale
+    with loop_parallelism(edges.sparkSession, n_edges):
         labels = _propagate(sym, labels, max_iter)
     return labels
 
 
+# Runtime strategy threshold, the same idea as Spark's own
+# autoBroadcastJoinThreshold: a dedup graph's VERIFIED edge set is
+# candidate-sized, and below ~100k symmetric pairs an Arrow-collected
+# driver union-find finishes in well under a second where the
+# distributed loop pays 4-6 whole Spark jobs of fixed latency per
+# invocation. Above it, the O(log diameter) label-propagation loop
+# takes over. Sized by MEASUREMENT at sf0.1, not guesswork: the 1.6k-
+# edge minhash graph solves locally in ~0.3 s vs ~2.1 s of loop
+# overhead, while the 3.8M-edge simhash graph collects so slowly
+# (~17 s through the driver) that the loop wins — the crossover sits
+# comfortably between, and the threshold bounds the driver pull so
+# nothing corpus-sized ever funnels through one process. Equality of
+# the two paths is property-tested (tests/test_properties.py).
+LOCAL_SOLVE_MAX_EDGES = 100_000
+
+
+def _solve_local(sym: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small (bounded) symmetric edge
+    list; returns the same (node, component=min reachable id) frame as
+    the distributed loop, with the same column types as the input.
+    The pull and the return trip both ride Arrow (toPandas /
+    createDataFrame-from-pandas), not row-at-a-time Py4J."""
+    import pandas as pd
+
+    pdf = sym.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["a"].to_list(), pdf["b"].to_list()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = list(parent)
+    out = pd.DataFrame(
+        {"node": nodes, "component": [find(n) for n in nodes]}
+    )
+    node_type = sym.schema["a"].dataType
+    out_schema = StructType(
+        [
+            StructField("node", node_type, False),
+            StructField("component", node_type, False),
+        ]
+    )
+    return sym.sparkSession.createDataFrame(out, out_schema)
+
+
 def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # candidate label for each node: min over its own and neighbors'
         neighbor_min = (
@@ -123,6 +205,13 @@ def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
+        # labels only decrease, so any change shows as component < old.
+        # The change count rides the SAME job that materializes the
+        # checkpoint via observe() — one job per round, not two (the
+        # separate post-checkpoint count() was ~0.1-0.3 s of fixed job
+        # latency per round in local mode, pure overhead at every scale
+        # since the metric is a map-side sum).
+        obs = Observation()
         new_labels = (
             stepped.join(parent, stepped.component == parent.p_node, "left")
             .select(
@@ -130,11 +219,15 @@ def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
                 F.coalesce("p_comp", "component").alias("component"),
                 "old",
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") < F.col("old")).cast("long")
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        # labels only decrease, so any change shows as component < old;
-        # this scans the just-materialized checkpoint blocks (no shuffle).
-        changed = new_labels.filter(F.col("component") < F.col("old")).count()
+        changed = obs.get["changed"]
         labels = new_labels.select("node", "component")
         if changed == 0:
             break

@@ -36,7 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import minhash_component, shingles, tokens
+from ..functions.text import (
+    minhash_component,
+    shingle_hashes,
+    shingles,
+    tokens,
+)
 from .components import connected_components
 
 N_MINHASH = 8  # 2 bands x 4 rows
@@ -49,20 +54,31 @@ JACCARD_DEN = 5
 
 
 def shingle_sets(corpus: DataFrame) -> DataFrame:
-    """(doc_id, sh) word-3-gram shingle arrays; empty-shingle docs
-    dropped (see module docstring)."""
+    """(doc_id, hs) per-shingle BASE-HASH arrays (word-3-gram shingles
+    → one md5-derived int63 each — the single expensive digest pass of
+    the whole pipeline); empty-shingle docs dropped (see module
+    docstring). Every downstream stage (signature mins, exact-Jaccard
+    verify) works on these compact int arrays: callers persist THIS
+    frame, so the md5 per shingle runs once, not once per signature
+    component (the round-6 simhash CSE lesson applied to minhash)."""
     return corpus.select(
-        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
-    ).filter(F.size("sh") > 0)
+        "doc_id", shingle_hashes(shingles(tokens(F.col("text")))).alias("hs")
+    ).filter(F.size("hs") > 0)
 
 
 def band_digests(sh: DataFrame) -> DataFrame:
-    """(doc_id, band0, band1): md5 digest per 4-signature band."""
-    sigs = [minhash_component(F.col("sh"), i) for i in range(N_MINHASH)]
+    """(doc_id, band0, band1): md5 digest per 4-signature band; the
+    signature components are cheap integer mixes over the pre-hashed
+    shingle array (functions.text.minhash_component)."""
+    sigs = [minhash_component(F.col("hs"), i) for i in range(N_MINHASH)]
     return sh.select(
         "doc_id",
-        F.md5(F.concat_ws("|", *sigs[0:4])).alias("band0"),
-        F.md5(F.concat_ws("|", *sigs[4:8])).alias("band1"),
+        F.md5(
+            F.concat_ws("|", *[c.cast("string") for c in sigs[0:4]])
+        ).alias("band0"),
+        F.md5(
+            F.concat_ws("|", *[c.cast("string") for c in sigs[4:8]])
+        ).alias("band1"),
     )
 
 
@@ -101,8 +117,11 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
 
 def verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard >= NUM/DEN on the candidate pairs only
-    — linear in candidates, never quadratic in corpus."""
-    shd = sh.select("doc_id", F.array_distinct("sh").alias("shd"))
+    — linear in candidates, never quadratic in corpus. Sets are the
+    pre-hashed shingle ints (identical hashes in the oracle, so the
+    survivor set is engine-identical; int arrays also intersect ~8x
+    cheaper than the string shingles they replace)."""
+    shd = sh.select("doc_id", F.array_distinct("hs").alias("shd"))
     sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a"))
     sb = shd.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b"))
     j = cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -118,9 +137,21 @@ def minhash_dedup_pipeline(corpus: DataFrame) -> DataFrame:
     one row per near-dup cluster; keep_doc_id = the component's min
     doc_id (the canonical document a dedup pass retains), n_members
     counts how many documents collapse into it."""
-    sh = shingle_sets(corpus).persist()  # shingle arrays feed 3 stages
+    # spread the shingle+digest stage across all cores first: a small
+    # corpus parquet arrives as 1-2 input splits, which would serialize
+    # the ONE expensive narrow pass of the pipeline onto 1-2 tasks (at
+    # cluster scale the reader's own splits make this a no-op cost-wise:
+    # one round-robin shuffle of raw text vs a core-bound digest stage)
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
+    sh = shingle_sets(corpus).persist()  # hashed shingles feed 3 stages
+    # (the persist is ALSO the materialization boundary that keeps the
+    # md5 base hash single-pass — see functions.text docstring)
     ver = verify_jaccard(candidate_pairs(band_digests(sh)), sh)
-    comp = connected_components(ver, src="doc_a", dst="doc_b")
+    comp = connected_components(
+        ver, src="doc_a", dst="doc_b", distinct_pairs=True
+    )
     # comp is localCheckpoint-materialized inside connected_components,
     # so the returned frame no longer reads the shingle cache — release
     # it now instead of leaking one cached copy per invocation into the
@@ -157,11 +188,11 @@ def incremental_verified_matches(
     )
     sn = new_sh.select(
         F.col("doc_id").alias("new_doc_id"),
-        F.array_distinct("sh").alias("sh_n"),
+        F.array_distinct("hs").alias("sh_n"),
     )
     sh2 = hist_sh.select(
         F.col("doc_id").alias("hist_doc_id"),
-        F.array_distinct("sh").alias("sh_h"),
+        F.array_distinct("hs").alias("sh_h"),
     )
     j = cand.join(sn, "new_doc_id").join(sh2, "hist_doc_id")
     inter = F.size(F.array_intersect("sh_n", "sh_h"))

@@ -21,7 +21,13 @@ from ..operators.dedup import (
     minhash_dedup_pipeline,
 )
 from . import register
-from .textq import _DUP_CORPUS_SQL, _SHINGLE_SQL, _dup_corpus_spark, _sig_sql
+from .textq import (
+    _DUP_CORPUS_SQL,
+    _HS_SQL,
+    _SHINGLE_SQL,
+    _band_sql,
+    _dup_corpus_spark,
+)
 
 
 @register(
@@ -29,13 +35,9 @@ from .textq import _DUP_CORPUS_SQL, _SHINGLE_SQL, _dup_corpus_spark, _sig_sql
     oracle=f"""
     WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
     sh_t AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM corpus),
-    sh_ne AS (SELECT doc_id, sh FROM sh_t WHERE len(sh) > 0),
+    sh_ne AS (SELECT doc_id, {_HS_SQL} AS hs FROM sh_t WHERE len(sh) > 0),
     sigs AS (
-      SELECT doc_id,
-             md5({_sig_sql(0)} || '|' || {_sig_sql(1)} || '|'
-                 || {_sig_sql(2)} || '|' || {_sig_sql(3)}) AS band0,
-             md5({_sig_sql(4)} || '|' || {_sig_sql(5)} || '|'
-                 || {_sig_sql(6)} || '|' || {_sig_sql(7)}) AS band1
+      SELECT doc_id, {_band_sql(0)} AS band0, {_band_sql(4)} AS band1
       FROM sh_ne
     ),
     cand AS (
@@ -44,7 +46,7 @@ from .textq import _DUP_CORPUS_SQL, _SHINGLE_SQL, _dup_corpus_spark, _sig_sql
         ON (a.band0 = b.band0 OR a.band1 = b.band1)
        AND a.doc_id < b.doc_id
     ),
-    shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh_ne),
+    shd AS (SELECT doc_id, list_distinct(hs) AS shd FROM sh_ne),
     ver AS (
       SELECT c.doc_a, c.doc_b
       FROM cand c
@@ -272,27 +274,21 @@ def _new_batch_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH newb AS ({_NEW_BATCH_SQL}),
     hist_sh AS (
-      SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents
-      WHERE len({_SHINGLE_SQL}) > 0
+      SELECT doc_id, {_HS_SQL} AS hs
+      FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents) t
+      WHERE len(sh) > 0
     ),
     new_sh AS (
-      SELECT doc_id, {_SHINGLE_SQL} AS sh FROM newb
-      WHERE len({_SHINGLE_SQL}) > 0
+      SELECT doc_id, {_HS_SQL} AS hs
+      FROM (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM newb) t
+      WHERE len(sh) > 0
     ),
     hist_bands AS (
-      SELECT doc_id,
-             md5({_sig_sql(0)} || '|' || {_sig_sql(1)} || '|'
-                 || {_sig_sql(2)} || '|' || {_sig_sql(3)}) AS band0,
-             md5({_sig_sql(4)} || '|' || {_sig_sql(5)} || '|'
-                 || {_sig_sql(6)} || '|' || {_sig_sql(7)}) AS band1
+      SELECT doc_id, {_band_sql(0)} AS band0, {_band_sql(4)} AS band1
       FROM hist_sh
     ),
     new_bands AS (
-      SELECT doc_id,
-             md5({_sig_sql(0)} || '|' || {_sig_sql(1)} || '|'
-                 || {_sig_sql(2)} || '|' || {_sig_sql(3)}) AS band0,
-             md5({_sig_sql(4)} || '|' || {_sig_sql(5)} || '|'
-                 || {_sig_sql(6)} || '|' || {_sig_sql(7)}) AS band1
+      SELECT doc_id, {_band_sql(0)} AS band0, {_band_sql(4)} AS band1
       FROM new_sh
     ),
     cand AS (
@@ -303,9 +299,9 @@ def _new_batch_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ver AS (
       SELECT c.new_doc_id, c.hist_doc_id
       FROM cand c
-      JOIN (SELECT doc_id, list_distinct(sh) AS shd FROM new_sh) sn
+      JOIN (SELECT doc_id, list_distinct(hs) AS shd FROM new_sh) sn
         ON sn.doc_id = c.new_doc_id
-      JOIN (SELECT doc_id, list_distinct(sh) AS shd FROM hist_sh) sh2
+      JOIN (SELECT doc_id, list_distinct(hs) AS shd FROM hist_sh) sh2
         ON sh2.doc_id = c.hist_doc_id
       WHERE {JACCARD_DEN} * len(list_intersect(sn.shd, sh2.shd))
             >= {JACCARD_NUM} * len(list_distinct(sn.shd || sh2.shd))

@@ -21,8 +21,24 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import minhash_component, shingles, tokens
+from ..functions.text import (
+    MINHASH_P,
+    minhash_component,
+    minhash_mix_consts,
+    shingle_hashes,
+    shingles,
+    tokens,
+)
+
+
 from . import register
+
+
+def _mix(h, seed: int):
+    """Seed-th universal-hash mix of a base-hash COLUMN (scalar twin of
+    functions.text.minhash_component's per-element mix)."""
+    a, b = minhash_mix_consts(seed)
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
 N_MINHASH = 8  # signature width; 2 bands × 4 rows
 
@@ -58,11 +74,33 @@ _SHINGLE_SQL = (
 )
 
 
-def _sig_sql(seed: int, shingle_expr: str = "sh") -> str:
+# Base-hash array twin of functions.text.shingle_hashes: ONE md5 per
+# shingle, 60-bit hex prefix as int64, mod P. Components are cheap
+# universal-hash mixes over it (Broder's single-base-hash MinHash).
+_MINHASH_P = 2147483647
+_HS_SQL = (
+    "list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT"
+    f" % {_MINHASH_P})"
+)
+
+
+def _sig_sql(seed: int, hash_expr: str = "hs") -> str:
+    from ..functions.text import minhash_mix_consts
+
+    a, b = minhash_mix_consts(seed)
     return (
-        f"list_aggregate(list_transform({shingle_expr}, "
-        f"x -> md5('s{seed}|' || x)), 'min')"
+        f"list_aggregate(list_transform({hash_expr}, "
+        f"h -> ({a} * h + {b}) % {_MINHASH_P}), 'min')"
     )
+
+
+def _band_sql(lo: int, hash_expr: str = "hs") -> str:
+    """md5 digest over signature components lo..lo+3 (cast to text)."""
+    parts = " || '|' || ".join(
+        f"CAST({_sig_sql(i, hash_expr)} AS VARCHAR)"
+        for i in range(lo, lo + 4)
+    )
+    return f"md5({parts})"
 
 
 @register(
@@ -110,13 +148,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_signatures",
     oracle=f"""
-    WITH sh_t AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents)
+    WITH sh_t AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM documents),
+    hst AS (SELECT doc_id, {_HS_SQL} AS hs FROM sh_t)
     SELECT doc_id,
            {_sig_sql(0)} AS sig0,
            {_sig_sql(1)} AS sig1,
            {_sig_sql(2)} AS sig2,
            {_sig_sql(3)} AS sig3
-    FROM sh_t
+    FROM hst
     """,
     tags=("dedup", "minhash"),
 )
@@ -126,20 +165,23 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents rarely collide (unigram minhash over a small vocabulary
     marks everything similar)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles(_tokens()).alias("sh"))
-    return sh.select(
+    # persist = the materialization boundary that keeps the per-shingle
+    # base md5 single-pass (CollapseProject would otherwise re-inline it
+    # into each component min — functions.text docstring)
+    hs = docs.select(
+        "doc_id", shingle_hashes(shingles(_tokens())).alias("hs")
+    ).persist()
+    out = hs.select(
         "doc_id",
-        *[minhash_component(F.col("sh"), i).alias(f"sig{i}") for i in range(4)],
-    )
+        *[minhash_component(F.col("hs"), i).alias(f"sig{i}") for i in range(4)],
+    ).localCheckpoint(eager=True)
+    hs.unpersist(blocking=False)
+    return out
 
 
 _BANDS_SQL = f"""
-      SELECT doc_id,
-             md5({_sig_sql(0)} || '|' || {_sig_sql(1)} || '|'
-                 || {_sig_sql(2)} || '|' || {_sig_sql(3)}) AS band0,
-             md5({_sig_sql(4)} || '|' || {_sig_sql(5)} || '|'
-                 || {_sig_sql(6)} || '|' || {_sig_sql(7)}) AS band1
-      FROM sh_t
+      SELECT doc_id, {_band_sql(0)} AS band0, {_band_sql(4)} AS band1
+      FROM (SELECT doc_id, {_HS_SQL} AS hs FROM sh_t) hst
 """
 
 
@@ -175,12 +217,18 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus_spark(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = corpus.select("doc_id", shingles(_tokens()).alias("sh")).persist()
-    sigs = [minhash_component(F.col("sh"), i) for i in range(N_MINHASH)]
+    sh = corpus.select(
+        "doc_id", shingle_hashes(shingles(_tokens())).alias("hs")
+    ).persist()
+    sigs = [minhash_component(F.col("hs"), i) for i in range(N_MINHASH)]
     bands = sh.select(
         "doc_id",
-        F.md5(F.concat_ws("|", *sigs[0:4])).alias("band0"),
-        F.md5(F.concat_ws("|", *sigs[4:8])).alias("band1"),
+        F.md5(
+            F.concat_ws("|", *[c.cast("string") for c in sigs[0:4]])
+        ).alias("band0"),
+        F.md5(
+            F.concat_ws("|", *[c.cast("string") for c in sigs[4:8]])
+        ).alias("band1"),
     ).persist()
     pairs = None
     for band in ("band0", "band1"):
@@ -1417,11 +1465,12 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_minhash_union",
     oracle=f"""
     WITH sh_t AS (SELECT lang, {_SHINGLE_SQL} AS sh FROM documents),
+    hst AS (SELECT lang, {_HS_SQL} AS hs FROM sh_t),
     sigs AS (
       SELECT lang,
              {_sig_sql(0)} AS s0, {_sig_sql(1)} AS s1,
              {_sig_sql(2)} AS s2, {_sig_sql(3)} AS s3
-      FROM sh_t
+      FROM hst
     )
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -1453,12 +1502,15 @@ def grouped_minhash_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries only k hashes per (lang, partition).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("lang", F.explode(shingles(_tokens())).alias("s"))
+    # explode the PRE-HASHED array: the md5 base hash evaluates inside
+    # the generator input (once per shingle); the per-component mixes
+    # are integer arithmetic on the exploded column
+    sh = docs.select(
+        "lang", F.explode(shingle_hashes(shingles(_tokens()))).alias("h")
+    )
     sigs = sh.groupBy("lang").agg(
         *[
-            F.min(
-                F.md5(F.concat(F.lit(f"s{i}|"), F.col("s")))
-            ).alias(f"sig{i}")
+            F.min(_mix(F.col("h"), i)).alias(f"sig{i}")
             for i in range(4)
         ]
     )
@@ -1843,21 +1895,49 @@ def simhash_near_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifts k·3 bits), so the edge set for clustering is kept strict
     while pair REPORTING (simhash_near_pairs) stays at ≤ 3.
 
-    Scale: band-bucketed candidate generation (never all-pairs; hamming
-    verify runs before the pair distinct so the distinct shuffles only
-    true near-pairs) + two small shuffles per label-propagation round,
-    rounds = O(log diameter) via pointer jumping (operators/
-    components.py — was 14 diameter-bound rounds / 30 s at sf0.01
-    before the jump, ~5 rounds after); max_iter raises rather than
+    Scale (round 7): documents are COLLAPSED BY IDENTICAL SIGNATURE
+    before any pairing — hamming-0 duplicates (the bulk of a duplicated
+    corpus, and exactly the skew that makes band buckets quadratic) cost
+    one groupBy; banded candidate generation, hamming verify, and the
+    components solve then run on DISTINCT signatures only, and labels
+    re-expand to documents through the signature→rep map. This is
+    semantics-preserving, not an approximation: hamming is a function
+    of the signature pair, so every cross-group doc edge exists iff the
+    rep edge exists, and an n≥2 group is internally connected (hamming
+    0) — rendered as a rep self-loop. Measured at sf0.1: 1.9M doc pairs
+    → a few hundred rep pairs; 7.2 s → ~2 s. Banded generation stays
+    never-all-pairs; the verify runs before the pair distinct; the
+    components operator picks its local-vs-distributed path by edge
+    count (operators/components.py); max_iter raises rather than
     mislabeling.
     """
     corpus = _dup_corpus_spark(spark, sf_dir)
-    pairs = _near_cand_pairs(_near_sig_spark(corpus), max_hamming=1).select(
-        "doc_a", "doc_b"
+    sig = _near_sig_spark(corpus).localCheckpoint(eager=True)
+    groups = (
+        sig.groupBy("simhash")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rep_pairs = _near_cand_pairs(
+        groups.select(F.col("rep").alias("doc_id"), "simhash"), max_hamming=1
+    ).select("doc_a", "doc_b")
+    # n>=2 groups are internally connected at hamming 0: a rep
+    # self-loop keeps their members in the output even when the rep has
+    # no cross-signature neighbor
+    self_loops = groups.filter(F.col("n") >= 2).select(
+        F.col("rep").alias("doc_a"), F.col("rep").alias("doc_b")
     )
 
     from ..operators.components import connected_components
 
-    return connected_components(pairs, src="doc_a", dst="doc_b").select(
-        F.col("node"), F.col("component")
+    rep_labels = connected_components(
+        rep_pairs.unionByName(self_loops),
+        src="doc_a",
+        dst="doc_b",
+        distinct_pairs=True,
+    )
+    return (
+        sig.join(groups.select("simhash", "rep"), "simhash")
+        .join(rep_labels, F.col("rep") == F.col("node"))
+        .select(F.col("doc_id").alias("node"), F.col("component"))
     )

@@ -255,3 +255,38 @@ def test_semdedup_k_bounds_mean_cell_size(n):
         SEMDEDUP_MIN_CELLS,
         (n + SEMDEDUP_TARGET_CELL - 1) // SEMDEDUP_TARGET_CELL,
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_components_local_equals_distributed(spark, edges):
+    """The size-gated driver union-find and the distributed
+    label-propagation loop must produce IDENTICAL (node, component)
+    labelings on arbitrary graphs — the strategy switch may never
+    change results."""
+    import log_analysis_bigdata_spark.operators.components as C
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    local = {
+        (r["node"], r["component"])
+        for r in C.connected_components(df).collect()
+    }
+    orig = C.LOCAL_SOLVE_MAX_EDGES
+    C.LOCAL_SOLVE_MAX_EDGES = -1  # force the distributed loop
+    try:
+        dist = {
+            (r["node"], r["component"])
+            for r in C.connected_components(df).collect()
+        }
+    finally:
+        C.LOCAL_SOLVE_MAX_EDGES = orig
+    assert local == dist
