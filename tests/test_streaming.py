@@ -682,7 +682,7 @@ def _has_protobuf() -> bool:
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas needs protobuf for its state-server "
-    "(offline install retried and unavailable 2026-08-14, VERDICT r5 #7) "
+    "(retried round 7, 2026-08-14: still no google.protobuf, no index) "
     "wire protocol; not installed in this sandbox (module import + plan "
     "construction still covered below via the classic-API twins)",
 )
@@ -849,3 +849,82 @@ def test_stream_stream_join_is_symmetric_hash_with_watermarks(spark):
     )
     want = {r["user_id"]: (r["n"], r["lag"]) for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_windowed_state_shrinks_after_watermark_expiry(spark, tmp_path):
+    """Bounded state under watermark expiry (VERDICT r6 task 7): the
+    difference between "runs at sf0.1" and "survives an unbounded
+    stream" is that the state store SHRINKS when windows pass the
+    watermark — not just that rows stop changing. Drive event time
+    forward across micro-batches and assert
+    ``stateOperators[].numRowsTotal`` actually falls after expiry."""
+    import datetime as dt
+
+    src = str(tmp_path / "wm_shrink_src")
+    os.makedirs(src)
+    base = dt.datetime(2008, 11, 9, 20, 0, 0)
+
+    def write_batch(name, minute_offsets):
+        with open(os.path.join(src, name), "w") as fh:
+            for i, m in enumerate(minute_offsets):
+                ts = (base + dt.timedelta(minutes=m)).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                )
+                fh.write(
+                    json.dumps({"k": f"e{m}_{i}", "event_ts": ts}) + "\n"
+                )
+
+    agg = (
+        spark.readStream.schema("k string, event_ts string")
+        .json(src)
+        .select("k", F.to_timestamp("event_ts").alias("event_time"))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_shrink")
+        .start()
+    )
+
+    def state_rows():
+        ops = q.lastProgress["stateOperators"]
+        assert len(ops) == 1
+        return ops[0]["numRowsTotal"]
+
+    try:
+        # batch 1: six 5-minute windows (0..30 min) enter the store.
+        # processAllAvailable also runs the TRAILING empty batch Spark
+        # schedules when the watermark advances (to 29 - 10 = 19 min),
+        # which already evicts+emits the three windows ending <= 19 —
+        # the store holds the three unexpired ones. Eviction is thus
+        # visible within the very first step.
+        write_batch("b1.json", [0, 4, 6, 11, 14, 17, 21, 26, 29])
+        q.processAllAvailable()
+        s1 = state_rows()
+        assert s1 == 3
+
+        # batch 2: one event 2 h later -> watermark 110 min. Every
+        # original window evicts; only the 120-min window remains.
+        write_batch("b2.json", [120])
+        q.processAllAvailable()
+        s2 = state_rows()
+        assert s2 == 1
+        assert s2 < s1
+
+        # batch 3: 4 h out -> the 120-min window evicts too. Total
+        # state never grows with stream length, only with the number
+        # of OPEN windows.
+        write_batch("b3.json", [240])
+        q.processAllAvailable()
+        s3 = state_rows()
+        assert s3 == 1  # just the 240-minute window
+
+        # the evicted windows were EMITTED, not dropped: append mode
+        # has released all six closed windows plus the 120-min one
+        emitted = spark.sql("select count(*) n from wm_shrink").collect()
+        assert emitted[0]["n"] == 7
+    finally:
+        q.stop()
