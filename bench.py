@@ -142,6 +142,10 @@ HEADLINE = [
     "arrow_map_embedding_norms",
     "bpe_merge_candidates",
     "hard_negatives_per_query",
+    # round-7: real decoded-pixel math beside the byte-level multimodal
+    # entries, and the simhash clustering rebuilt on signature collapse
+    "multimodal_ppm_pixel_stats",
+    "simhash_near_components",
     # (stream_stream_join_attribution / stream_static_enrich_segments
     # stay out: their wall time is the fixed streaming-replay harness
     # cost, already represented by ewma_user_value_stateful)

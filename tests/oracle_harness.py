@@ -33,6 +33,11 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            # Spark-written tables are DIRECTORIES of part files (the
+            # self-generated scale-up sets under /tmp); driver testdata
+            # is single files — support both
+            path = os.path.join(path, "*.parquet")
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )

@@ -1,0 +1,127 @@
+"""Self-generated scale-up dataset (VERDICT r6 task 2): tile the sf0.1
+testdata K times with key offsets and decorrelating transforms, writing
+parquet to a target dir — testdata itself is read-only. The goal is a
+corpus whose PER-TILE statistics match sf0.1 (so runtimes should scale
+~linearly in K), not a byte-copy:
+
+- relational tables tile with consistent key offsets (foreign keys
+  remapped identically, so join fan-outs per key are unchanged; nation/
+  region stay fixed like TPC-H dims);
+- documents get every WORD suffixed with a tile tag (k>0), so shingles
+  across tiles never collide and the near-dup rate per tile equals
+  sf0.1's — tiling raw text would instead make every doc a 10-way
+  near-dup and measure a data artifact, not the algorithm;
+- embeddings are rotated by k positions (norm-preserving, decorrelates
+  cosine across tiles) with offset vec_ids;
+- events tile with offset event/user ids over the same time range
+  (more traffic, same horizon — the realistic growth mode).
+
+Usage: python tools/scale_up.py <out_dir> [K=10] [src=/root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build(spark, out_dir: str, k_tiles: int = 10,
+          src: str = "/root/testdata/sf0.1") -> None:
+    from log_analysis_bigdata_spark.catalog import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    parts = spark.sparkContext.defaultParallelism
+
+    def tiles(df, build_tile):
+        out = build_tile(df, 0)
+        for k in range(1, k_tiles):
+            out = out.unionByName(build_tile(df, k))
+        return out
+
+    def write(df, name):
+        df.repartition(parts).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+
+    # fixed dims: copy as-is
+    for name in ("nation", "region"):
+        write(spark.read.parquet(f"{src}/{name}.parquet"), name)
+
+    # relational: offset = k * (max_key + 1), same offset applied to the
+    # foreign-key side so per-key join fan-out is tile-invariant
+    O_OFF, C_OFF, P_OFF, S_OFF = 150_000, 15_000, 20_000, 1_000
+    E_OFF, U_OFF, D_OFF, V_OFF = 100_000, 1_500, 5_000, 2_000
+
+    write(tiles(spark.read.parquet(f"{src}/customer.parquet"), lambda d, k:
+          d.withColumn("c_custkey", F.col("c_custkey") + k * C_OFF)),
+          "customer")
+    write(tiles(spark.read.parquet(f"{src}/supplier.parquet"), lambda d, k:
+          d.withColumn("s_suppkey", F.col("s_suppkey") + k * S_OFF)),
+          "supplier")
+    write(tiles(spark.read.parquet(f"{src}/part.parquet"), lambda d, k:
+          d.withColumn("p_partkey", F.col("p_partkey") + k * P_OFF)),
+          "part")
+    write(tiles(spark.read.parquet(f"{src}/orders.parquet"), lambda d, k:
+          d.withColumn("o_orderkey", F.col("o_orderkey") + k * O_OFF)
+           .withColumn("o_custkey", F.col("o_custkey") + k * C_OFF)),
+          "orders")
+    write(tiles(spark.read.parquet(f"{src}/lineitem.parquet"), lambda d, k:
+          d.withColumn("l_orderkey", F.col("l_orderkey") + k * O_OFF)
+           .withColumn("l_partkey", F.col("l_partkey") + k * P_OFF)
+           .withColumn("l_suppkey", F.col("l_suppkey") + k * S_OFF)),
+          "lineitem")
+
+    write(tiles(load_table(spark, src, "events"), lambda d, k:
+          d.withColumn("event_id", F.col("event_id") + k * E_OFF)
+           .withColumn("user_id", F.col("user_id") + k * U_OFF)),
+          "events")
+
+    def doc_tile(d, k):
+        d = d.withColumn("doc_id", F.col("doc_id") + k * D_OFF)
+        if k == 0:
+            return d
+        text = F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim(F.col("text")), " +"),
+                lambda w: F.concat(w, F.lit(f"_t{k}")),
+            ),
+        )
+        return d.withColumn("text", text).withColumn(
+            "n_chars", F.length(text)
+        )
+
+    write(tiles(spark.read.parquet(f"{src}/documents.parquet"), doc_tile),
+          "documents")
+
+    def emb_tile(d, k):
+        d = d.withColumn("vec_id", F.col("vec_id") + k * V_OFF)
+        if k == 0:
+            return d
+        dim = 64
+        rot = F.concat(
+            F.slice(F.col("embedding"), k + 1, dim - k),
+            F.slice(F.col("embedding"), 1, k),
+        )
+        return d.withColumn("embedding", rot)
+
+    write(tiles(spark.read.parquet(f"{src}/embeddings.parquet"), emb_tile),
+          "embeddings")
+
+
+if __name__ == "__main__":
+    from log_analysis_bigdata_spark.session import get_spark
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale_up")
+    build(spark, out, k, src)
+    for t in sorted(os.listdir(out)):
+        n = spark.read.parquet(f"{out}/{t}").count()
+        print(t, n)
+    spark.stop()
