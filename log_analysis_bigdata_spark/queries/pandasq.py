@@ -35,8 +35,12 @@ from . import register
       FROM events
     )
     SELECT event_id, user_id,
+           -- + 0.0 normalizes IEEE negative zero: a z-score that rounds
+           -- to -0.0 reprs differently from 0.0 and fails the driver
+           -- hash (surfaced by the r7 sf0.1 sweep, not visible at
+           -- sf0.01)
            round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
-                      ELSE (value - mu) / sd END, 4) AS zscore
+                      ELSE (value - mu) / sd END, 4) + 0.0 AS zscore
     FROM s
     """,
     tags=("pandas", "applyInPandas", "grouped-map", "window"),
@@ -65,7 +69,9 @@ def grouped_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "zscore": (z if not isinstance(z, float) else pd.Series(z, index=pdf.index)).round(4),
+                # + 0.0 folds IEEE -0.0 to 0.0 (same normalization as
+                # the oracle and the window twin)
+                "zscore": (z if not isinstance(z, float) else pd.Series(z, index=pdf.index)).round(4) + 0.0,
             }
         )
 
@@ -84,8 +90,12 @@ def grouped_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id, user_id,
+           -- + 0.0 normalizes IEEE negative zero: a z-score that rounds
+           -- to -0.0 reprs differently from 0.0 and fails the driver
+           -- hash (surfaced by the r7 sf0.1 sweep, not visible at
+           -- sf0.01)
            round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
-                      ELSE (value - mu) / sd END, 4) AS zscore
+                      ELSE (value - mu) / sd END, 4) + 0.0 AS zscore
     FROM s
     """,
     tags=("window", "zscore", "scale-path"),
@@ -107,7 +117,11 @@ def grouped_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.when(sd.isNull() | (sd == 0), F.lit(0.0)).otherwise(
         (F.col("value") - mu) / sd
     )
-    return ev.select("event_id", "user_id", F.round(z, 4).alias("zscore"))
+    # + 0.0 folds IEEE -0.0 to 0.0 (oracle does the same); Spark and
+    # DuckDB disagree on the sign of a zero-rounded negative otherwise
+    return ev.select(
+        "event_id", "user_id", (F.round(z, 4) + F.lit(0.0)).alias("zscore")
+    )
 
 
 @register(
