@@ -3,9 +3,10 @@ tokenization, n-gram shingling, MinHash components, language-ID
 heuristic, quality metrics. All pure Catalyst expressions (JVM-side).
 
 MinHash design (Broder 1997's single-base-hash form): each shingle is
-hashed ONCE — ``base = hex(md5(x))[:15] as int64 mod P`` with
-P = 2^31 - 1 — and signature component i is the min over shingles of
-the universal-hash mix ``(a_i * base + b_i) mod P``. One expensive
+hashed ONCE — ``base = hex(md5(x))[:15] as int64`` (full 60 bits, the
+shingle's set identity) — and signature component i is the min over
+shingles of the universal-hash mix ``(a_i * (base mod P) + b_i) mod P``
+with P = 2^31 - 1. One expensive
 digest per shingle + k cheap integer mixes replaces the previous
 k-digests-per-shingle construction (8× md5 → 1× md5 on the dedup
 pipeline's hottest stage). md5 is used as the base because it is the
@@ -73,7 +74,12 @@ def minhash_mix_consts(seed: int) -> tuple[int, int]:
 
 
 def shingle_hashes(shingle_col: Column) -> Column:
-    """Per-shingle base hash array: the ONE md5 evaluation per shingle.
+    """Per-shingle base hash array: the ONE md5 evaluation per shingle,
+    kept at the FULL 60 bits (15 hex chars) — downstream set operations
+    (the exact-Jaccard verify) treat these as shingle identities, and a
+    60-bit space keeps collision odds ~2^-60 per pair where reducing to
+    31 bits here would alias distinct shingles at 100 TB corpus sizes
+    (code-review r7); the signature mixes reduce mod P themselves.
     Callers must land this on a materialization boundary (persist /
     checkpoint / exchange) before computing components — see the module
     docstring's CSE hazard."""
@@ -81,18 +87,20 @@ def shingle_hashes(shingle_col: Column) -> Column:
         shingle_col,
         lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast(
             "bigint"
-        )
-        % MINHASH_P,
+        ),
     )
 
 
 def minhash_component(hash_col: Column, seed: int) -> Column:
     """One MinHash signature component over a pre-hashed shingle array
-    (from :func:`shingle_hashes`): min of the seed-th cheap mix."""
+    (from :func:`shingle_hashes`): min of the seed-th cheap mix. The
+    60-bit base reduces mod P first so the a·h product stays below
+    2^62 — exact int64 in both engines."""
     a, b = minhash_mix_consts(seed)
     return F.array_min(
         F.transform(
-            hash_col, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+            hash_col,
+            lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P,
         )
     )
 

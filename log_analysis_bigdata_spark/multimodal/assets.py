@@ -228,10 +228,21 @@ def resize_plan(assets: DataFrame, target: int = 224) -> DataFrame:
     )
 
 
+def _ppm_header(buf: bytes) -> tuple[int, int, int]:
+    """Parse a P6 header; returns (width, height, raster_offset)."""
+    w, h, _c, _m, pos = _parse_ppm_full(buf)
+    return w, h, pos
+
+
 def _parse_ppm(buf: bytes) -> tuple[int, int, int, float]:
     """Parse one binary netpbm P6 image: header ``P6 <w> <h> <maxval>``
     (ASCII tokens, ``#`` comments allowed) + one whitespace byte + raw
     interleaved RGB. Returns (width, height, channels, mean_pixel)."""
+    w, h, c, m, _pos = _parse_ppm_full(buf)
+    return w, h, c, m
+
+
+def _parse_ppm_full(buf: bytes) -> tuple[int, int, int, float, int]:
     if not buf.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     pos, vals = 2, []
@@ -261,7 +272,7 @@ def _parse_ppm(buf: bytes) -> tuple[int, int, int, float]:
     if len(buf) < pos + n:
         raise ValueError("truncated PPM raster")
     data = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
-    return w, h, 3, (float(data.mean()) if n else 0.0)
+    return w, h, 3, (float(data.mean()) if n else 0.0), pos
 
 
 def decode_ppm_images(assets: DataFrame) -> DataFrame:
@@ -380,13 +391,14 @@ def ppm_pixel_stats(assets: DataFrame, target: int = 2) -> DataFrame:
             out = {k.name: [] for k in PPM_PIXEL_SCHEMA.fields}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 buf = bytes(payload)
-                w, h, _c, _mean = _parse_ppm(buf)  # validates the header
-                # full decoded pixel array (h, w, 3); P6 raster is the
-                # file suffix, so the offset is len - raster size
+                # decode at the PARSER's raster offset — suffix
+                # arithmetic (len - w*h*3) would silently shift every
+                # pixel on a payload with trailing bytes, which the
+                # header parser tolerates (code-review r7)
+                w, h, off = _ppm_header(buf)
                 px = (
                     np.frombuffer(
-                        buf, dtype=np.uint8, count=w * h * 3,
-                        offset=len(buf) - w * h * 3,
+                        buf, dtype=np.uint8, count=w * h * 3, offset=off
                     )
                     .reshape(h, w, 3)
                     .astype(np.int64)

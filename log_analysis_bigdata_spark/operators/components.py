@@ -55,13 +55,28 @@ def loop_parallelism(spark, n_rows: int, rows_per_partition: int = 200_000):
         # plan on their own thread, so the single-driver-thread
         # assumption doesn't hold — skip the optimization entirely; the
         # loop still runs correctly at the session default.
-        yield
+        yield prev
         return
     parts = max(1, min(int(prev), n_rows // rows_per_partition + 1))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        yield
+        yield prev
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def guard_parallelism(spark, prev: str) -> None:
+    """Per-round re-check for the loop above (code-review r7): a
+    streaming query STARTED while the loop holds the narrowed conf
+    would compile its first micro-batch — and pin its state-store
+    partition count — at the reduced value. Restoring the session
+    default the moment a stream appears shrinks that window from the
+    whole loop to at most one round; the complete fix is running
+    streaming jobs on their own SparkSession (spark.newSession()), as
+    streaming/job.py documents."""
+    if spark.streams.active and (
+        spark.conf.get("spark.sql.shuffle.partitions") != prev
+    ):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
@@ -113,8 +128,8 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     # see loop_parallelism for why rounds shuffle at edge-set scale
-    with loop_parallelism(edges.sparkSession, n_edges):
-        labels = _propagate(sym, labels, max_iter)
+    with loop_parallelism(edges.sparkSession, n_edges) as session_default:
+        labels = _propagate(sym, labels, max_iter, session_default)
     return labels
 
 
@@ -177,10 +192,19 @@ def _solve_local(sym: DataFrame) -> DataFrame:
     return sym.sparkSession.createDataFrame(out, out_schema)
 
 
-def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+def _propagate(
+    sym: DataFrame,
+    labels: DataFrame,
+    max_iter: int,
+    session_default: str | None = None,
+) -> DataFrame:
     from pyspark.sql import Observation
 
+    spark = sym.sparkSession
+    if session_default is None:
+        session_default = spark.conf.get("spark.sql.shuffle.partitions")
     for _ in range(max_iter):
+        guard_parallelism(spark, session_default)
         # candidate label for each node: min over its own and neighbors'
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)

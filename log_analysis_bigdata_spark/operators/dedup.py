@@ -116,11 +116,15 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
 
 
 def verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard >= NUM/DEN on the candidate pairs only
-    — linear in candidates, never quadratic in corpus. Sets are the
-    pre-hashed shingle ints (identical hashes in the oracle, so the
+    """Shingle-set Jaccard >= NUM/DEN on the candidate pairs only —
+    linear in candidates, never quadratic in corpus. Sets are the
+    60-bit per-shingle base hashes (identical in the oracle, so the
     survivor set is engine-identical; int arrays also intersect ~8x
-    cheaper than the string shingles they replace)."""
+    cheaper than the string shingles they replace). "Exact" up to
+    60-bit hash identity: a distinct-shingle collision would need
+    ~2^30 shingles per doc pair to become likely (~2^-60 each), so
+    this is the exact-verify stage in practice at any corpus size —
+    the earlier 31-bit reduction was NOT (code-review r7)."""
     shd = sh.select("doc_id", F.array_distinct("hs").alias("shd"))
     sa = shd.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a"))
     sb = shd.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b"))

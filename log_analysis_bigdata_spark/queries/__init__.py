@@ -60,17 +60,18 @@ _LOADED = False
 #   (3) re-verdicts for every query whose CODE CHANGED this round:
 #       SemDeDup's corpus-derived cell count, the single-base-hash
 #       MinHash rewrite (signatures/pairs/union/pipeline/incremental),
-#       the signature-collapsed simhash clustering, and the adaptive
-#       components solve that dedup_components rides on;
+#       the signature-collapsed simhash clustering, the adaptive
+#       components solve that dedup_components rides on, and
+#       udtf_chunk_docs' fixed-name registration (ADVICE r6);
 #   (4) the full round-3-latest cohort (the oldest remaining verdicts —
 #       all eight rotate forward, none left older than r4);
-#   (5) 31 of the 44 round-4-latest, alphabetical. The 13 that don't
-#       fit (setop_*, sliding/tumbling_window_events, stats_agg_events,
-#       string_funcs_customer, template_tag_docs, topk_orders_by_price,
-#       window_lag_event_gaps, window_time_range_sum,
-#       window_topk_orders_per_customer, word_histogram_docs) keep
-#       their r4 green rows — untouched code paths, first in line next
-#       round. 2 + 1 + 8 + 8 + 31 = 50.
+#   (5) 30 of the 44 round-4-latest, alphabetical. The 14 that don't
+#       fit (session_window_events, setop_*, sliding/tumbling_window_
+#       events, stats_agg_events, string_funcs_customer,
+#       template_tag_docs, topk_orders_by_price, window_lag_event_gaps,
+#       window_time_range_sum, window_topk_orders_per_customer,
+#       word_histogram_docs) keep their r4 green rows — untouched code
+#       paths, first in line next round. 2 + 1 + 9 + 8 + 30 = 50.
 _DRIVER_WINDOW = (
     # (1) never-verdicted round-6 late additions
     "bpe_merge_candidates",
@@ -86,6 +87,7 @@ _DRIVER_WINDOW = (
     "minhash_dup_pairs",
     "grouped_minhash_union",
     "dedup_components",
+    "udtf_chunk_docs",
     # (4) round-3-latest cohort, rotated in full
     "approx_percentile_value",
     "chunk_documents",
@@ -126,7 +128,6 @@ _DRIVER_WINDOW = (
     "rollup_order_status",
     "salted_event_type_stats",
     "scalar_subquery_last_order",
-    "session_window_events",
     # Past the 50-slot window: everything else keeps its r5/r6 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r07.md.

@@ -121,13 +121,21 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-scale default — shared helper with connected_components
     from ..operators.components import loop_parallelism
 
-    with loop_parallelism(spark, contrib_src.count()):
-        ranks = _pr_loop(contrib_src, ranks)
+    with loop_parallelism(spark, contrib_src.count()) as session_default:
+        ranks = _pr_loop(contrib_src, ranks, session_default)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
 
 
-def _pr_loop(contrib_src: DataFrame, ranks: DataFrame) -> DataFrame:
+def _pr_loop(
+    contrib_src: DataFrame, ranks: DataFrame, session_default: str | None = None
+) -> DataFrame:
+    from ..operators.components import guard_parallelism
+
+    spark = contrib_src.sparkSession
+    if session_default is None:
+        session_default = spark.conf.get("spark.sql.shuffle.partitions")
     for _ in range(PR_ITERS):
+        guard_parallelism(spark, session_default)
         step = (
             contrib_src.join(
                 ranks.withColumnRenamed("node", "src"), "src"

@@ -38,7 +38,7 @@ def _mix(h, seed: int):
     """Seed-th universal-hash mix of a base-hash COLUMN (scalar twin of
     functions.text.minhash_component's per-element mix)."""
     a, b = minhash_mix_consts(seed)
-    return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+    return (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
 
 N_MINHASH = 8  # signature width; 2 bands × 4 rows
 
@@ -75,22 +75,19 @@ _SHINGLE_SQL = (
 
 
 # Base-hash array twin of functions.text.shingle_hashes: ONE md5 per
-# shingle, 60-bit hex prefix as int64, mod P. Components are cheap
-# universal-hash mixes over it (Broder's single-base-hash MinHash).
-_MINHASH_P = 2147483647
-_HS_SQL = (
-    "list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT"
-    f" % {_MINHASH_P})"
-)
+# shingle, full 60-bit hex prefix as int64 (collision space for the
+# Jaccard verify). Components are cheap universal-hash mixes over it
+# (Broder's single-base-hash MinHash), reducing mod MINHASH_P — the
+# SAME imported constant the engine uses, so the two sides cannot
+# drift (code-review r7).
+_HS_SQL = "list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)"
 
 
 def _sig_sql(seed: int, hash_expr: str = "hs") -> str:
-    from ..functions.text import minhash_mix_consts
-
     a, b = minhash_mix_consts(seed)
     return (
         f"list_aggregate(list_transform({hash_expr}, "
-        f"h -> ({a} * h + {b}) % {_MINHASH_P}), 'min')"
+        f"h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}), 'min')"
     )
 
 
@@ -217,9 +214,18 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dup_corpus_spark(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    sh = corpus.select(
-        "doc_id", shingle_hashes(shingles(_tokens())).alias("hs")
-    ).persist()
+    # docs with < 3 tokens have EMPTY hs -> all-NULL sigs; concat_ws
+    # skips NULLs, so without this filter every such doc would share
+    # band digest md5("") and all-pair as candidates — while the
+    # oracle's NULL band never equi-joins (code-review r7). Dropping
+    # them mirrors shingle_sets' policy (and the oracle's no-join).
+    sh = (
+        corpus.select(
+            "doc_id", shingle_hashes(shingles(_tokens())).alias("hs")
+        )
+        .filter(F.size("hs") > 0)
+        .persist()
+    )
     sigs = [minhash_component(F.col("hs"), i) for i in range(N_MINHASH)]
     bands = sh.select(
         "doc_id",

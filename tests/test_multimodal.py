@@ -173,3 +173,23 @@ def test_synth_ppm_roundtrip_matches_formula(spark):
         got = np.frombuffer(buf[-w * h * 3 :], dtype=np.uint8)
         want = (d * 7 + np.arange(w * h * 3)) % 256
         assert (got == want).all()
+
+
+def test_ppm_pixel_stats_trailing_bytes_not_shifted(spark):
+    """A valid P6 payload with trailing bytes (parser-tolerated) must
+    decode at the header's raster offset, not via suffix arithmetic —
+    the code-review r7 regression case."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        ppm_pixel_stats,
+    )
+
+    raster = bytes(range(12))
+    clean = b"P6\n2 2\n255\n" + raster
+    padded = clean + b"\n\n\n"  # 3 trailing bytes
+    df = spark.createDataFrame(
+        [(1, clean), (2, padded)], ["asset_id", "payload"]
+    )
+    rows = {r["asset_id"]: r for r in ppm_pixel_stats(df, target=2).collect()}
+    for c in ("mean_pixel_e4", "r_mean_e4", "g_mean_e4", "b_mean_e4"):
+        assert rows[1][c] == rows[2][c]
+    assert rows[2]["mean_pixel_e4"] == 55_000

@@ -51,10 +51,29 @@ def build(spark, out_dir: str, k_tiles: int = 10,
     for name in ("nation", "region"):
         write(spark.read.parquet(f"{src}/{name}.parquet"), name)
 
-    # relational: offset = k * (max_key + 1), same offset applied to the
-    # foreign-key side so per-key join fan-out is tile-invariant
-    O_OFF, C_OFF, P_OFF, S_OFF = 150_000, 15_000, 20_000, 1_000
-    E_OFF, U_OFF, D_OFF, V_OFF = 100_000, 1_500, 5_000, 2_000
+    # relational: offset = k * (max_key + 1) MEASURED FROM src (not
+    # hardcoded to sf0.1's sizes — re-scaling an already-scaled set
+    # would otherwise silently collide keys, code-review r7); the same
+    # offset applies to the foreign-key side so per-key join fan-out is
+    # tile-invariant
+    def off(table, col):
+        return (
+            spark.read.parquet(f"{src}/{table}.parquet")
+            .agg(F.max(col))
+            .first()[0]
+            + 1
+        )
+
+    O_OFF, C_OFF = off("orders", "o_orderkey"), off("customer", "c_custkey")
+    P_OFF, S_OFF = off("part", "p_partkey"), off("supplier", "s_suppkey")
+    E_OFF, U_OFF = off("events", "event_id"), off("events", "user_id")
+    D_OFF, V_OFF = off("documents", "doc_id"), off("embeddings", "vec_id")
+
+    if k_tiles > 32:
+        # the embedding rotation uses k positions of a 64-dim vector;
+        # past half the dimension the tiles start re-correlating and
+        # k=64 would slice zero elements
+        raise ValueError("k_tiles > 32 not supported (embedding rotation)")
 
     write(tiles(spark.read.parquet(f"{src}/customer.parquet"), lambda d, k:
           d.withColumn("c_custkey", F.col("c_custkey") + k * C_OFF)),
