@@ -146,6 +146,7 @@ HEADLINE = [
     # entries, and the simhash clustering rebuilt on signature collapse
     "multimodal_ppm_pixel_stats",
     "simhash_near_components",
+    "bpe_train_merges",
     # (stream_stream_join_attribution / stream_static_enrich_segments
     # stay out: their wall time is the fixed streaming-replay harness
     # cost, already represented by ewma_user_value_stateful)

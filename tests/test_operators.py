@@ -254,3 +254,22 @@ def test_observed_metrics_streaming_progress(spark, tmp_path):
     m = progress[-1]["observedMetrics"]["stream_health"]
     assert m["n_rows"] == 5 and m["n_null_k"] == 0
     assert m["max_v"] == 4.0
+
+
+def test_bpe_merge_replace_is_greedy_left_to_right(spark):
+    """The delimiter-string replace used by bpe_train_merges must equal
+    greedy BPE merge order, including the overlap case: [a,a,a,a] with
+    merge (a,a) -> [aa,aa], and [a,a,a] -> [aa,a]; a symbol whose text
+    ends with the left side must not false-match mid-symbol."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("|a|a|a|a|",), ("|a|a|a|",), ("|xa|a|",)], ["seq"]
+    )
+    out = [
+        r["m"]
+        for r in df.select(
+            F.replace(F.col("seq"), F.lit("|a|a"), F.lit("|aa")).alias("m")
+        ).collect()
+    ]
+    assert out == ["|aa|aa|", "|aa|a|", "|xa|a|"]
