@@ -147,6 +147,7 @@ HEADLINE = [
     "multimodal_ppm_pixel_stats",
     "simhash_near_components",
     "bpe_train_merges",
+    "bpe_apply_merges",
     # (stream_stream_join_attribution / stream_static_enrich_segments
     # stay out: their wall time is the fixed streaming-replay harness
     # cost, already represented by ewma_user_value_stateful)

@@ -587,6 +587,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous round's replace expression — 3 levels of lineage, no
     checkpoint needed.
     """
+    merges = _learn_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The shared learn loop: (rank, left, right, count) per merge.
+    Used by bpe_train_merges (reports the table) and bpe_apply_merges
+    (tokenizes with it)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -642,7 +653,93 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.unpersist(blocking=False)
         w = w2
     w.unpersist(blocking=False)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    return merges
+
+
+@register(
+    "bpe_apply_merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    w0 AS (
+      SELECT '|' || list_aggregate(string_split(w, ''), 'string_agg', '|')
+               || '|' AS seq, cnt
+      FROM words
+    ),{",".join(_bpe_round_sql(i) for i in range(1, N_BPE_MERGES + 1))},
+    runs AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    d0 AS (
+      SELECT doc_id,
+             '|' || list_aggregate(string_split(w, ''), 'string_agg', '|')
+               || '|' AS seq,
+             length(w) AS n_chars
+      FROM runs
+    ),
+    d3 AS (
+      SELECT doc_id, n_chars,
+        replace(replace(replace(seq,
+          (SELECT '|' || l || '|' || r FROM m1),
+          (SELECT '|' || l || r FROM m1)),
+          (SELECT '|' || l || '|' || r FROM m2),
+          (SELECT '|' || l || r FROM m2)),
+          (SELECT '|' || l || '|' || r FROM m3),
+          (SELECT '|' || l || r FROM m3)) AS seq
+      FROM d0
+    )
+    SELECT doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(len(list_filter(string_split(seq, '|'), x -> x <> '')))
+             AS BIGINT) AS n_bpe_tokens
+    FROM d3 GROUP BY doc_id
+    """,
+    tags=("text", "tokenize", "bpe", "inference"),
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE INFERENCE — the other half of bpe_train_merges: apply the
+    learned merge table to every document's word runs and report real
+    token counts (chars before, symbols after). Together the pair is
+    the train→tokenize contract a data pipeline runs before sequence
+    packing (sequence_pack_docs currently packs on estimates;
+    this computes the real counts for the learned vocab).
+
+    Scale: the merge table is learned on the word-frequency table
+    (|vocab| rows, see _learn_bpe) and APPLIED as N chained string
+    replaces in one narrow pass over the corpus — no joins, no shuffle
+    beyond the final per-doc sum; the replace chain is exactly how a
+    production tokenizer's merge list executes, just vectorized
+    JVM-side instead of per-row Python. The oracle replays both the
+    learning CTE chain and the nested replaces, so a drift in EITHER
+    half breaks the hash.
+    """
+    merges = _learn_bpe(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    runs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    seq = F.concat(
+        F.lit("|"), F.array_join(F.split(F.col("w"), ""), "|"), F.lit("|")
+    )
+    for _rank, left, right, _n in merges:
+        seq = F.replace(
+            seq, F.lit(f"|{left}|{right}"), F.lit(f"|{left}{right}")
+        )
+    n_syms = F.size(F.filter(F.split(seq, "[|]"), lambda x: x != ""))
+    return (
+        runs.select("doc_id", F.length("w").alias("n_chars"),
+                    n_syms.alias("n_syms"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        )
     )
