@@ -928,3 +928,80 @@ def test_windowed_state_shrinks_after_watermark_expiry(spark, tmp_path):
         assert emitted[0]["n"] == 7
     finally:
         q.stop()
+
+
+def test_stream_stream_join_state_shrinks_after_watermark(spark, tmp_path):
+    """Join-state boundedness (the interval-join companion to
+    test_windowed_state_shrinks_after_watermark_expiry): buffered rows
+    on BOTH sides must be evicted once the joint watermark passes the
+    interval bound, so numRowsTotal falls instead of accumulating the
+    whole stream."""
+    import datetime as dt
+
+    imp_dir, clk_dir = str(tmp_path / "imp2"), str(tmp_path / "clk2")
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    base = dt.datetime(2008, 11, 9, 20, 0, 0)
+
+    def w(d, name, col, minutes):
+        with open(os.path.join(d, name), "w") as fh:
+            for i, m in enumerate(minutes):
+                ts = (base + dt.timedelta(minutes=m)).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                )
+                fh.write(
+                    json.dumps({"ad_id": f"ad{m}_{i}", col: ts}) + "\n"
+                )
+
+    imps = (
+        spark.readStream.schema("ad_id string, imp_ts string").json(imp_dir)
+        .select("ad_id", F.to_timestamp("imp_ts").alias("imp_time"))
+        .withWatermark("imp_time", "10 minutes")
+    )
+    clicks = (
+        spark.readStream.schema("ad_id string, click_ts string").json(clk_dir)
+        .select(
+            F.col("ad_id").alias("c_ad_id"),
+            F.to_timestamp("click_ts").alias("click_time"),
+        )
+        .withWatermark("click_time", "10 minutes")
+    )
+    joined = imps.join(
+        clicks,
+        (F.col("ad_id") == F.col("c_ad_id"))
+        & (F.col("click_time") >= F.col("imp_time"))
+        & (
+            F.col("click_time")
+            <= F.col("imp_time") + F.expr("INTERVAL 5 MINUTES")
+        ),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("join_state_shrink")
+        .start()
+    )
+
+    def state_rows():
+        return sum(
+            op["numRowsTotal"] for op in q.lastProgress["stateOperators"]
+        )
+
+    try:
+        # batch 1: 8 impressions + 8 clicks buffer on both sides
+        w(imp_dir, "b1.json", "imp_ts", [0, 2, 4, 6, 8, 10, 12, 14])
+        w(clk_dir, "b1.json", "click_ts", [1, 3, 5, 7, 9, 11, 13, 15])
+        q.processAllAvailable()
+        s1 = state_rows()
+        assert s1 >= 12  # both sides buffered (some may already expire)
+
+        # advance BOTH watermarks 2 h: every buffered row is past the
+        # interval bound and must evict
+        w(imp_dir, "b2.json", "imp_ts", [120])
+        w(clk_dir, "b2.json", "click_ts", [121])
+        q.processAllAvailable()
+        s2 = state_rows()
+        assert s2 < s1
+        assert s2 <= 4  # only the two 120-min rows (+ margin rows)
+    finally:
+        q.stop()
