@@ -101,7 +101,7 @@ _DRIVER_WINDOW = (
     "json_extract_events",
     "unpivot_lineitem_metrics",
     "window_running_value",
-    # (5) round-4-latest cohort, 31 alphabetical
+    # (5) round-4-latest cohort, 28 alphabetical
     "asof_join_events_orders",
     "asof_join_tolerance",
     "bm25_search_docs",

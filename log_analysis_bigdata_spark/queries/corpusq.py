@@ -513,7 +513,7 @@ def _bpe_syms_sql(src: str) -> str:
     """DuckDB: delimiter-string word rep -> non-empty symbol list."""
     return (
         f"(SELECT list_filter(string_split(seq, '|'), x -> x <> '') AS syms,"
-        f" cnt, seq FROM {src})"
+        f" cnt FROM {src})"
     )
 
 
@@ -530,9 +530,14 @@ def _bpe_round_sql(i: int) -> str:
     ),
     m{i} AS (SELECT l, r, n FROM p{i} ORDER BY n DESC, l, r LIMIT 1),
     w{i} AS (
-      SELECT replace(w.seq, '|' || m.l || '|' || m.r, '|' || m.l || m.r)
-               AS seq, w.cnt
-      FROM w{i - 1} w, m{i} m
+      -- coalesce to an unmatchable pattern when m{i} is empty
+      -- (degenerate corpus), so the chain stays total like the engine
+      SELECT replace(w.seq,
+                     coalesce((SELECT '|' || l || '||' || r || '|'
+                               FROM m{i}), '~'),
+                     coalesce((SELECT '|' || l || r || '|'
+                               FROM m{i}), '~')) AS seq, w.cnt
+      FROM w{i - 1} w
     )"""
 
 
@@ -546,7 +551,7 @@ def _bpe_round_sql(i: int) -> str:
       GROUP BY w
     ),
     w0 AS (
-      SELECT '|' || list_aggregate(string_split(w, ''), 'string_agg', '|')
+      SELECT '|' || list_aggregate(string_split(w, ''), 'string_agg', '||')
                || '|' AS seq, cnt
       FROM words
     ),{",".join(_bpe_round_sql(i) for i in range(1, N_BPE_MERGES + 1))}
@@ -575,11 +580,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       corpus-wide word count up front, then every round touches only
       |vocab| rows (this is how production BPE trainers work);
     - the merge application is ONE string replace per word against a
-      delimiter encoding ('|a|b|c|'): pattern '|l|r' -> '|lr' replaces
-      left-to-right non-overlapping, which IS greedy BPE order, and the
-      leading delimiter per symbol makes a mid-symbol false match
-      impossible for [a-z]+ words. Identical semantics in DuckDB's
-      replace, so the oracle replays the merge bit-for-bit;
+      both-sides delimiter encoding ('|a||b||c|', every symbol wrapped
+      in its own pipes): pattern '|l||r|' -> '|lr|' replaces
+      left-to-right non-overlapping, which IS greedy BPE order, and
+      the anchors on BOTH symbols make any mid-symbol or prefix false
+      match impossible for [a-z]+ words (the first rendering anchored
+      only the left symbol — '(a,t)' would have consumed '(a,th)';
+      caught in review, regression-tested). Identical semantics in
+      DuckDB's replace, so the oracle replays the merge bit-for-bit;
     - the per-round argmax is a 1-row driver pull (the allowlisted
       collect shape, same as kmeans_step_shift's centroid step) and the
       pair count is a map-side-combinable shuffle on the pair key.
@@ -611,13 +619,14 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
     w = words.select(
         F.concat(
             F.lit("|"),
-            F.array_join(F.split(F.col("w"), ""), "|"),
+            F.array_join(F.split(F.col("w"), ""), "||"),
             F.lit("|"),
         ).alias("seq"),
         "cnt",
     ).persist()
 
     merges = []
+    prev = None
     for rank in range(1, N_BPE_MERGES + 1):
         syms = F.filter(
             F.split(F.col("seq"), "[|]"), lambda x: x != ""
@@ -640,19 +649,31 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").cast("bigint").alias("n"))
         )
-        top = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()[0]
+        # this collect is the action that fills the CURRENT w's cache,
+        # so the PREVIOUS round's table is only released here — never
+        # before its child is materialized (code-review r7b: the eager
+        # unpersist forced a full corpus re-scan every round)
+        rows = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if prev is not None:
+            prev.unpersist(blocking=False)
+            prev = None
+        if not rows:
+            break  # degenerate corpus: no 2-symbol word remains
+        top = rows[0]
         merges.append((rank, top["l"], top["r"], top["n"]))
-        w2 = w.select(
-            F.replace(
-                F.col("seq"),
-                F.lit(f"|{top['l']}|{top['r']}"),
-                F.lit(f"|{top['l']}{top['r']}"),
-            ).alias("seq"),
-            "cnt",
-        ).persist()
-        w.unpersist(blocking=False)
-        w = w2
+        if rank < N_BPE_MERGES:
+            w2 = w.select(
+                F.replace(
+                    F.col("seq"),
+                    F.lit(f"|{top['l']}||{top['r']}|"),
+                    F.lit(f"|{top['l']}{top['r']}|"),
+                ).alias("seq"),
+                "cnt",
+            ).persist()
+            prev, w = w, w2
     w.unpersist(blocking=False)
+    if prev is not None:
+        prev.unpersist(blocking=False)
     return merges
 
 
@@ -666,7 +687,7 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
       GROUP BY w
     ),
     w0 AS (
-      SELECT '|' || list_aggregate(string_split(w, ''), 'string_agg', '|')
+      SELECT '|' || list_aggregate(string_split(w, ''), 'string_agg', '||')
                || '|' AS seq, cnt
       FROM words
     ),{",".join(_bpe_round_sql(i) for i in range(1, N_BPE_MERGES + 1))},
@@ -677,7 +698,7 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
     ),
     d0 AS (
       SELECT doc_id,
-             '|' || list_aggregate(string_split(w, ''), 'string_agg', '|')
+             '|' || list_aggregate(string_split(w, ''), 'string_agg', '||')
                || '|' AS seq,
              length(w) AS n_chars
       FROM runs
@@ -685,12 +706,12 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple]:
     d3 AS (
       SELECT doc_id, n_chars,
         replace(replace(replace(seq,
-          (SELECT '|' || l || '|' || r FROM m1),
-          (SELECT '|' || l || r FROM m1)),
-          (SELECT '|' || l || '|' || r FROM m2),
-          (SELECT '|' || l || r FROM m2)),
-          (SELECT '|' || l || '|' || r FROM m3),
-          (SELECT '|' || l || r FROM m3)) AS seq
+          coalesce((SELECT '|' || l || '||' || r || '|' FROM m1), '~'),
+          coalesce((SELECT '|' || l || r || '|' FROM m1), '~')),
+          coalesce((SELECT '|' || l || '||' || r || '|' FROM m2), '~'),
+          coalesce((SELECT '|' || l || r || '|' FROM m2), '~')),
+          coalesce((SELECT '|' || l || '||' || r || '|' FROM m3), '~'),
+          coalesce((SELECT '|' || l || r || '|' FROM m3), '~')) AS seq
       FROM d0
     )
     SELECT doc_id,
@@ -727,11 +748,11 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     seq = F.concat(
-        F.lit("|"), F.array_join(F.split(F.col("w"), ""), "|"), F.lit("|")
+        F.lit("|"), F.array_join(F.split(F.col("w"), ""), "||"), F.lit("|")
     )
     for _rank, left, right, _n in merges:
         seq = F.replace(
-            seq, F.lit(f"|{left}|{right}"), F.lit(f"|{left}{right}")
+            seq, F.lit(f"|{left}||{right}|"), F.lit(f"|{left}{right}|")
         )
     n_syms = F.size(F.filter(F.split(seq, "[|]"), lambda x: x != ""))
     return (

@@ -257,19 +257,33 @@ def test_observed_metrics_streaming_progress(spark, tmp_path):
 
 
 def test_bpe_merge_replace_is_greedy_left_to_right(spark):
-    """The delimiter-string replace used by bpe_train_merges must equal
-    greedy BPE merge order, including the overlap case: [a,a,a,a] with
-    merge (a,a) -> [aa,aa], and [a,a,a] -> [aa,a]; a symbol whose text
-    ends with the left side must not false-match mid-symbol."""
+    """The both-sides delimiter replace used by bpe_train_merges must
+    equal greedy BPE merge order: overlap ([a,a,a,a] with (a,a) ->
+    [aa,aa]; [a,a,a] -> [aa,a]), no left false-match ([xa,a]), and —
+    the round-7b review case — no RIGHT-prefix false-match: merge
+    (a,t) must not consume the pair (a,th)."""
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
-        [("|a|a|a|a|",), ("|a|a|a|",), ("|xa|a|",)], ["seq"]
+        [
+            ("|a||a||a||a|", "|a||a|", "|aa|"),
+            ("|a||a||a|", "|a||a|", "|aa|"),
+            ("|xa||a|", "|a||a|", "|aa|"),
+            ("|m||a||th|", "|a||t|", "|at|"),  # right-prefix guard
+            ("|m||a||t|", "|a||t|", "|at|"),   # the true pair DOES merge
+        ],
+        ["seq", "pat", "rep"],
     )
     out = [
         r["m"]
         for r in df.select(
-            F.replace(F.col("seq"), F.lit("|a|a"), F.lit("|aa")).alias("m")
+            F.replace(F.col("seq"), F.col("pat"), F.col("rep")).alias("m")
         ).collect()
     ]
-    assert out == ["|aa|aa|", "|aa|a|", "|xa|a|"]
+    assert out == [
+        "|aa||aa|",
+        "|aa||a|",
+        "|xa||a|",
+        "|m||a||th|",
+        "|m||at|",
+    ]
