@@ -290,3 +290,56 @@ def test_components_local_equals_distributed(spark, edges):
     finally:
         C.LOCAL_SOLVE_MAX_EDGES = orig
     assert local == dist
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=1, max_size=12),
+        min_size=4,
+        max_size=12,
+    ),
+    st.randoms(),
+)
+@settings(max_examples=10, deadline=None)
+def test_minhash_signature_invariants(spark, texts, rng):
+    """The round-7 single-base-hash MinHash must keep the invariants
+    the dedup pipeline relies on: (1) signatures are a function of the
+    shingle SET — permuting the shingle array never changes any
+    component; (2) an exact duplicate doc always lands in the same
+    band bucket as its original (LSH recall 1.0 at J=1); (3) the mix
+    keeps components in [0, P)."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_bigdata_spark.functions.text import (
+        MINHASH_P,
+        minhash_component,
+        shingle_hashes,
+        shingles,
+        tokens,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # duplicate of row 0 with a different id
+    rows.append((len(texts), texts[0]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hs = df.select(
+        "doc_id", shingle_hashes(shingles(tokens(F.col("text")))).alias("hs")
+    )
+    shuffled = hs.select(
+        "doc_id", F.shuffle("hs").alias("hs")  # random element order
+    )
+    sig = lambda frame: {
+        r["doc_id"]: tuple(r[f"s{i}"] for i in range(4))
+        for r in frame.select(
+            "doc_id",
+            *[minhash_component(F.col("hs"), i).alias(f"s{i}")
+              for i in range(4)],
+        ).collect()
+    }
+    a, b = sig(hs), sig(shuffled)
+    assert a == b  # (1) order-independence
+    dup_id = len(texts)
+    assert a[dup_id] == a[0]  # (2) exact dup -> identical signature
+    for comps in a.values():  # (3) range
+        for c in comps:
+            assert c is None or 0 <= c < MINHASH_P
