@@ -199,26 +199,59 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEAR_DUP_THRESHOLD = 0.35
-BAND_BITS = 6
+# LSH band width GROWS WITH CORPUS SIZE (round 7, same lesson as
+# SemDeDup's cell count): a fixed 6-bit band means 64 buckets forever,
+# so candidates are O(N²/64) — measurably super-linear at the sf1
+# sweep (16.6x for 10x data). Width = smallest b in [6, 16] with
+# N <= TARGET_BUCKET << b keeps the mean bucket ~TARGET_BUCKET vectors,
+# so candidate work stays O(N·bucket). Wider bands trade per-band
+# recall; the recall knob at scale is MORE bands (linear cost), not
+# fatter buckets (quadratic). Pure integer thresholds so Spark and the
+# oracle derive the identical width from the identical count.
+LSH_MIN_BITS = 6
+LSH_MAX_BITS = 16
+LSH_TARGET_BUCKET = 32
 
 
-def _band_sql(start: int) -> str:
-    # 1-indexed DuckDB list access; bit i weight 2^(BAND_BITS-1-i)
-    terms = [
-        f"CASE WHEN embedding[{start + i + 1}] >= 0 "
-        f"THEN {1 << (BAND_BITS - 1 - i)} ELSE 0 END"
-        for i in range(BAND_BITS)
+def lsh_band_bits(n: int) -> int:
+    for b in range(LSH_MIN_BITS, LSH_MAX_BITS):
+        if n <= (LSH_TARGET_BUCKET << b):
+            return b
+    return LSH_MAX_BITS
+
+
+# Oracle twins. Bands compare as SIGN-BIT STRINGS (substr of one
+# 32-char sign string) because SQL can't loop a literal bit-weight sum
+# over a runtime width; string equality on b sign chars == integer
+# equality on b sign bits, and only EQUALITY of bucket keys matters.
+_BITS_SQL = "(" + " ".join(
+    ["CASE"]
+    + [
+        f"WHEN n <= {LSH_TARGET_BUCKET << b} THEN {b}"
+        for b in range(LSH_MIN_BITS, LSH_MAX_BITS)
     ]
-    return "(" + " + ".join(terms) + ")"
+    + [f"ELSE {LSH_MAX_BITS} END"]
+) + ")"
+_LSH_BB_SQL = (
+    "bb AS (SELECT " + _BITS_SQL
+    + " AS bits FROM (SELECT count(*) AS n FROM embeddings))"
+)
+_SIGNS_SQL = (
+    "list_aggregate(list_transform(range(1, 33), "
+    "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), "
+    "'string_agg', '')"
+)
 
 
 @register(
     "embedding_near_dup",
     oracle=f"""
-    WITH e AS (
+    WITH {_LSH_BB_SQL},
+    e AS (
       SELECT vec_id, embedding,
-             {_band_sql(0)} AS band0,
-             {_band_sql(BAND_BITS)} AS band1,
+             substr({_SIGNS_SQL}, 1, (SELECT bits FROM bb)) AS band0,
+             substr({_SIGNS_SQL}, (SELECT bits FROM bb) + 1,
+                    (SELECT bits FROM bb)) AS band1,
              {_NORM_SQL.format(a="embedding")} AS nrm
       FROM embeddings
     ),
@@ -243,9 +276,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
 
     The dedup scale path, banding like MinHash-LSH: two independent
-    6-sign-bit bands (dims 0-5 and 6-11); vectors agreeing on EITHER band
-    become candidates (band-OR restores the recall a single longer code
-    destroys), each band join equi-partitioned on its 64-bucket key so
+    sign-bit bands whose WIDTH GROWS WITH CORPUS SIZE (lsh_band_bits:
+    6 bits at the test SFs, 10 at the sf1 sweep, up to 16) so the mean
+    bucket stays ~LSH_TARGET_BUCKET vectors; vectors agreeing on EITHER
+    band become candidates (band-OR restores the recall a single longer
+    code destroys), each band join equi-partitioned on its bucket key so
     candidate generation scales with bucket size, not corpus². Norms are
     computed once per row and carried through the join as scalars —
     bit-identical to per-pair evaluation but 2 HOF passes per row instead
@@ -256,18 +291,21 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
+    # width from a cheap count (row-group stats), same integer ladder
+    # as the oracle's bb CTE — see lsh_band_bits
+    bits = lsh_band_bits(emb.count())
 
     def band(start: int):
         return sum(
-            F.when(e.getItem(start + i) >= 0, 1 << (BAND_BITS - 1 - i)).otherwise(0)
-            for i in range(BAND_BITS)
+            F.when(e.getItem(start + i) >= 0, 1 << (bits - 1 - i)).otherwise(0)
+            for i in range(bits)
         )
 
     base = emb.select(
         "vec_id",
         "embedding",
         band(0).alias("band0"),
-        band(BAND_BITS).alias("band1"),
+        band(bits).alias("band1"),
         norm(e).alias("nrm"),
     ).persist()
 
@@ -389,10 +427,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_components",
     oracle=f"""
-    WITH RECURSIVE e0 AS (
+    WITH RECURSIVE {_LSH_BB_SQL},
+    e0 AS (
       SELECT vec_id, embedding,
-             {_band_sql(0)} AS band0,
-             {_band_sql(BAND_BITS)} AS band1,
+             substr({_SIGNS_SQL}, 1, (SELECT bits FROM bb)) AS band0,
+             substr({_SIGNS_SQL}, (SELECT bits FROM bb) + 1,
+                    (SELECT bits FROM bb)) AS band1,
              {_NORM_SQL.format(a="embedding")} AS nrm
       FROM embeddings
     ),
