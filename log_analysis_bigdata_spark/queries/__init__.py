@@ -62,18 +62,20 @@ _LOADED = False
 #       SemDeDup's corpus-derived cell count, the single-base-hash
 #       MinHash rewrite (signatures/pairs/union/pipeline/incremental),
 #       the signature-collapsed simhash clustering, the adaptive
-#       components solve that dedup_components rides on, and
+#       components solve that dedup_components rides on, the
+#       corpus-derived LSH band width behind embedding_near_dup, and
 #       udtf_chunk_docs' fixed-name registration (ADVICE r6);
 #   (4) the full round-3-latest cohort (the oldest remaining verdicts —
 #       all eight rotate forward, none left older than r4);
-#   (5) 28 of the 44 round-4-latest, alphabetical. The 16 that don't
-#       fit (salted_event_type_stats, scalar_subquery_last_order,
-#       session_window_events, setop_*, sliding/tumbling_window_events,
-#       stats_agg_events, string_funcs_customer, template_tag_docs,
-#       topk_orders_by_price, window_lag_event_gaps,
-#       window_time_range_sum, window_topk_orders_per_customer,
-#       word_histogram_docs) keep their r4 green rows — untouched code
-#       paths, first in line next round. 2 + 3 + 9 + 8 + 28 = 50.
+#   (5) 27 of the 44 round-4-latest, alphabetical. The 17 that don't
+#       fit (rollup_order_status, salted_event_type_stats,
+#       scalar_subquery_last_order, session_window_events, setop_*,
+#       sliding/tumbling_window_events, stats_agg_events,
+#       string_funcs_customer, template_tag_docs, topk_orders_by_price,
+#       window_lag_event_gaps, window_time_range_sum,
+#       window_topk_orders_per_customer, word_histogram_docs) keep
+#       their r4 green rows — untouched code paths, first in line next
+#       round. 2 + 3 + 10 + 8 + 27 = 50.
 _DRIVER_WINDOW = (
     # (1) never-verdicted round-6 late additions
     "bpe_merge_candidates",
@@ -91,6 +93,7 @@ _DRIVER_WINDOW = (
     "minhash_dup_pairs",
     "grouped_minhash_union",
     "dedup_components",
+    "embedding_near_dup",
     "udtf_chunk_docs",
     # (4) round-3-latest cohort, rotated in full
     "approx_percentile_value",
@@ -101,7 +104,7 @@ _DRIVER_WINDOW = (
     "json_extract_events",
     "unpivot_lineitem_metrics",
     "window_running_value",
-    # (5) round-4-latest cohort, 28 alphabetical
+    # (5) round-4-latest cohort, 27 alphabetical
     "asof_join_events_orders",
     "asof_join_tolerance",
     "bm25_search_docs",
@@ -129,7 +132,6 @@ _DRIVER_WINDOW = (
     "percentile_order_value",
     "q4_priority_exists",
     "range_join_hour_activity",
-    "rollup_order_status",
     # Past the 50-slot window: everything else keeps its r5/r6 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r07.md.
