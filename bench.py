@@ -148,6 +148,7 @@ HEADLINE = [
     "simhash_near_components",
     "bpe_train_merges",
     "bpe_apply_merges",
+    "user_activity_full_join",
     # (stream_stream_join_attribution / stream_static_enrich_segments
     # stay out: their wall time is the fixed streaming-replay harness
     # cost, already represented by ewma_user_value_stateful)

@@ -56,8 +56,9 @@ _LOADED = False
 # on file). Round-7 window (50 slots), in priority order:
 #   (1) the two round-6 late additions — the ONLY catalog entries with
 #       no CORRECTNESS row ever (VERDICT r6 task 1);
-#   (2) the three new round-7 queries (decoded-pixel PPM stats; the
-#       iterative BPE merge trainer and its apply/tokenize half);
+#   (2) the four new round-7 queries (decoded-pixel PPM stats; the
+#       iterative BPE merge trainer and its apply/tokenize half; the
+#       cogroup demo's JVM full-outer-join twin);
 #   (3) re-verdicts for every query whose CODE CHANGED this round:
 #       SemDeDup's corpus-derived cell count, the single-base-hash
 #       MinHash rewrite (signatures/pairs/union/pipeline/incremental),
@@ -67,15 +68,15 @@ _LOADED = False
 #       udtf_chunk_docs' fixed-name registration (ADVICE r6);
 #   (4) the full round-3-latest cohort (the oldest remaining verdicts —
 #       all eight rotate forward, none left older than r4);
-#   (5) 27 of the 44 round-4-latest, alphabetical. The 17 that don't
-#       fit (rollup_order_status, salted_event_type_stats,
-#       scalar_subquery_last_order, session_window_events, setop_*,
-#       sliding/tumbling_window_events, stats_agg_events,
-#       string_funcs_customer, template_tag_docs, topk_orders_by_price,
-#       window_lag_event_gaps, window_time_range_sum,
-#       window_topk_orders_per_customer, word_histogram_docs) keep
-#       their r4 green rows — untouched code paths, first in line next
-#       round. 2 + 3 + 10 + 8 + 27 = 50.
+#   (5) 26 of the 44 round-4-latest, alphabetical. The 18 that don't
+#       fit (range_join_hour_activity, rollup_order_status,
+#       salted_event_type_stats, scalar_subquery_last_order,
+#       session_window_events, setop_*, sliding/tumbling_window_events,
+#       stats_agg_events, string_funcs_customer, template_tag_docs,
+#       topk_orders_by_price, window_lag_event_gaps,
+#       window_time_range_sum, window_topk_orders_per_customer,
+#       word_histogram_docs) keep their r4 green rows — untouched code
+#       paths, first in line next round. 2 + 4 + 10 + 8 + 26 = 50.
 _DRIVER_WINDOW = (
     # (1) never-verdicted round-6 late additions
     "bpe_merge_candidates",
@@ -84,6 +85,7 @@ _DRIVER_WINDOW = (
     "multimodal_ppm_pixel_stats",
     "bpe_train_merges",
     "bpe_apply_merges",
+    "user_activity_full_join",
     # (3) round-7 code-change re-verdicts
     "semdedup_embedding_cells",
     "dedup_pipeline_docs",
@@ -104,7 +106,7 @@ _DRIVER_WINDOW = (
     "json_extract_events",
     "unpivot_lineitem_metrics",
     "window_running_value",
-    # (5) round-4-latest cohort, 27 alphabetical
+    # (5) round-4-latest cohort, 26 alphabetical
     "asof_join_events_orders",
     "asof_join_tolerance",
     "bm25_search_docs",
@@ -131,7 +133,6 @@ _DRIVER_WINDOW = (
     "per_user_regression_sql",
     "percentile_order_value",
     "q4_priority_exists",
-    "range_join_hour_activity",
     # Past the 50-slot window: everything else keeps its r5/r6 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r07.md.

