@@ -324,7 +324,7 @@ def user_activity_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recommended 100 TB rendering of ``cogroup_user_activity``:
     identical output from two map-side-combinable group-bys + one full
     outer join — whole-stage codegen end to end, zero Python calls,
-    ~30x the cogroup demo's throughput at the sf1 sweep. Same shuffle
+    ~15x the cogroup demo's throughput at the sf1 sweep (23.3 s -> 1.5 s). Same shuffle
     budget (each side once, on the key)."""
     ev = (
         load_table(spark, sf_dir, "events")
