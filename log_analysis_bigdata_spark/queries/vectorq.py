@@ -236,8 +236,12 @@ _LSH_BB_SQL = (
     "bb AS (SELECT " + _BITS_SQL
     + " AS bits FROM (SELECT count(*) AS n FROM embeddings))"
 )
+# sign string spans exactly the dims the two widest bands can read
+# (2 * LSH_MAX_BITS) — derived, not hard-coded, so raising the cap
+# can't silently truncate band1 into a shared '' key (review r7c)
+assert 2 * LSH_MAX_BITS <= 64, "bands must fit the embedding dim"
 _SIGNS_SQL = (
-    "list_aggregate(list_transform(range(1, 33), "
+    f"list_aggregate(list_transform(range(1, {2 * LSH_MAX_BITS + 1}), "
     "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), "
     "'string_agg', '')"
 )
