@@ -1724,16 +1724,38 @@ def langid_ngram_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEAR_BITS = 32  # simhash width for hamming-banded near-dup
+NEAR_BITS = 60  # simhash width for hamming-banded near-dup (widened
+# from 32 in round 7: 4 bands × up to 15 bits need 60 signature bits,
+# and the wider sketch also pushes random collisions further out; 60 =
+# 15 md5 hex chars, the engine-safe int64 width both engines share)
+NEAR_BANDS = 4
+# Spark-side band width ladder (target ~32 docs per band bucket, cap
+# 15 so 4 bands fit the signature). Width affects COST ONLY: banded
+# recall for hamming <= NEAR_BANDS-1 is exact by pigeonhole at ANY
+# width, and the hamming verify is exact — so the ORACLE can keep a
+# static 15-bit split while the engine adapts width to corpus size
+# (the same fixed-capacity lesson as SemDeDup cells and the
+# hyperplane-LSH bands, but here with no oracle ladder needed).
+NEAR_MIN_BAND_BITS = 8
+NEAR_MAX_BAND_BITS = 15
+NEAR_TARGET_BUCKET = 32
+
+
+def near_band_bits(n: int) -> int:
+    for b in range(NEAR_MIN_BAND_BITS, NEAR_MAX_BAND_BITS):
+        if n <= (NEAR_TARGET_BUCKET << b):
+            return b
+    return NEAR_MAX_BAND_BITS
 
 
 def _near_sig_sql() -> str:
-    """32-bit token hashes ('0x'||md5[:8]) voted per bit — the 32-bit
+    """60-bit token hashes ('0x'||md5[:15]) voted per bit — the wide
     twin of _simhash_sql (16-bit signatures coincidentally collide at
-    corpus sizes > ~10³; 32 bits push random collisions out)."""
+    corpus sizes > ~10³; 60 bits push random collisions out and give
+    the 4 bands room to widen)."""
     tokh = (
         "list_transform(list_distinct(string_split_regex(trim(text), ' +')), "
-        "t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)"
+        "t -> ('0x' || substring(md5(t), 1, 15))::BIGINT)"
     )
     votes = " + ".join(
         f"(CASE WHEN list_aggregate(list_transform({tokh}, "
@@ -1745,8 +1767,8 @@ def _near_sig_sql() -> str:
 
 
 def _near_sig_spark(corpus: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 32-bit SimHash over distinct whitespace
-    tokens, each hashed to a 32-bit int via the first 8 md5 hex chars
+    """(doc_id, simhash) — 60-bit SimHash over distinct whitespace
+    tokens, each hashed to a 60-bit int via the first 15 md5 hex chars
     (identical in the DuckDB twin, ``_near_sig_sql``).
 
     ONE aggregate pass, not 32: the per-bit formulation (32 separate
@@ -1760,7 +1782,7 @@ def _near_sig_spark(corpus: DataFrame) -> DataFrame:
     the per-bit form (verified) and to the SQL twin."""
     tok_hash = F.transform(
         F.array_distinct(F.split(F.trim(F.col("text")), " +")),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
     hs = corpus.select("doc_id", tok_hash.alias("hs"))
     # SQL form: the Python shiftright/shiftleft wrappers require literal
@@ -1780,18 +1802,31 @@ def _near_sig_spark(corpus: DataFrame) -> DataFrame:
     return hs.select("doc_id", F.expr(sim_expr).alias("simhash"))
 
 
-def _near_cand_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
-    """Banded candidate generation + hamming verify: 4 bands × 8 bits,
-    per-band equi-self-join, bit_count(XOR) filter BEFORE the pair
-    distinct (hamming is a function of the pair's signatures, so the
-    distinct set is identical either way — filtering first shrinks the
+def _near_cand_pairs(
+    sig: DataFrame, max_hamming: int, band_bits: int | None = None
+) -> DataFrame:
+    """Banded candidate generation + hamming verify: 4 bands whose
+    width adapts to the input size (near_band_bits; a fixed 8-bit band
+    is 256 buckets forever — O(N²/256) candidates at scale), per-band
+    equi-self-join, bit_count(XOR) filter BEFORE the pair distinct
+    (hamming is a function of the pair's signatures, so the distinct
+    set is identical either way — filtering first shrinks the
     distinct's shuffle to the true near-pairs instead of every band
-    collision). Returns (doc_a, doc_b, hamming:int), doc_a < doc_b."""
+    collision). Width never changes RESULTS — pigeonhole recall for
+    hamming <= 3 holds at any width and the verify is exact — so the
+    oracle's static 15-bit split stays equivalent. Returns
+    (doc_a, doc_b, hamming:int), doc_a < doc_b. ``sig`` should be
+    materialized (the count + two join sides read it)."""
+    if band_bits is None:
+        band_bits = near_band_bits(sig.count())
+    mask = (1 << band_bits) - 1
     bands = sig.select(
         "doc_id",
         "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
-    ).withColumn("band_val", F.expr("shiftright(simhash, b * 8) & 255"))
+        F.explode(F.array(*[F.lit(b) for b in range(NEAR_BANDS)])).alias("b"),
+    ).withColumn(
+        "band_val", F.expr(f"shiftright(simhash, b * {band_bits}) & {mask}")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -1820,8 +1855,11 @@ def _near_cand_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
       FROM corpus
     ),
     bands AS (
+      -- static 15-bit split: band width affects candidate COUNT, not
+      -- the verified result set (pigeonhole + exact hamming verify),
+      -- so the oracle needs no width ladder
       SELECT doc_id, simhash, t.b AS b,
-             (simhash >> (CAST(t.b AS INTEGER) * 8)) & 255 AS band_val
+             (simhash >> (CAST(t.b AS INTEGER) * 15)) & 32767 AS band_val
       FROM sig, range(4) t(b)
     ),
     cands AS (
@@ -1839,22 +1877,26 @@ def _near_cand_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-tolerant SimHash near-dup pairs — the banded upgrade the
-    simhash_dup_groups docstring points at, now implemented: a 32-bit
-    signature splits into 4 bands of 8 bits; by pigeonhole, any pair
-    within Hamming distance 3 differs in at most 3 bands, so it shares
-    at least one band unchanged and the per-band equi-self-join
-    generates ALL such pairs (exact recall, not probabilistic); a
-    bit_count(XOR) verify keeps pairs at distance ≤ 3.
+    simhash_dup_groups docstring points at: a 60-bit signature splits
+    into 4 bands whose width ADAPTS TO CORPUS SIZE (near_band_bits,
+    8-15 bits; round 7 closed this last fixed-capacity LSH); by
+    pigeonhole, any pair within Hamming distance 3 differs in at most
+    3 bands, so it shares at least one band unchanged and the per-band
+    equi-self-join generates ALL such pairs at EVERY width (exact
+    recall, property-tested across the ladder); a bit_count(XOR)
+    verify keeps pairs at distance ≤ 3.
 
     Scale shape (same discipline as minhash_dup_pairs): candidate
     generation is 4 equi-joins on (band, value) — never an all-pairs
     product; verification is O(candidates) integer XOR. Band-bucket
-    skew (a band value shared by k docs → k²/2 candidates) is the
-    documented cost driver; at 100 TB widen to 64 bits / 8×8 bands
-    (covers hamming ≤ 7) so buckets thin out — same plan, wider key.
+    size drives cost, and the adaptive width keeps the mean bucket
+    ~NEAR_TARGET_BUCKET docs as N grows; raising the hamming tolerance
+    is the remaining reason to add BANDS (pigeonhole needs
+    max_hamming + 1 of them).
     """
     corpus = _dup_corpus_spark(spark, sf_dir)
-    return _near_cand_pairs(_near_sig_spark(corpus), max_hamming=3)
+    sig = _near_sig_spark(corpus).localCheckpoint(eager=True)
+    return _near_cand_pairs(sig, max_hamming=3)
 
 
 @register(
@@ -1866,8 +1908,11 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM corpus
     ),
     bands AS (
+      -- static 15-bit split: band width affects candidate COUNT, not
+      -- the verified result set (pigeonhole + exact hamming verify),
+      -- so the oracle needs no width ladder
       SELECT doc_id, simhash, t.b AS b,
-             (simhash >> (CAST(t.b AS INTEGER) * 8)) & 255 AS band_val
+             (simhash >> (CAST(t.b AS INTEGER) * 15)) & 32767 AS band_val
       FROM sig, range(4) t(b)
     ),
     cands AS (

@@ -27,27 +27,33 @@ from hypothesis import strategies as st
 # --- simhash banding pigeonhole ---------------------------------------------
 
 @given(
-    sig=st.integers(min_value=0, max_value=(1 << 32) - 1),
-    flip_bits=st.sets(st.integers(min_value=0, max_value=31), max_size=3),
+    sig=st.integers(min_value=0, max_value=(1 << 60) - 1),
+    flip_bits=st.sets(st.integers(min_value=0, max_value=59), max_size=3),
+    band_bits=st.integers(min_value=8, max_value=15),
 )
-def test_simhash_band_pigeonhole_exact_recall(sig, flip_bits):
-    """Any pair of 32-bit signatures within Hamming distance 3 shares at
-    least one of the 4 8-bit bands — so the banded equi-join cannot miss
-    a qualifying pair (recall is exact, not probabilistic)."""
+def test_simhash_band_pigeonhole_exact_recall(sig, flip_bits, band_bits):
+    """Any pair of 60-bit signatures within Hamming distance 3 shares
+    at least one of the 4 bands AT EVERY BAND WIDTH in the adaptive
+    ladder — so the banded equi-join cannot miss a qualifying pair
+    (recall is exact, not probabilistic) and the engine's
+    width-by-corpus-size choice can never change results vs the
+    oracle's static 15-bit split."""
     other = sig
     for b in flip_bits:
         other ^= 1 << b
     hamming = bin(sig ^ other).count("1")
     assert hamming <= 3
+    mask = (1 << band_bits) - 1
     shares_band = any(
-        (sig >> (8 * b)) & 255 == (other >> (8 * b)) & 255 for b in range(4)
+        (sig >> (band_bits * b)) & mask == (other >> (band_bits * b)) & mask
+        for b in range(4)
     )
     assert shares_band
 
 
 @given(
-    a=st.integers(min_value=0, max_value=(1 << 32) - 1),
-    b=st.integers(min_value=0, max_value=(1 << 32) - 1),
+    a=st.integers(min_value=0, max_value=(1 << 60) - 1),
+    b=st.integers(min_value=0, max_value=(1 << 60) - 1),
 )
 def test_simhash_band_join_verify_filter_is_sound(a, b):
     """The verify stage only keeps pairs the banded join surfaced AND
@@ -55,7 +61,10 @@ def test_simhash_band_join_verify_filter_is_sound(a, b):
     never reported (no false positives from band collisions)."""
     hamming = bin(a ^ b).count("1")
     kept = (
-        any((a >> (8 * i)) & 255 == (b >> (8 * i)) & 255 for i in range(4))
+        any(
+            (a >> (15 * i)) & 32767 == (b >> (15 * i)) & 32767
+            for i in range(4)
+        )
         and hamming <= 3
     )
     if kept:
