@@ -62,21 +62,23 @@ _LOADED = False
 #   (3) re-verdicts for every query whose CODE CHANGED this round:
 #       SemDeDup's corpus-derived cell count, the single-base-hash
 #       MinHash rewrite (signatures/pairs/union/pipeline/incremental),
-#       the signature-collapsed simhash clustering, the adaptive
-#       components solve that dedup_components rides on, the
+#       the signature-collapsed simhash clustering + the 60-bit
+#       adaptive-band simhash rewrite (components AND pairs), the
+#       adaptive components solve that dedup_components rides on, the
 #       corpus-derived LSH band width behind embedding_near_dup, and
 #       udtf_chunk_docs' fixed-name registration (ADVICE r6);
 #   (4) the full round-3-latest cohort (the oldest remaining verdicts —
 #       all eight rotate forward, none left older than r4);
-#   (5) 26 of the 44 round-4-latest, alphabetical. The 18 that don't
-#       fit (range_join_hour_activity, rollup_order_status,
-#       salted_event_type_stats, scalar_subquery_last_order,
-#       session_window_events, setop_*, sliding/tumbling_window_events,
-#       stats_agg_events, string_funcs_customer, template_tag_docs,
-#       topk_orders_by_price, window_lag_event_gaps,
-#       window_time_range_sum, window_topk_orders_per_customer,
-#       word_histogram_docs) keep their r4 green rows — untouched code
-#       paths, first in line next round. 2 + 4 + 10 + 8 + 26 = 50.
+#   (5) 25 of the 44 round-4-latest, alphabetical. The 19 that don't
+#       fit (q4_priority_exists, range_join_hour_activity,
+#       rollup_order_status, salted_event_type_stats,
+#       scalar_subquery_last_order, session_window_events, setop_*,
+#       sliding/tumbling_window_events, stats_agg_events,
+#       string_funcs_customer, template_tag_docs, topk_orders_by_price,
+#       window_lag_event_gaps, window_time_range_sum,
+#       window_topk_orders_per_customer, word_histogram_docs) keep
+#       their r4 green rows — untouched code paths, first in line next
+#       round. 2 + 4 + 11 + 8 + 25 = 50.
 _DRIVER_WINDOW = (
     # (1) never-verdicted round-6 late additions
     "bpe_merge_candidates",
@@ -91,6 +93,7 @@ _DRIVER_WINDOW = (
     "dedup_pipeline_docs",
     "incremental_dedup_newbatch",
     "simhash_near_components",
+    "simhash_near_pairs",
     "minhash_signatures",
     "minhash_dup_pairs",
     "grouped_minhash_union",
@@ -106,7 +109,7 @@ _DRIVER_WINDOW = (
     "json_extract_events",
     "unpivot_lineitem_metrics",
     "window_running_value",
-    # (5) round-4-latest cohort, 26 alphabetical
+    # (5) round-4-latest cohort, 25 alphabetical
     "asof_join_events_orders",
     "asof_join_tolerance",
     "bm25_search_docs",
@@ -132,7 +135,6 @@ _DRIVER_WINDOW = (
     "per_user_model_fit",
     "per_user_regression_sql",
     "percentile_order_value",
-    "q4_priority_exists",
     # Past the 50-slot window: everything else keeps its r5/r6 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r07.md.
