@@ -1742,10 +1742,24 @@ NEAR_TARGET_BUCKET = 32
 
 
 def near_band_bits(n: int) -> int:
-    for b in range(NEAR_MIN_BAND_BITS, NEAR_MAX_BAND_BITS):
-        if n <= (NEAR_TARGET_BUCKET << b):
-            return b
-    return NEAR_MAX_BAND_BITS
+    from .vectorq import band_bits_ladder
+
+    return band_bits_ladder(
+        n, NEAR_MIN_BAND_BITS, NEAR_MAX_BAND_BITS, NEAR_TARGET_BUCKET
+    )
+
+
+def _near_bands_sql() -> str:
+    """Oracle bands CTE body: static max-width split derived from the
+    same constants as the engine (one source — review r7d; width
+    affects candidate COUNT, not the verified result set)."""
+    w = NEAR_MAX_BAND_BITS
+    return f"""
+      SELECT doc_id, simhash, t.b AS b,
+             (simhash >> (CAST(t.b AS INTEGER) * {w})) & {(1 << w) - 1}
+               AS band_val
+      FROM sig, range({NEAR_BANDS}) t(b)
+    """
 
 
 def _near_sig_sql() -> str:
@@ -1771,12 +1785,13 @@ def _near_sig_spark(corpus: DataFrame) -> DataFrame:
     tokens, each hashed to a 60-bit int via the first 15 md5 hex chars
     (identical in the DuckDB twin, ``_near_sig_sql``).
 
-    ONE aggregate pass, not 32: the per-bit formulation (32 separate
-    aggregate() expressions over ``hs``) re-inlines the md5 token-hash
-    transform into every vote after CollapseProject — HOF bodies get no
-    CSE — so the md5s ran 32× per row (measured 7.0 s → 2.9 s at sf0.01
-    for the whole edge pipeline). Here the token hashes are folded once
-    into a 32-slot vote array (zip_with inside aggregate), then the
+    ONE aggregate pass, not NEAR_BITS: the per-bit formulation
+    (NEAR_BITS separate aggregate() expressions over ``hs``) re-inlines
+    the md5 token-hash transform into every vote after CollapseProject
+    — HOF bodies get no CSE — so the md5s ran once PER BIT per row
+    (measured 7.0 s → 2.9 s at sf0.01 for the whole edge pipeline back
+    when the width was 32). Here the token hashes are folded once into
+    a NEAR_BITS-slot vote array (zip_with inside aggregate), then the
     votes are reduced to the signature; ``hs`` appears once in the
     expression tree, so the hashing runs once. Bit-identical output to
     the per-bit form (verified) and to the SQL twin."""
@@ -1854,14 +1869,7 @@ def _near_cand_pairs(
       SELECT doc_id, CAST({_near_sig_sql()} AS BIGINT) AS simhash
       FROM corpus
     ),
-    bands AS (
-      -- static 15-bit split: band width affects candidate COUNT, not
-      -- the verified result set (pigeonhole + exact hamming verify),
-      -- so the oracle needs no width ladder
-      SELECT doc_id, simhash, t.b AS b,
-             (simhash >> (CAST(t.b AS INTEGER) * 15)) & 32767 AS band_val
-      FROM sig, range(4) t(b)
-    ),
+    bands AS ({_near_bands_sql()}),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sig_a, b.simhash AS sig_b
@@ -1907,14 +1915,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST({_near_sig_sql()} AS BIGINT) AS simhash
       FROM corpus
     ),
-    bands AS (
-      -- static 15-bit split: band width affects candidate COUNT, not
-      -- the verified result set (pigeonhole + exact hamming verify),
-      -- so the oracle needs no width ladder
-      SELECT doc_id, simhash, t.b AS b,
-             (simhash >> (CAST(t.b AS INTEGER) * 15)) & 32767 AS band_val
-      FROM sig, range(4) t(b)
-    ),
+    bands AS ({_near_bands_sql()}),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sig_a, b.simhash AS sig_b

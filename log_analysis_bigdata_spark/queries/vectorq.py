@@ -213,11 +213,19 @@ LSH_MAX_BITS = 16
 LSH_TARGET_BUCKET = 32
 
 
-def lsh_band_bits(n: int) -> int:
-    for b in range(LSH_MIN_BITS, LSH_MAX_BITS):
-        if n <= (LSH_TARGET_BUCKET << b):
+def band_bits_ladder(n: int, lo: int, hi: int, target: int) -> int:
+    """Smallest width b in [lo, hi] with n <= target << b — THE shared
+    integer ladder for every corpus-adaptive LSH width in the repo
+    (hyperplane bands here, simhash bands in queries/textq); one
+    implementation so a cap/bound fix can't miss a copy."""
+    for b in range(lo, hi):
+        if n <= (target << b):
             return b
-    return LSH_MAX_BITS
+    return hi
+
+
+def lsh_band_bits(n: int) -> int:
+    return band_bits_ladder(n, LSH_MIN_BITS, LSH_MAX_BITS, LSH_TARGET_BUCKET)
 
 
 # Oracle twins. Bands compare as SIGN-BIT STRINGS (substr of one

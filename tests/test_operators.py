@@ -287,3 +287,40 @@ def test_bpe_merge_replace_is_greedy_left_to_right(spark):
         "|m||a||th|",
         "|m||at|",
     ]
+
+
+def test_simhash_cand_pairs_width_independent(spark):
+    """The adaptive band width may change COST only: _near_cand_pairs
+    must return the identical verified pair set at every ladder width
+    (this is the property that lets the oracle keep a static max-width
+    split while the engine adapts)."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_bigdata_spark.queries.textq import (
+        NEAR_MAX_BAND_BITS,
+        NEAR_MIN_BAND_BITS,
+        _near_cand_pairs,
+        _near_sig_spark,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),    # near 1
+        (4, "one two three four five six seven"),
+        (5, "totally different words here entirely"),
+    ]
+    sig = _near_sig_spark(
+        spark.createDataFrame(docs, ["doc_id", "text"])
+    ).localCheckpoint(eager=True)
+    want = None
+    for bits in (NEAR_MIN_BAND_BITS, 11, NEAR_MAX_BAND_BITS):
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in _near_cand_pairs(sig, 3, band_bits=bits).collect()
+        )
+        if want is None:
+            want = got
+            assert (1, 2, 0) in got  # the exact dup is always found
+        else:
+            assert got == want, f"width {bits} changed the result set"

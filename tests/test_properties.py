@@ -5,7 +5,7 @@ the Spark renderings of the same logic are oracle-checked separately
 (tests/test_oracle_parity.py); what's verified here is the MATH the
 docstrings claim:
 
-- simhash banding pigeonhole: the 4×8-bit band split generates every
+- simhash banding pigeonhole: the banded split (adaptive width) generates every
   pair within Hamming distance 3 (exact recall, the claim in
   queries/textq.py:simhash_near_pairs);
 - space-saving bounds: est − err ≤ true ≤ est, and every key with true
@@ -26,10 +26,22 @@ from hypothesis import strategies as st
 
 # --- simhash banding pigeonhole ---------------------------------------------
 
+from log_analysis_bigdata_spark.queries.textq import (
+    NEAR_BANDS,
+    NEAR_BITS,
+    NEAR_MAX_BAND_BITS,
+    NEAR_MIN_BAND_BITS,
+)
+
+
 @given(
-    sig=st.integers(min_value=0, max_value=(1 << 60) - 1),
-    flip_bits=st.sets(st.integers(min_value=0, max_value=59), max_size=3),
-    band_bits=st.integers(min_value=8, max_value=15),
+    sig=st.integers(min_value=0, max_value=(1 << NEAR_BITS) - 1),
+    flip_bits=st.sets(
+        st.integers(min_value=0, max_value=NEAR_BITS - 1), max_size=3
+    ),
+    band_bits=st.integers(
+        min_value=NEAR_MIN_BAND_BITS, max_value=NEAR_MAX_BAND_BITS
+    ),
 )
 def test_simhash_band_pigeonhole_exact_recall(sig, flip_bits, band_bits):
     """Any pair of 60-bit signatures within Hamming distance 3 shares
@@ -46,25 +58,24 @@ def test_simhash_band_pigeonhole_exact_recall(sig, flip_bits, band_bits):
     mask = (1 << band_bits) - 1
     shares_band = any(
         (sig >> (band_bits * b)) & mask == (other >> (band_bits * b)) & mask
-        for b in range(4)
+        for b in range(NEAR_BANDS)
     )
     assert shares_band
 
 
 @given(
-    a=st.integers(min_value=0, max_value=(1 << 60) - 1),
-    b=st.integers(min_value=0, max_value=(1 << 60) - 1),
+    a=st.integers(min_value=0, max_value=(1 << NEAR_BITS) - 1),
+    b=st.integers(min_value=0, max_value=(1 << NEAR_BITS) - 1),
 )
 def test_simhash_band_join_verify_filter_is_sound(a, b):
     """The verify stage only keeps pairs the banded join surfaced AND
     whose true distance ≤ 3; candidates beyond distance 3 are filtered,
     never reported (no false positives from band collisions)."""
     hamming = bin(a ^ b).count("1")
+    w, m = NEAR_MAX_BAND_BITS, (1 << NEAR_MAX_BAND_BITS) - 1
     kept = (
-        any(
-            (a >> (15 * i)) & 32767 == (b >> (15 * i)) & 32767
-            for i in range(4)
-        )
+        any((a >> (w * i)) & m == (b >> (w * i)) & m
+            for i in range(NEAR_BANDS))
         and hamming <= 3
     )
     if kept:
