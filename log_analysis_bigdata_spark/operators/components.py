@@ -94,10 +94,16 @@ def connected_components(
     (diameter larger than expected) rather than returning wrong labels.
 
     ``distinct_pairs=True`` asserts the input is already a distinct
-    ``src < dst`` pair set (every dedup candidate generator ends in
-    exactly that distinct), letting the symmetrization skip its
-    safety ``distinct()`` — one full edge-set shuffle, the largest
-    fixed cost of the whole operator on big graphs.
+    ``src <= dst`` pair set — no duplicate symmetric edges, self-loops
+    allowed (every dedup candidate generator ends in exactly that
+    distinct; simhash clustering also unions rep self-loops for n≥2
+    signature groups, ADVICE r7) — letting the symmetrization skip its
+    safety ``distinct()``: one full edge-set shuffle, the largest
+    fixed cost of the whole operator on big graphs. Symmetrization
+    duplicates each self-loop; both solve paths are insensitive to
+    duplicate edges and loops (union-find unions are idempotent; the
+    propagation min is duplicate-blind), so keep that tolerance if
+    either path is ever rewritten.
 
     Invariant maintained every round: ``component(x)`` is a node id
     reachable from ``x`` and ``component(x) <= x``. Both steps preserve
@@ -251,7 +257,10 @@ def _propagate(
             )
             .localCheckpoint(eager=True)
         )
-        changed = obs.get["changed"]
+        # SUM over zero rows is NULL: coalesce so an empty labels frame
+        # reads as converged instead of spinning to max_iter (ADVICE r7;
+        # reachable only if the local-solve edge gate is tuned away).
+        changed = obs.get["changed"] or 0
         labels = new_labels.select("node", "component")
         if changed == 0:
             break

@@ -53,91 +53,83 @@ _LOADED = False
 # The correctness driver evaluates only the FIRST 50 registry entries per
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
-# on file). Round-7 window (50 slots), in priority order:
-#   (1) the two round-6 late additions — the ONLY catalog entries with
-#       no CORRECTNESS row ever (VERDICT r6 task 1);
-#   (2) the four new round-7 queries (decoded-pixel PPM stats; the
-#       iterative BPE merge trainer and its apply/tokenize half; the
-#       cogroup demo's JVM full-outer-join twin);
-#   (3) re-verdicts for every query whose CODE CHANGED this round:
-#       SemDeDup's corpus-derived cell count, the single-base-hash
-#       MinHash rewrite (signatures/pairs/union/pipeline/incremental),
-#       the signature-collapsed simhash clustering + the 60-bit
-#       adaptive-band simhash rewrite (components AND pairs), the
-#       adaptive components solve that dedup_components rides on, the
-#       corpus-derived LSH band width behind embedding_near_dup, and
-#       udtf_chunk_docs' fixed-name registration (ADVICE r6);
-#   (4) the full round-3-latest cohort (the oldest remaining verdicts —
-#       all eight rotate forward, none left older than r4);
-#   (5) 25 of the 44 round-4-latest, alphabetical. The 19 that don't
-#       fit (q4_priority_exists, range_join_hour_activity,
-#       rollup_order_status, salted_event_type_stats,
-#       scalar_subquery_last_order, session_window_events, setop_*,
-#       sliding/tumbling_window_events, stats_agg_events,
-#       string_funcs_customer, template_tag_docs, topk_orders_by_price,
-#       window_lag_event_gaps, window_time_range_sum,
-#       window_topk_orders_per_customer, word_histogram_docs) keep
-#       their r4 green rows — untouched code paths, first in line next
-#       round. 2 + 4 + 11 + 8 + 25 = 50.
+# on file). Round-8 window (50 slots), in priority order:
+#   (1) the full round-4-latest cohort — all 19, the oldest verdicts in
+#       the chain (VERDICT r7 task 1: four rounds of code drift since
+#       their last driver check);
+#   (2) the new round-8 query (the composed end-to-end
+#       corpus_to_training_set pipeline, VERDICT r7 task 2);
+#   (3) re-verdicts for queries whose CODE CHANGED this round:
+#       semdedup_embedding_cells (cell-split ladder, task 3),
+#       pagerank_supplier_graph (convergence early-exit, task 3),
+#       knn_join_topk (regression follow-up, task 4);
+#   (4) 27 of the 44 round-5-latest, alphabetical. The 17 that don't
+#       fit (q5_revenue_by_nation, q6_forecast_revenue,
+#       q7_nation_volume, quality_filter_docs, serving_by_key,
+#       serving_delete, serving_high_score, serving_time_range,
+#       session_flow_top_transitions, sessionize_events,
+#       simhash_buckets, simhash_dup_groups, simhash_text_docs,
+#       stream_dedup_blocks, text_quality_docs, token_counts_docs,
+#       variant_props_stats) keep their r5 green rows — first in line
+#       next round. 19 + 1 + 3 + 27 = 50.
 _DRIVER_WINDOW = (
-    # (1) never-verdicted round-6 late additions
-    "bpe_merge_candidates",
-    "hard_negatives_per_query",
-    # (2) new round-7 queries
-    "multimodal_ppm_pixel_stats",
-    "bpe_train_merges",
-    "bpe_apply_merges",
-    "user_activity_full_join",
-    # (3) round-7 code-change re-verdicts
+    # (1) round-4-latest cohort, rotated in full
+    "q4_priority_exists",
+    "range_join_hour_activity",
+    "rollup_order_status",
+    "salted_event_type_stats",
+    "scalar_subquery_last_order",
+    "session_window_events",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "sliding_window_events",
+    "stats_agg_events",
+    "string_funcs_customer",
+    "template_tag_docs",
+    "topk_orders_by_price",
+    "tumbling_window_events",
+    "window_lag_event_gaps",
+    "window_time_range_sum",
+    "window_topk_orders_per_customer",
+    "word_histogram_docs",
+    # (2) new round-8 query
+    "corpus_to_training_set",
+    # (3) round-8 code-change re-verdicts
     "semdedup_embedding_cells",
-    "dedup_pipeline_docs",
-    "incremental_dedup_newbatch",
-    "simhash_near_components",
-    "simhash_near_pairs",
-    "minhash_signatures",
-    "minhash_dup_pairs",
-    "grouped_minhash_union",
-    "dedup_components",
-    "embedding_near_dup",
-    "udtf_chunk_docs",
-    # (4) round-3-latest cohort, rotated in full
-    "approx_percentile_value",
-    "chunk_documents",
-    "constant_columns_detect",
-    "grouped_zscore_window",
-    "ivf_topk_nprobe",
-    "json_extract_events",
-    "unpivot_lineitem_metrics",
-    "window_running_value",
-    # (5) round-4-latest cohort, 25 alphabetical
-    "asof_join_events_orders",
-    "asof_join_tolerance",
-    "bm25_search_docs",
-    "cdc_latest_state",
-    "cogroup_user_activity",
-    "distinct_count_segments",
-    "embedding_centroid_drift",
-    "ewma_user_value",
-    "group_having_active_customers",
-    "grouped_zscore_events",
-    "join_anti_customers_no_orders",
-    "join_left_customer_orders",
-    "join_semi_customers_with_orders",
-    "kmeans_step_shift",
-    "label_histogram_embeddings",
-    "latest_record_per_key",
-    "ml_score_embeddings",
-    "mode_per_event_type",
-    "multimodal_asset_stats",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "per_user_model_fit",
-    "per_user_regression_sql",
-    "percentile_order_value",
-    # Past the 50-slot window: everything else keeps its r5/r6 green
+    "pagerank_supplier_graph",
+    "knn_join_topk",
+    # (4) round-5-latest cohort, 27 alphabetical
+    "ann_bucketed_topk",
+    "anti_join_docs_quarantine",
+    "case_bucket_order_price",
+    "cosine_topk",
+    "cube_order_status",
+    "date_parts_orders",
+    "dedup_exact_docs",
+    "doc_fingerprint",
+    "embedding_norms",
+    "event_traces_users",
+    "ewma_user_value_stateful",
+    "feature_counts_events",
+    "fuzzy_match_names",
+    "grouped_agg_weighted_mean",
+    "grouping_sets_order_stats",
+    "heavy_hitters_topk",
+    "interval_overlap_sessions",
+    "ivf_topk",
+    "lang_histogram",
+    "langid_ngram_predict",
+    "mad_outliers_events",
+    "ngram_jaccard_pairs",
+    "parse_raw_logs",
+    "pivot_daily_event_counts",
+    "profile_documents",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    # Past the 50-slot window: everything else keeps its r5–r7 green
     # verdict; the full local parity sweep for ALL registry entries is
-    # committed per round as EVIDENCE_r07.md.
+    # committed per round as EVIDENCE_r08.md.
 )
 
 

@@ -66,7 +66,7 @@ def build(spark, out_dir: str, k_tiles: int = 10,
 
     O_OFF, C_OFF = off("orders", "o_orderkey"), off("customer", "c_custkey")
     P_OFF, S_OFF = off("part", "p_partkey"), off("supplier", "s_suppkey")
-    E_OFF, U_OFF = off("events", "event_id"), off("events", "user_id")
+    E_OFF = off("events", "event_id")
     D_OFF, V_OFF = off("documents", "doc_id"), off("embeddings", "vec_id")
 
     if k_tiles > 32:
@@ -94,9 +94,14 @@ def build(spark, out_dir: str, k_tiles: int = 10,
            .withColumn("l_suppkey", F.col("l_suppkey") + k * S_OFF)),
           "lineitem")
 
+    # events.user_id is a foreign key into the CUSTOMER key space
+    # (user_id ⊂ c_custkey/o_custkey range), so it must tile by the
+    # customer stride C_OFF — offsetting by its own max+1 would land
+    # every tile's users inside tile-0's customer range and pile ~K×
+    # the join matches onto tile-0 customers (ADVICE r7).
     write(tiles(load_table(spark, src, "events"), lambda d, k:
           d.withColumn("event_id", F.col("event_id") + k * E_OFF)
-           .withColumn("user_id", F.col("user_id") + k * U_OFF)),
+           .withColumn("user_id", F.col("user_id") + k * C_OFF)),
           "events")
 
     def doc_tile(d, k):
