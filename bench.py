@@ -152,7 +152,51 @@ HEADLINE = [
     # (stream_stream_join_attribution / stream_static_enrich_segments
     # stay out: their wall time is the fixed streaming-replay harness
     # cost, already represented by ewma_user_value_stateful)
+    # round-8: the composed end-to-end training-set build (quality →
+    # dedup → decontaminate → split → pack in ONE entry)
+    "corpus_to_training_set",
 ]
+
+# Registry entries NOT in HEADLINE are timed only in the parity sweeps
+# (tools/driver_parity.py prints per-query seconds); the bench line's
+# "N/N ok" covers the HEADLINE set, not the registry (VERDICT r7 task
+# 8). Why each excluded class stays out — the concrete name list is
+# computed at run time and committed in BENCH_LOCAL.json["excluded"]:
+EXCLUDED_REASONS = {
+    "tpch": "TPC-H shapes beyond the 8 benched: same scan/join/agg "
+            "machinery; the benched subset spans the heavy shapes "
+            "(q1/q2/q9/q13/q18/q21)",
+    "streaming-harness": "wall time is the fixed micro-batch replay "
+            "harness cost, represented by ewma_user_value_stateful",
+    "demo-twin": "deliberate slow-path API demos (pandas/UDTF/cogroup "
+            "surfaces); their JVM twins ARE benched alongside",
+    "serving-micro": "single-key/limit-N serving lookups — "
+            "sub-100ms fixed-latency shapes, not throughput queries",
+    "variant": "parameter/family variants of a benched dedup/ANN "
+            "entry (signatures/buckets/nprobe/width variants)",
+    "ml-recipe": "deterministic ML train/eval recipes — quality is "
+            "anchored vs closed-form oracles in test_ml, not wall time",
+    "micro": "single-pass micro shapes (small dims, scalar funcs, "
+            "setops, tiny aggs) dominated by fixed job latency at any "
+            "benched SF; timed per-query in the parity sweeps",
+}
+
+
+def excluded_category(name: str, tags: tuple[str, ...]) -> str:
+    if "tpch" in tags:
+        return "tpch"
+    if "streaming" in tags:
+        return "streaming-harness"
+    if "pandas" in tags or "weak-by-design" in tags:
+        return "demo-twin"
+    if name.startswith("serving_"):
+        return "serving-micro"
+    if {"minhash", "simhash", "lsh", "ann", "components", "jaccard",
+        "fingerprint"} & set(tags):
+        return "variant"
+    if "ml" in tags:
+        return "ml-recipe"
+    return "micro"
 
 
 def main() -> None:
@@ -229,6 +273,24 @@ def main() -> None:
         out["errors"] = errors
         out["partial_total"] = total
 
+    # exclusion transparency (VERDICT r7 task 8): "n_ok/N" above covers
+    # the HEADLINE set only — name every registry entry the bench does
+    # NOT time, with its reason category, so partial coverage can never
+    # read as full-registry coverage.
+    out["n_registry"] = len(registry)
+    out["excluded"] = {
+        name: excluded_category(name, qd.tags)
+        for name, qd in sorted(registry.items())
+        if name not in HEADLINE
+    }
+    out["excluded_reasons"] = EXCLUDED_REASONS
+    print(
+        f"bench: {len(out['excluded'])} of {len(registry)} registry "
+        "entries excluded from HEADLINE (categories in "
+        "BENCH_LOCAL.json['excluded'])",
+        file=sys.stderr,
+    )
+
     # Evidence-capture contract (learned rounds 3-5): the driver stores
     # only the LAST 2000 chars of stdout and parses the final line as
     # JSON. The full three-pass JSON is ~6 KB, so printing it last left
@@ -279,7 +341,7 @@ def main() -> None:
             mapped[n] = k
         return mapped
 
-    def build_line(width: int, ndp: int) -> str:
+    def build_line(width: int, ndp: int, warm_only: bool = False) -> str:
         keys = prefix_keys(list(timings), width)
         summary = {
             "metric": "headline_queries_wall",
@@ -291,9 +353,13 @@ def main() -> None:
             "total_cold": round(sum(colds.values()), 2),
             "total_median": round(sum(medians.values()), 2),
             "q_key": f"name[:{width}]",
-            "q_val": "[cold_s,warm_min_s]",
+            "q_val": "warm_min_s" if warm_only else "[cold_s,warm_min_s]",
             "queries": {
-                keys[k]: [round(colds[k], ndp), round(v, ndp)]
+                keys[k]: (
+                    round(v, ndp)
+                    if warm_only
+                    else [round(colds[k], ndp), round(v, ndp)]
+                )
                 for k, v in timings.items()
             },
         }
@@ -308,6 +374,14 @@ def main() -> None:
         if len(line) <= 1900:
             break
         line = build_line(width, ndp)
+    if len(line) > 1900:
+        # next fallback before dropping ANY query: warm-min-only values
+        # (round-over-round comparison is warm-min anyway; per-query
+        # cold stays on line 1 and in BENCH_LOCAL.json)
+        for width in (8, 6):
+            line = build_line(width, 1, warm_only=True)
+            if len(line) <= 1900:
+                break
     if len(line) > 1900:
         # hard cap: keep only the slowest-warm entries in the tail line
         # (the full set is always on line 1 + BENCH_LOCAL.json) and say
