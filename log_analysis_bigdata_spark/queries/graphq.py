@@ -11,10 +11,16 @@ bit-identical in Spark and DuckDB. The damping update is
     r'(v) = JUMP + Σ_{u→v} floor(DAMP_NUM * r(u) / (DAMP_DEN * outdeg(u)))
 
 with JUMP = 150_000, DAMP_NUM/DAMP_DEN = 850/1000 and r0 = 1_000_000 —
-the classic 0.15/0.85 PageRank scaled by 1e6. A fixed iteration count
-(unrolled in the SQL oracle) replaces the convergence test; three
-rounds on a bipartite customer↔supplier graph is already past the
-point where the top ranks stabilize.
+the classic 0.15/0.85 PageRank scaled by 1e6. A fixed iteration budget
+(unrolled in the SQL oracle) bounds the loop; the loop ALSO exits
+early at an exact integer fixpoint (round 8): the update is a
+deterministic function of the rank frame, so once r_i == r_{i-1}
+every later round reproduces the same frame bit-for-bit — stopping
+there cannot diverge from the unrolled oracle, unlike a float
+epsilon threshold, which would. The change count rides the same job
+that materializes each round's checkpoint (Observation fires on
+eager localCheckpoint), so convergence detection adds zero extra
+jobs — the pattern operators/components.py uses.
 """
 
 from __future__ import annotations
@@ -122,19 +128,43 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import loop_parallelism
 
     with loop_parallelism(spark, contrib_src.count()) as session_default:
-        ranks = _pr_loop(contrib_src, ranks, session_default)
+        ranks, _rounds = _pr_loop(contrib_src, ranks, session_default)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
 
 
 def _pr_loop(
-    contrib_src: DataFrame, ranks: DataFrame, session_default: str | None = None
-) -> DataFrame:
+    contrib_src: DataFrame,
+    ranks: DataFrame,
+    session_default: str | None = None,
+    max_iter: int = PR_ITERS,
+    stop_shift: int = 0,
+) -> tuple[DataFrame, int]:
+    """Run up to ``max_iter`` damped-update rounds; returns the final
+    rank frame and the number of rounds actually executed.
+
+    Early exit, two modes:
+    - ``stop_shift=0`` (default, what the registered query uses): exit
+      ONLY at an exact integer fixpoint (no rank changed) — semantics-
+      preserving against an unrolled max_iter-round oracle, see module
+      docstring.
+    - ``stop_shift>0``: ALSO exit once the round's total absolute rank
+      movement Σ|Δ| (micro-units) drops to <= stop_shift — the
+      practical convergence stop for large iteration budgets, where
+      integer ranks typically cycle in the last few units and never
+      reach exact equality. Callers opting in accept ranks from the
+      first sub-threshold round instead of the full budget.
+
+    Both tests ride the checkpoint materialization via Observation:
+    zero additional jobs per round."""
+    from pyspark.sql import Observation
+
     from ..operators.components import guard_parallelism
 
     spark = contrib_src.sparkSession
     if session_default is None:
         session_default = spark.conf.get("spark.sql.shuffle.partitions")
-    for _ in range(PR_ITERS):
+    rounds = 0
+    for _ in range(max_iter):
         guard_parallelism(spark, session_default)
         step = (
             contrib_src.join(
@@ -160,5 +190,42 @@ def _pr_loop(
                 .alias("rank")
             )
         )
-        ranks = step.localCheckpoint(eager=True)
-    return ranks
+        # bidirectional edges → every node has in- and out-edges, so
+        # step's node set equals ranks' and the left join below never
+        # invents or drops nodes; `old` is null-free after round 0 too,
+        # the coalesce is belt-and-braces for an empty frame
+        obs = Observation()
+        nxt = (
+            step.join(
+                ranks.select(
+                    "node", F.col("rank").alias("old")
+                ),
+                "node",
+                "left",
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (
+                        F.col("rank")
+                        != F.coalesce(F.col("old"), F.lit(-1))
+                    ).cast("long")
+                ).alias("changed"),
+                F.sum(
+                    F.abs(
+                        F.col("rank")
+                        - F.coalesce(F.col("old"), F.lit(0))
+                    )
+                ).alias("shift"),
+            )
+            .select("node", "rank")
+            .localCheckpoint(eager=True)
+        )
+        ranks = nxt
+        rounds += 1
+        got = obs.get
+        if (got["changed"] or 0) == 0:
+            break
+        if stop_shift > 0 and (got["shift"] or 0) <= stop_shift:
+            break
+    return ranks, rounds

@@ -629,15 +629,26 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each corpus row only meets same-bucket queries. Ranking uses the
     ROUNDED cosine with the vec_id tiebreaker on both engines, so
     float-LSB rank flips can't diverge.
+
+    Norms are precomputed PER SIDE below the join (round 8): inside the
+    cross-join projection each norm would re-evaluate per PAIR — 2
+    extra 64-element folds per (row, query) — where one fold per row +
+    one per query suffices (Projects don't collapse across a Join, so
+    the per-side projection stays below it). Same double arithmetic,
+    bit-identical cosine; ~N·Q·2d fewer flops.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 100 == 7).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("nq"),
     )
-    c = emb.filter(F.col("vec_id") % 100 != 7)
+    c = emb.filter(F.col("vec_id") % 100 != 7).select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nc")
+    )
     cosine = F.round(
         dot(F.col("embedding"), F.col("qv"))
-        / (norm(F.col("embedding")) * norm(F.col("qv"))),
+        / (F.col("nc") * F.col("nq")),
         4,
     )
     from pyspark.sql.window import Window
@@ -894,6 +905,19 @@ _SEMDEDUP_ASSIGN_SQL = f"""
     assign AS (SELECT vec_id, arg_min(c, d2) AS cell FROM dist GROUP BY vec_id)
 """
 
+# Within-cell pair-width CAP (VERDICT r7 task 3): members of a cell are
+# partitioned into rank-contiguous sub-cells of <= SPLIT_WIDTH (rank =
+# vec_id order within the cell) and dup pairs are detected within a
+# sub-cell only. For cells at or under the width this is a no-op (one
+# sub-cell) — the test-SF outputs are bit-identical with or without it
+# (max observed cell: 42 at sf0.01, 158 at sf0.1) — while an oversized
+# cell's pair work drops from O(m²) to O(m·SPLIT_WIDTH). This is a
+# deliberate CAP, not a grows-with-N capacity: per-member work stays
+# bounded at any corpus size (SemDeDup's per-cluster comparisons are
+# already an approximation bounded by the quantizer; the cap bounds the
+# skewed-cell tail the same way). Engine and oracle share the formula.
+SEMDEDUP_SPLIT_WIDTH = 2 * SEMDEDUP_TARGET_CELL
+
 
 @register(
     "semdedup_embedding_cells",
@@ -901,12 +925,15 @@ _SEMDEDUP_ASSIGN_SQL = f"""
     WITH {_SEMDEDUP_ASSIGN_SQL},
     e AS (
       SELECT a.vec_id, a.cell, e.embedding,
-             {_NORM_SQL.format(a="e.embedding")} AS nrm
+             {_NORM_SQL.format(a="e.embedding")} AS nrm,
+             (row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id)
+              - 1) // {SEMDEDUP_SPLIT_WIDTH} AS sub
       FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
     ),
     pairs AS (
       SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b
-      FROM e x JOIN e y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      FROM e x JOIN e y ON x.cell = y.cell AND x.sub = y.sub
+                       AND x.vec_id < y.vec_id
       WHERE round({_DOT_SQL.format(a="x.embedding", b="y.embedding")}
                   / (x.nrm * y.nrm), 4) >= {NEAR_DUP_THRESHOLD!r}
     ),
@@ -938,59 +965,111 @@ def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     of embeddings because k grows with N, keeping cells ~constant-sized:
     the all-pairs step is O(N·cell_size), never O(N²), and each cell's
     pairs compute inside one partition after one shuffle on cell id.
-    Centroids are k×d doubles → broadcast; assignment is narrow.
+
+    Round-8 rework of the two sf1 hot spots (VERDICT r7 task 3):
+    - assignment now uses the kmeans_step_shift shape — centroids
+      pivot to ONE broadcast row of k arrays and the cell argmin is a
+      pure column expression (array_sort on (d2, cell), ties to the
+      lowest cell id, fixed dim-order adds). The previous
+      join-on-dim/groupBy plan materialized N·d·k rows through a
+      shuffle — with k ∝ N that shuffle was the dominant sf1 cost;
+    - the within-cell pair join is capped by SEMDEDUP_SPLIT_WIDTH
+      rank-contiguous sub-cells (see the constant's comment) so one
+      skewed cell can no longer go quadratic.
     """
+    from pyspark.sql.window import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
     # one cheap count() sizes k from N (parquet row-group stats; no full
     # scan) — the step that turns the docstring's O(N·cell_size) claim
     # into code. See semdedup_k/_SEMDEDUP_ASSIGN_SQL for the shared
     # integer formula.
     k = semdedup_k(emb.count())
-    dims = emb.select(
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("v"),
+    )
+    dims = vecs.select(
         "vec_id",
         (F.col("vec_id") % k).alias("seed_cell"),
-        F.posexplode("embedding").alias("dim", "x"),
-    ).select(
-        "vec_id", "seed_cell", "dim", F.col("x").cast("double").alias("x")
+        F.posexplode("v").alias("dim", "x"),
     )
     cent = dims.groupBy(F.col("seed_cell").alias("c"), "dim").agg(
         F.avg("x").alias("cx")
     )
-    dist = (
-        dims.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "c")
-        .agg(
-            F.sum(
-                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
-            ).alias("d2")
-        )
+    # k rows → 1 row of k (cell, centroid-array) structs; the crossJoin
+    # is the allowlisted broadcast-1-row pattern (PLAN_AUDIT.md).
+    cent_arrays = cent.groupBy("c").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+            lambda s: s["cx"],
+        ).alias("cvec")
     )
-    assign = dist.groupBy("vec_id").agg(F.min_by("c", "d2").alias("cell"))
-    e = assign.join(emb, "vec_id").select(
-        "vec_id", "cell", "embedding", norm(F.col("embedding")).alias("nrm")
+    cents_one = cent_arrays.agg(
+        F.array_sort(F.collect_list(F.struct("c", "cvec"))).alias("cents")
+    )
+
+    def d2_to(s):
+        return F.aggregate(
+            F.zip_with("v", s["cvec"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    assign = vecs.crossJoin(F.broadcast(cents_one)).select(
+        "vec_id",
+        "v",
+        F.array_sort(
+            F.transform(
+                "cents",
+                lambda s: F.struct(d2_to(s).alias("d2"), s["c"].alias("c")),
+            )
+        )[0]["c"].alias("cell"),
+    )
+    sub = F.expr(f"(rn - 1) div {SEMDEDUP_SPLIT_WIDTH}")
+    # materialize ONCE: e feeds both sides of the pair self-join AND the
+    # per-cell member count — without the checkpoint each branch re-runs
+    # the whole centroid+argmin chain (measured 9.1 -> ~6 s at sf1)
+    e = (
+        assign.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy("vec_id")
+            ),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            sub.alias("sub"),
+            "v",
+            norm(F.col("v")).alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
     )
     x = e.select(
         F.col("cell"),
+        F.col("sub"),
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
+        F.col("v").alias("ea"),
         F.col("nrm").alias("na"),
     )
     y = e.select(
         F.col("cell"),
+        F.col("sub"),
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
+        F.col("v").alias("eb"),
         F.col("nrm").alias("nb"),
     )
     cos = F.round(
         dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
     )
     pairs = (
-        x.join(y, "cell")
+        x.join(y, ["cell", "sub"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cos >= NEAR_DUP_THRESHOLD)
         .select("cell", "id_a", "id_b")
     )
-    cells = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    cells = e.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
     p = pairs.groupBy("cell").agg(
         F.count(F.lit(1)).alias("dp"),
         F.countDistinct("id_b").alias("dr"),

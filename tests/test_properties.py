@@ -363,3 +363,97 @@ def test_minhash_signature_invariants(spark, texts, rng):
     for comps in a.values():  # (3) range
         for c in comps:
             assert c is None or 0 <= c < MINHASH_P
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=30,
+    ).filter(lambda es: any(a != b for a, b in es)),
+)
+@settings(max_examples=8, deadline=None)
+def test_pagerank_early_exit_matches_python_replica(spark, edges):
+    """The round-8 convergence early-exit may stop the integer
+    PageRank loop ONLY at states a full-budget run would also pass
+    through: (1) the Spark loop's result after `rounds` rounds equals a
+    pure-Python replica of the same integer update run for `rounds`
+    rounds; (2) when the loop exits before its budget in exact mode,
+    the replica's NEXT round reproduces the same ranks (a true
+    fixpoint, so the unrolled-budget result is identical)."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_bigdata_spark.queries.graphq import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_INIT,
+        PR_JUMP,
+        _pr_loop,
+    )
+
+    # symmetrize + distinct, drop self-loops: the registered query's
+    # bidirectional-edge construction (no dangling nodes)
+    sym = sorted(
+        {(a, b) for a, b in edges if a != b}
+        | {(b, a) for a, b in edges if a != b}
+    )
+    if not sym:
+        return
+    df = spark.createDataFrame(sym, "src bigint, dst bigint")
+    deg = (
+        df.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumnRenamed("src", "node")
+    )
+    ranks0 = deg.select(
+        "node", F.lit(PR_INIT).cast("bigint").alias("rank")
+    )
+    contrib = df.join(deg.withColumnRenamed("node", "src"), "src")
+    budget = 5
+    ranks, rounds = _pr_loop(contrib, ranks0, max_iter=budget)
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+
+    outdeg: dict[int, int] = {}
+    for a, _b in sym:
+        outdeg[a] = outdeg.get(a, 0) + 1
+
+    def step(r: dict[int, int]) -> dict[int, int]:
+        acc: dict[int, int] = {n: 0 for n in outdeg}
+        for a, b in sym:
+            acc[b] += (PR_DAMP_NUM * r[a]) // (PR_DAMP_DEN * outdeg[a])
+        return {n: PR_JUMP + v for n, v in acc.items()}
+
+    expect = {n: PR_INIT for n in outdeg}
+    for _ in range(rounds):
+        expect = step(expect)
+    assert got == expect
+    assert 1 <= rounds <= budget
+    if rounds < budget:  # exact-fixpoint exit: one more round is a no-op
+        assert step(expect) == expect
+
+
+def test_pagerank_shift_threshold_stops_loop(spark):
+    """stop_shift mode: a threshold above any possible round movement
+    stops the loop after its first round."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_bigdata_spark.queries.graphq import PR_INIT, _pr_loop
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)],
+        "src bigint, dst bigint",
+    )
+    deg = (
+        df.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumnRenamed("src", "node")
+    )
+    ranks0 = deg.select("node", F.lit(PR_INIT).cast("bigint").alias("rank"))
+    contrib = df.join(deg.withColumnRenamed("node", "src"), "src")
+    _ranks, rounds = _pr_loop(
+        contrib, ranks0, max_iter=10, stop_shift=10**15
+    )
+    assert rounds == 1
