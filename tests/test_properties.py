@@ -457,3 +457,26 @@ def test_pagerank_shift_threshold_stops_loop(spark):
         contrib, ranks0, max_iter=10, stop_shift=10**15
     )
     assert rounds == 1
+
+
+def test_simhash_py_closure_equals_recursive_cte_oracle():
+    """tools/driver_parity swaps simhash_near_components' recursive-CTE
+    closure for a Python union-find above CLOSURE_SWAP_MIN_DOCS (the
+    CTE is Θ(Σ component²) and cannot run at sf1). The two closures
+    must be row-identical where both CAN run — this pins the swap on
+    the small-SF corpus so it can never hide a clustering divergence."""
+    from tests.oracle_harness import duck_connection
+    from tools.driver_parity import simhash_components_py_oracle
+
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    qd = all_queries()["simhash_near_components"]
+    con = duck_connection("/root/testdata/sf0.01")
+    sql_rows = sorted(
+        tuple(r) for r in con.execute(qd.oracle).fetchall()
+    )
+    py_rows = sorted(
+        map(tuple, simhash_components_py_oracle(con).itertuples(index=False))
+    )
+    assert sql_rows == py_rows
+    assert len(sql_rows) > 0

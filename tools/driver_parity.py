@@ -69,6 +69,68 @@ def canon_frame(pdf: pd.DataFrame):
 
 _KIND_CLASS = {"i": "int", "u": "int", "f": "float", "b": "bool"}
 
+# --- scalable oracle for simhash_near_components (VERDICT r7 task 5) --------
+# The registered oracle's recursive-CTE transitive closure is
+# Θ(Σ component²) rows in `reach` — it cannot run over the sf1 tile set
+# (EVIDENCE_r07 §1). Above this corpus size the replica swaps ONLY the
+# closure: the verified hamming<=1 edge list still comes from the same
+# DuckDB SQL (the oracle's own CTE chain minus `reach`), and a Python
+# union-find replaces the recursive fixpoint. tests/test_properties.py
+# asserts the two closures are row-identical on the small-SF corpus, so
+# the swap cannot hide a clustering divergence.
+CLOSURE_SWAP_MIN_DOCS = 20_000
+
+
+def simhash_components_py_oracle(con) -> "pd.DataFrame":
+    """(node, component) via DuckDB-verified edges + Python union-find.
+
+    Matches the registered oracle exactly: the node set is every pair
+    endpoint (the recursive form's self-loops), and component = min
+    reachable node id."""
+    from log_analysis_bigdata_spark.queries.textq import (
+        _DUP_CORPUS_SQL,
+        _near_bands_sql,
+        _near_sig_sql,
+    )
+
+    edges = con.execute(f"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    sig AS (
+      SELECT doc_id, CAST({_near_sig_sql()} AS BIGINT) AS simhash
+      FROM corpus
+    ),
+    bands AS ({_near_bands_sql()}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b FROM cands
+    WHERE bit_count(xor(sig_a, sig_b)) <= 1
+    """).fetchall()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps root == component label directly
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((n, find(n)) for n in parent)
+    return pd.DataFrame(rows, columns=["node", "component"]).astype("int64")
+
 
 def kind_class(kind: str) -> str:
     """Numeric class of a dtype kind — int-vs-float drift on a hashed
@@ -136,8 +198,19 @@ def main() -> int:
         if qd.oracle is None:
             print(f"ok   {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
             continue
+        swap_note = ""
         try:
-            dpdf = con.execute(qd.oracle).fetchdf()
+            if (
+                name == "simhash_near_components"
+                and con.execute("SELECT count(*) FROM documents").fetchone()[0]
+                >= CLOSURE_SWAP_MIN_DOCS
+            ):
+                # recursive-CTE closure infeasible at this scale; see
+                # simhash_components_py_oracle
+                dpdf = simhash_components_py_oracle(con)
+                swap_note = " [py-union-find closure]"
+            else:
+                dpdf = con.execute(qd.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle err {type(e).__name__}: {e}")
             n_fail += 1
@@ -180,7 +253,10 @@ def main() -> int:
                 print(f"     dtype kinds: {'; '.join(kind_notes)}")
         else:
             note = f" [dtype kinds differ: {'; '.join(kind_notes)}]" if kind_notes else ""
-            print(f"ok   {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s){note}")
+            print(
+                f"ok   {name} ({len(s_rows)} rows, "
+                f"{time.time()-t0:.1f}s){note}{swap_note}"
+            )
     print(f"\n{n_fail} failures")
     return 1 if n_fail else 0
 
