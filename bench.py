@@ -179,7 +179,34 @@ EXCLUDED_REASONS = {
     "micro": "single-pass micro shapes (small dims, scalar funcs, "
             "setops, tiny aggs) dominated by fixed job latency at any "
             "benched SF; timed per-query in the parity sweeps",
+    "uncategorized": "matched NO explicit exclusion rule — a new "
+            "registry entry that should either join HEADLINE or get "
+            "an explicit category (this bucket existing is a bug)",
 }
+
+# 'micro' is an EXPLICIT allowlist, not a fall-through (ADVICE r8): a
+# future heavyweight query left out of HEADLINE must not silently read
+# as a justified micro exclusion. Anything matching no rule lands in
+# 'uncategorized' with a stderr warning.
+MICRO_NAMES = frozenset({
+    "approx_distinct_users", "approx_percentile_value",
+    "case_bucket_order_price", "cube_order_status", "date_parts_orders",
+    "distinct_count_segments", "embedding_norms",
+    "group_having_active_customers", "hash_split_summary",
+    "join_anti_customers_no_orders", "join_left_customer_orders",
+    "join_semi_customers_with_orders", "json_extract_events",
+    "lang_histogram", "mixture_weights_lang", "multimodal_asset_stats",
+    "multimodal_resize_plan", "percentile_order_value",
+    "profile_documents", "psi_value_drift", "quality_decile_stats",
+    "rollup_order_status", "salted_event_type_stats",
+    "scalar_subquery_last_order", "setop_except_nations",
+    "setop_intersect_nations", "setop_union_nations",
+    "stratified_sample_docs", "string_funcs_customer",
+    "template_tag_docs", "topk_orders_by_price",
+    "unpivot_lineitem_metrics", "window_lag_event_gaps",
+    "window_running_value", "window_time_range_sum",
+    "word_histogram_docs",
+})
 
 
 def excluded_category(name: str, tags: tuple[str, ...]) -> str:
@@ -196,7 +223,14 @@ def excluded_category(name: str, tags: tuple[str, ...]) -> str:
         return "variant"
     if "ml" in tags:
         return "ml-recipe"
-    return "micro"
+    if name in MICRO_NAMES:
+        return "micro"
+    print(
+        f"WARNING: excluded query {name!r} matches no exclusion rule "
+        "— add it to HEADLINE or give it an explicit category",
+        file=sys.stderr,
+    )
+    return "uncategorized"
 
 
 def main() -> None:

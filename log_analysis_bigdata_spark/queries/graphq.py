@@ -155,7 +155,16 @@ def _pr_loop(
       first sub-threshold round instead of the full budget.
 
     Both tests ride the checkpoint materialization via Observation:
-    zero additional jobs per round."""
+    zero additional jobs per round.
+
+    PRECONDITION: every ranked node must appear as a ``dst`` in
+    ``contrib_src`` (true for bidirectional edge sets, as the
+    registered query builds). A node with no in-edges silently leaves
+    the frame after one round — the per-round row-count guard below
+    (ADVICE r8) observes count(*) alongside ``changed`` and refuses to
+    declare convergence on any round whose node set shrank, so reuse
+    on a non-bidirectional graph can burn the full iteration budget
+    but can never report a false fixpoint over a shrunken frame."""
     from pyspark.sql import Observation
 
     from ..operators.components import guard_parallelism
@@ -164,6 +173,7 @@ def _pr_loop(
     if session_default is None:
         session_default = spark.conf.get("spark.sql.shuffle.partitions")
     rounds = 0
+    prev_n: int | None = None
     for _ in range(max_iter):
         guard_parallelism(spark, session_default)
         step = (
@@ -217,6 +227,7 @@ def _pr_loop(
                         - F.coalesce(F.col("old"), F.lit(0))
                     )
                 ).alias("shift"),
+                F.count(F.lit(1)).alias("n"),
             )
             .select("node", "rank")
             .localCheckpoint(eager=True)
@@ -224,6 +235,13 @@ def _pr_loop(
         ranks = nxt
         rounds += 1
         got = obs.get
+        n = got["n"] or 0
+        shrank = prev_n is not None and n != prev_n
+        prev_n = n
+        if shrank:
+            # node set changed size — a rank vanished without counting
+            # as "changed"; never treat this round as converged
+            continue
         if (got["changed"] or 0) == 0:
             break
         if stop_shift > 0 and (got["shift"] or 0) <= stop_shift:

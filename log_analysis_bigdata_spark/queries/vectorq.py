@@ -891,18 +891,37 @@ _SEMDEDUP_ASSIGN_SQL = f"""
                         // {SEMDEDUP_TARGET_CELL}) AS k
       FROM embeddings
     ),
+    vecs AS (
+      SELECT vec_id, vec_id % (SELECT k FROM kk) AS seed_cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
     dims AS (
-      SELECT vec_id, vec_id % (SELECT k FROM kk) AS seed_cell, t.i AS dim,
-             CAST(embedding[t.i] AS DOUBLE) AS x
-      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      SELECT vec_id, seed_cell, t.i AS dim, v[t.i] AS x
+      FROM vecs, unnest(range(1, 65)) AS t(i)
     ),
-    cent AS (SELECT seed_cell AS c, dim, avg(x) AS cx FROM dims GROUP BY 1, 2),
+    cent AS (
+      SELECT seed_cell AS c, list(cx ORDER BY dim) AS cvec
+      FROM (SELECT seed_cell, dim, avg(x) AS cx FROM dims GROUP BY 1, 2)
+      GROUP BY seed_cell
+    ),
+    -- d2 mirrors the engine bit-for-bit (ADVICE r8): a left-to-right
+    -- fold of squared diffs in dim order (list_reduce), never an
+    -- unordered GROUP BY sum, so FP addition order cannot diverge
     dist AS (
-      SELECT d.vec_id, c.c, sum((d.x - c.cx) * (d.x - c.cx)) AS d2
-      FROM dims d JOIN cent c ON d.dim = c.dim
-      GROUP BY 1, 2
+      SELECT v.vec_id, c.c,
+             list_reduce(
+               list_transform(range(1, 65),
+                              i -> (v.v[i] - c.cvec[i]) * (v.v[i] - c.cvec[i])),
+               (a, b) -> a + b) AS d2
+      FROM vecs v CROSS JOIN cent c
     ),
-    assign AS (SELECT vec_id, arg_min(c, d2) AS cell FROM dist GROUP BY vec_id)
+    -- explicit tie-break to the LOWEST cell id on equal d2 — the same
+    -- (d2, c) lexicographic min the engine's array_sort(struct) takes
+    assign AS (
+      SELECT vec_id, (min(struct_pack(d2 := d2, c := c))).c AS cell
+      FROM dist GROUP BY vec_id
+    )
 """
 
 # Within-cell pair-width CAP (VERDICT r7 task 3): members of a cell are
