@@ -1,5 +1,9 @@
 """Every registered query must hash-match its DuckDB oracle — the local
-twin of the driver's CORRECTNESS gate, run at sf0.001 for speed."""
+twin of the driver's CORRECTNESS gate, run at sf0.001 for speed.
+
+Uses the SAME strict compare + oracle-fetch implementation as the full
+sweep tool (tools/driver_parity.py) — see tests/oracle_harness.py
+(VERDICT r8 task 8: one implementation, two entry points)."""
 
 from __future__ import annotations
 
@@ -8,7 +12,11 @@ import pytest
 from log_analysis_bigdata_spark.queries import all_queries
 
 from .conftest import SF_ORACLE
-from .oracle_harness import compare_results, duck_connection
+from .oracle_harness import (
+    duck_connection,
+    fetch_oracle_df,
+    strict_compare_frames,
+)
 
 QUERIES = all_queries()
 WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle)
@@ -24,8 +32,9 @@ def duck():
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, duck, name):
     qd = QUERIES[name]
-    df = qd.spark(spark, SF_ORACLE)
-    problems = compare_results(df, duck, qd.oracle)
+    spdf = qd.spark(spark, SF_ORACLE).toPandas()
+    dpdf, _note = fetch_oracle_df(duck, name, qd.oracle)
+    problems, _kind_notes = strict_compare_frames(spdf, dpdf)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 

@@ -460,13 +460,16 @@ def test_pagerank_shift_threshold_stops_loop(spark):
 
 
 def test_simhash_py_closure_equals_recursive_cte_oracle():
-    """tools/driver_parity swaps simhash_near_components' recursive-CTE
-    closure for a Python union-find above CLOSURE_SWAP_MIN_DOCS (the
-    CTE is Θ(Σ component²) and cannot run at sf1). The two closures
-    must be row-identical where both CAN run — this pins the swap on
-    the small-SF corpus so it can never hide a clustering divergence."""
-    from tests.oracle_harness import duck_connection
-    from tools.driver_parity import simhash_components_py_oracle
+    """The shared oracle harness swaps simhash_near_components'
+    recursive-CTE closure for a Python union-find above
+    CLOSURE_SWAP_MIN_DOCS (the CTE is Θ(Σ component²) and cannot run at
+    sf1). The two closures must be row-identical where both CAN run —
+    this pins the swap on the small-SF corpus so it can never hide a
+    clustering divergence."""
+    from tests.oracle_harness import (
+        duck_connection,
+        simhash_components_py_oracle,
+    )
 
     from log_analysis_bigdata_spark.queries import all_queries
 
