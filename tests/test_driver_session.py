@@ -88,3 +88,68 @@ def test_bare_session_subprocess_runs_events_query():
     )
     assert res.returncode == 0, res.stderr[-3000:]
     assert "OK" in res.stdout
+
+
+# --- catalog freshness guard (VERDICT r8 task 7) ---------------------------
+# The driver verdicts only the FIRST 50 registry entries per round, so
+# window rotation is evidence policy. These tests turn the policy from
+# judge-enforced into CI-enforced: every registry entry's LATEST driver
+# verdict (union of the committed CORRECTNESS_r*.json files) must be at
+# most MAX_VERDICT_AGE rounds old, and any entry that would cross that
+# age by the NEXT driver run must sit inside the current 50-slot window.
+
+MAX_VERDICT_AGE = 4
+DRIVER_WINDOW_SLOTS = 50
+
+
+def _verdict_history():
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    rounds = []
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        rounds.append(r)
+        for name in json.load(open(f)):
+            latest[name] = max(latest.get(name, 0), r)
+    assert rounds, "no committed CORRECTNESS_r*.json found"
+    return latest, max(rounds)
+
+
+def test_no_registry_verdict_older_than_max_age():
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    latest, cur = _verdict_history()
+    stale = {
+        n: latest[n]
+        for n in all_queries()
+        if n in latest and cur - latest[n] > MAX_VERDICT_AGE
+    }
+    assert not stale, (
+        f"registry entries with driver verdicts older than "
+        f"{MAX_VERDICT_AGE} rounds (current=r{cur}): {stale} — rotate "
+        "them into the _DRIVER_WINDOW head"
+    )
+
+
+def test_aging_and_new_entries_sit_inside_driver_window():
+    """An entry that would EXCEED the age limit after the next driver
+    run — or that has never been verdicted at all — must be inside the
+    first 50 registry slots, or the next round bakes in a violation."""
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    latest, cur = _verdict_history()
+    window = list(all_queries())[:DRIVER_WINDOW_SLOTS]
+    must_rotate = [
+        n
+        for n in all_queries()
+        if n not in latest or (cur + 1) - latest.get(n, 0) > MAX_VERDICT_AGE
+    ]
+    missing = [n for n in must_rotate if n not in window]
+    assert not missing, (
+        f"entries needing a r{cur + 1} verdict but outside the 50-slot "
+        f"driver window: {missing}"
+    )
