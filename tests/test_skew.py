@@ -1,0 +1,166 @@
+"""Adversarial-skew stress tests (VERDICT r8 task 5).
+
+The skew-mitigation paths (operators/skew.py salting, SemDeDup's
+rank-sub-cell pair cap) claim safety under hot keys, but the driver
+testdata is near-uniform. These tests generate genuinely adversarial
+distributions (tools/skew_fixture.py):
+
+- events with Zipf(1.5) user_id / event_type — the top user owns ~38%
+  of all rows, the distribution where one reducer melts;
+- an embeddings corpus of IDENTICAL vectors — every centroid distance
+  ties exactly, so the tie-break routes the entire corpus into ONE
+  cell (maximum cell skew).
+
+and assert (a) the salted paths return rows IDENTICAL to their
+unsalted twins, (b) salting provably bounds the max shuffle-partition
+row count vs the unsalted key partitioning, and (c) the sub-cell cap
+turns the would-be quadratic one-cell pair join into the predicted
+capped pair count — with the DuckDB oracle agreeing bit-for-bit on the
+all-ties corpus (the adversarial probe of the argmin tie-break mirror).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tools.skew_fixture import make_tied_embeddings, make_zipf_events
+
+N_ROWS = 300_000
+SALT_BUCKETS = 16
+SHUFFLE_P = 32
+
+
+@pytest.fixture(scope="module")
+def zipf_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("zipf"))
+    stats = make_zipf_events(d, n_rows=N_ROWS, seed=7)
+    # the fixture must actually BE adversarial or the bounds below
+    # prove nothing
+    assert stats["top_user_share"] >= 0.30
+    assert stats["top_type_share"] >= 0.30
+    return d
+
+
+def _events(spark, d):
+    from log_analysis_bigdata_spark.catalog import load_table
+
+    return load_table(spark, d, "events")
+
+
+def test_salted_agg_identical_rows_on_zipf(spark, zipf_dir):
+    from log_analysis_bigdata_spark.operators.skew import salted_agg
+
+    ev = _events(spark, zipf_dir)
+    salted = salted_agg(
+        ev,
+        ["event_type"],
+        partial={
+            "c": F.count(F.lit(1)),
+            "s": F.sum(F.round(F.col("value") * 100).cast("long")),
+        },
+        final={"n": F.sum("c"), "total_cents": F.sum("s")},
+        salt_buckets=SALT_BUCKETS,
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_identical_rows_on_zipf(spark, zipf_dir):
+    from log_analysis_bigdata_spark.operators.skew import salted_join
+
+    ev = _events(spark, zipf_dir).select("event_id", "user_id", "value")
+    users = (
+        _events(spark, zipf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
+    )
+    salted = salted_join(ev, users, "user_id", salt_buckets=8)
+    plain = ev.join(users, "user_id")
+    cols = sorted(salted.columns)
+    assert cols == sorted(plain.columns)
+    assert sorted(map(tuple, salted.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+
+
+def test_salting_bounds_max_shuffle_partition(spark, zipf_dir):
+    """The measurable skew claim: hash-partitioning the zipf events by
+    the bare hot key concentrates the top user's ~38% of rows in ONE
+    partition; partitioning by (key, salt) spreads them over the salt
+    buckets. Max-partition row count must drop by >=4x (measured ~10x)."""
+    from log_analysis_bigdata_spark.operators.skew import SALT
+
+    ev = _events(spark, zipf_dir).select("user_id", "value")
+
+    def max_part(df, *keys):
+        return (
+            df.repartition(SHUFFLE_P, *keys)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    unsalted = max_part(ev, "user_id")
+    salted_df = ev.withColumn(
+        SALT, F.floor(F.rand(42) * SALT_BUCKETS).cast("int")
+    )
+    salted = max_part(salted_df, "user_id", SALT)
+    assert unsalted >= 0.30 * N_ROWS  # the hot key really concentrates
+    assert salted * 4 <= unsalted, (
+        f"salting only reduced max partition {unsalted} -> {salted}"
+    )
+
+
+def test_semdedup_subcell_caps_adversarial_cell(spark, tmp_path):
+    """All-identical vectors tie every centroid distance, so the
+    deterministic tie-break assigns the ENTIRE corpus to the lowest
+    cell id — the worst-case skewed cell. The rank-sub-cell cap must
+    bound the pair join to ceil(m/W) within-sub blocks (exact expected
+    pair count, not O(m^2)), and the DuckDB oracle must agree
+    bit-for-bit on this all-ties corpus (adversarial probe of the
+    engine/oracle argmin tie-break mirror)."""
+    import duckdb
+
+    from log_analysis_bigdata_spark.queries import all_queries
+    from log_analysis_bigdata_spark.queries.vectorq import (
+        SEMDEDUP_SPLIT_WIDTH,
+    )
+    from tests.oracle_harness import strict_compare_frames
+
+    d = str(tmp_path)
+    n = make_tied_embeddings(d)["n_vecs"]
+    qd = all_queries()["semdedup_embedding_cells"]
+    spdf = qd.spark(spark, d).toPandas()
+
+    # one row: every vector in cell 0 (tie-break to lowest cell id)
+    assert list(spdf["cell"]) == [0]
+    assert int(spdf["n_members"][0]) == n
+    # capped pair count: rank sub-cells of width W, all-pairs inside
+    w = SEMDEDUP_SPLIT_WIDTH
+    widths = [w] * (n // w) + ([n % w] if n % w else [])
+    expected_pairs = sum(m * (m - 1) // 2 for m in widths)
+    assert expected_pairs < n * (n - 1) // 2  # the cap actually bit
+    assert int(spdf["n_dup_pairs"][0]) == expected_pairs
+    assert int(spdf["n_dropped"][0]) == n - len(widths)
+    assert math.comb(n, 2) // expected_pairs >= 3  # >=3x work reduction
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    dpdf = con.execute(qd.oracle).fetchdf()
+    problems, _ = strict_compare_frames(spdf, dpdf)
+    assert not problems, "; ".join(problems)
