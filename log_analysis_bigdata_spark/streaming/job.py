@@ -218,17 +218,23 @@ def run_file_stream(
     weights: dict[str, float] | None = None,
     bias: float = -2.0,
     watermark: str = "5 minutes",
+    source_options: dict[str, str] | None = None,
 ):
     """Dev harness: JSON-file source standing in for Kafka (identical
     downstream plan; swap ``readStream.format('kafka')`` in prod).
 
     Applies the T4 watermark for real and runs one availableNow pass.
     Returns the StreamingQuery (caller awaits termination).
+
+    ``source_options`` passes reader options through (e.g.
+    ``{"maxFilesPerTrigger": "1"}`` to make each replay file its own
+    micro-batch — how the volume-replay test drives watermark
+    advancement and state expiry across many triggers).
     """
-    raw = (
-        spark.readStream.schema(SESSION_MESSAGE)
-        .json(source_dir)
-    )
+    reader = spark.readStream.schema(SESSION_MESSAGE)
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.json(source_dir)
     # Watermarked source-side dedup keyed on MESSAGE identity
     # (block_id + payload md5): byte-identical replays within the horizon
     # are dropped before the parse/feature plan runs at all, while an
