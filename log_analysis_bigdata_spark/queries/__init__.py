@@ -53,81 +53,76 @@ _LOADED = False
 # The correctness driver evaluates only the FIRST 50 registry entries per
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
-# on file). Round-8 window (50 slots), in priority order:
-#   (1) the full round-4-latest cohort — all 19, the oldest verdicts in
-#       the chain (VERDICT r7 task 1: four rounds of code drift since
-#       their last driver check);
-#   (2) the new round-8 query (the composed end-to-end
-#       corpus_to_training_set pipeline, VERDICT r7 task 2);
-#   (3) re-verdicts for queries whose CODE CHANGED this round:
-#       semdedup_embedding_cells (cell-split ladder, task 3),
-#       pagerank_supplier_graph (convergence early-exit, task 3),
-#       knn_join_topk (regression follow-up, task 4);
-#   (4) 27 of the 44 round-5-latest, alphabetical. The 17 that don't
-#       fit (q5_revenue_by_nation, q6_forecast_revenue,
-#       q7_nation_volume, quality_filter_docs, serving_by_key,
-#       serving_delete, serving_high_score, serving_time_range,
-#       session_flow_top_transitions, sessionize_events,
-#       simhash_buckets, simhash_dup_groups, simhash_text_docs,
-#       stream_dedup_blocks, text_quality_docs, token_counts_docs,
-#       variant_props_stats) keep their r5 green rows — first in line
-#       next round. 19 + 1 + 3 + 27 = 50.
+# on file; tests/test_driver_session.py now CI-enforces the rotation —
+# no latest verdict may age past 4 rounds). Round-9 window (50 slots):
+#   (1) the full round-5-latest cohort — all 17, the oldest verdicts
+#       left in the chain (VERDICT r8 task 2);
+#   (2) re-verdicts for the two queries whose CODE changed this round:
+#       semdedup_embedding_cells (oracle argmin now mirrors the engine
+#       fold + tie-break, ADVICE r8) and pagerank_supplier_graph
+#       (row-count convergence guard in _pr_loop, ADVICE r8);
+#   (3) 31 of the 43 round-6-latest, alphabetical. The 12 that do not
+#       fit (reservoir_sample_docs, sequence_pack_docs, serving_compound_filter,
+#       serving_latest_n, serving_stats, skew_report_events,
+#       stratified_sample_docs, stream_static_enrich_segments, stream_stream_join_attribution,
+#       tfidf_top_terms, unigram_logprob_docs, zorder_locality_events)
+#       keep their r6 green rows — first in line next round.
+#       17 + 2 + 31 = 50.
 _DRIVER_WINDOW = (
-    # (1) round-4-latest cohort, rotated in full
-    "q4_priority_exists",
-    "range_join_hour_activity",
-    "rollup_order_status",
-    "salted_event_type_stats",
-    "scalar_subquery_last_order",
-    "session_window_events",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "setop_union_nations",
-    "sliding_window_events",
-    "stats_agg_events",
-    "string_funcs_customer",
-    "template_tag_docs",
-    "topk_orders_by_price",
-    "tumbling_window_events",
-    "window_lag_event_gaps",
-    "window_time_range_sum",
-    "window_topk_orders_per_customer",
-    "word_histogram_docs",
-    # (2) new round-8 query
-    "corpus_to_training_set",
-    # (3) round-8 code-change re-verdicts
+    # (1) round-5-latest cohort, rotated in full
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "quality_filter_docs",
+    "serving_by_key",
+    "serving_delete",
+    "serving_high_score",
+    "serving_time_range",
+    "session_flow_top_transitions",
+    "sessionize_events",
+    "simhash_buckets",
+    "simhash_dup_groups",
+    "simhash_text_docs",
+    "stream_dedup_blocks",
+    "text_quality_docs",
+    "token_counts_docs",
+    "variant_props_stats",
+    # (2) round-9 code-change re-verdicts
     "semdedup_embedding_cells",
     "pagerank_supplier_graph",
-    "knn_join_topk",
-    # (4) round-5-latest cohort, 27 alphabetical
-    "ann_bucketed_topk",
-    "anti_join_docs_quarantine",
-    "case_bucket_order_price",
-    "cosine_topk",
-    "cube_order_status",
-    "date_parts_orders",
-    "dedup_exact_docs",
-    "doc_fingerprint",
-    "embedding_norms",
-    "event_traces_users",
-    "ewma_user_value_stateful",
-    "feature_counts_events",
-    "fuzzy_match_names",
-    "grouped_agg_weighted_mean",
-    "grouping_sets_order_stats",
-    "heavy_hitters_topk",
-    "interval_overlap_sessions",
-    "ivf_topk",
-    "lang_histogram",
-    "langid_ngram_predict",
-    "mad_outliers_events",
-    "ngram_jaccard_pairs",
-    "parse_raw_logs",
-    "pivot_daily_event_counts",
-    "profile_documents",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    # Past the 50-slot window: everything else keeps its r5–r7 green
+    # (3) round-6-latest cohort, 31 alphabetical
+    "approx_distinct_users",
+    "arrow_map_embedding_norms",
+    "bpe_token_estimate_docs",
+    "chunk_dedup_retention",
+    "contamination_check",
+    "crossformat_dedup_docs",
+    "hash_split_summary",
+    "incremental_agg_merge_events",
+    "integrity_check_report",
+    "mixture_weights_lang",
+    "ml_lr_train_confusion",
+    "pii_redact_docs",
+    "psi_value_drift",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_excess_share_suppliers",
+    "q21_final_shipper",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "quality_decile_stats",
+    "repetition_metrics_docs",
+# Past the 50-slot window: everything else keeps its r5–r7 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r08.md.
 )
