@@ -108,7 +108,20 @@ def train_weighted_lr(
         elasticNetParam=elastic_net,
         standardization=True,
     )
-    return lr.fit(train)
+    model = lr.fit(train)
+    # Drop the training summary before the model is ever used in a
+    # transform: the summary object pins the live SparkSession, and the
+    # prediction UDF's task closure serializes the MODEL — with the
+    # summary attached that closure drags SparkSession→ObservationManager
+    # and the job dies with "Task not serializable" whenever the plan's
+    # canonicalized form is materialized (observed mid-sweep at r9:
+    # ml_lr_train_confusion failed in the 159-query parity run but
+    # passed standalone). Nothing downstream reads .summary — metrics
+    # come from evaluate_binary over the prediction frame.
+    model._java_obj.setSummary(
+        train.sparkSession._jvm.scala.Option.empty()
+    )
+    return model
 
 
 def evaluate_binary(

@@ -61,6 +61,8 @@ _LOADED = False
 #       semdedup_embedding_cells (oracle argmin now mirrors the engine
 #       fold + tie-break, ADVICE r8) and pagerank_supplier_graph
 #       (row-count convergence guard in _pr_loop, ADVICE r8);
+#       ml_lr_train_confusion also changed (trainingSummary dropped
+#       post-fit — closure-serialization fix) and sits in cohort (3);
 #   (3) 31 of the 43 round-6-latest, alphabetical. The 12 that do not
 #       fit (reservoir_sample_docs, sequence_pack_docs, serving_compound_filter,
 #       serving_latest_n, serving_stats, skew_report_events,
