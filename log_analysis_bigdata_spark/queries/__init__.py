@@ -63,13 +63,17 @@ _LOADED = False
 #       (row-count convergence guard in _pr_loop, ADVICE r8);
 #       ml_lr_train_confusion also changed (trainingSummary dropped
 #       post-fit — closure-serialization fix) and sits in cohort (3);
-#   (3) 31 of the 43 round-6-latest, alphabetical. The 12 that do not
-#       fit (reservoir_sample_docs, sequence_pack_docs, serving_compound_filter,
-#       serving_latest_n, serving_stats, skew_report_events,
-#       stratified_sample_docs, stream_static_enrich_segments, stream_stream_join_attribution,
+#       heavy_hitters_topk changed too (cardinality-gated exact arm —
+#       the sf1 sweep caught the sketch losing recall on near-uniform
+#       keys) and takes the slot repetition_metrics_docs vacates;
+#   (3) 30 of the 43 round-6-latest, alphabetical. The 13 that do not
+#       fit (repetition_metrics_docs, reservoir_sample_docs,
+#       sequence_pack_docs, serving_compound_filter, serving_latest_n,
+#       serving_stats, skew_report_events, stratified_sample_docs,
+#       stream_static_enrich_segments, stream_stream_join_attribution,
 #       tfidf_top_terms, unigram_logprob_docs, zorder_locality_events)
 #       keep their r6 green rows — first in line next round.
-#       17 + 2 + 31 = 50.
+#       17 + 3 + 30 = 50.
 _DRIVER_WINDOW = (
     # (1) round-5-latest cohort, rotated in full
     "q5_revenue_by_nation",
@@ -92,7 +96,8 @@ _DRIVER_WINDOW = (
     # (2) round-9 code-change re-verdicts
     "semdedup_embedding_cells",
     "pagerank_supplier_graph",
-    # (3) round-6-latest cohort, 31 alphabetical
+    "heavy_hitters_topk",
+    # (3) round-6-latest cohort, 30 alphabetical
     "approx_distinct_users",
     "arrow_map_embedding_norms",
     "bpe_token_estimate_docs",
@@ -123,10 +128,9 @@ _DRIVER_WINDOW = (
     "q8_market_share",
     "q9_profit_by_nation",
     "quality_decile_stats",
-    "repetition_metrics_docs",
-# Past the 50-slot window: everything else keeps its r5–r7 green
+    # Past the 50-slot window: everything else keeps its r6–r8 green
     # verdict; the full local parity sweep for ALL registry entries is
-    # committed per round as EVIDENCE_r08.md.
+    # committed per round as EVIDENCE_r09.md.
 )
 
 

@@ -1664,6 +1664,15 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-count regime bound for heavy_hitters_topk: up to this many
+# distinct keys, a map-side-combined groupBy count is both exact and
+# cheap (the exchange carries keys, not rows — 100k keys x 8B ids is
+# ~MBs of shuffle at any row count); beyond it the space-saving sketch
+# arm engages. The 5% rsd of approx_count_distinct makes the gate fuzzy
+# only within +-5% of the bound, where BOTH arms are defensible.
+HH_EXACT_MAX_KEYS = 100_000
+
+
 @register(
     "heavy_hitters_topk",
     oracle="""
@@ -1682,9 +1691,52 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "heavy-hitters", "sketch", "topk", "two-pass"),
 )
 def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 heaviest keys via the distributed 2-pass heavy-hitter
-    pattern (space-saving candidates + exact recount) instead of a full
-    groupBy over every key:
+    """Top-10 heaviest keys, regime-gated (r9 — the sf1 sweep caught
+    the sketch arm losing recall on near-uniform keys):
+
+    - bounded key cardinality (<= HH_EXACT_MAX_KEYS, decided by one
+      cheap approx_count_distinct pass): EXACT groupBy-count — with
+      map-side combine the exchange carries O(partitions x keys) rows
+      regardless of event count, so "exact" is also the FAST plan;
+    - huge cardinality: the space-saving candidates + exact-recount
+      two-pass (_hh_sketch_counts), whose accuracy contract requires
+      the skew that regime actually has.
+
+    Both arms end in the same exact recount + row_number top-10, so
+    whenever candidate recall holds the output equals the oracle's
+    full groupBy answer.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    # regime gate, one cheap narrow pass: an exact groupBy-count is THE
+    # right plan whenever the key cardinality is bounded — map-side
+    # combine collapses each partition to its distinct keys before the
+    # exchange, so the shuffle is O(partitions x keys), independent of
+    # row count. The sketch path only wins when keys are too many to
+    # hash-aggregate AND the distribution is skewed (its accuracy
+    # contract). approx_count_distinct at 5% rsd is plenty for a
+    # 100k-key threshold decision.
+    n_keys = ev.agg(F.approx_count_distinct("user_id").alias("k")).collect()[
+        0
+    ]["k"]
+    if n_keys <= HH_EXACT_MAX_KEYS:
+        counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        counts = _hh_sketch_counts(ev)
+    w = Window.orderBy(F.desc("n"), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("user_id", "n", "rank")
+        .orderBy("rank")
+    )
+
+
+def _hh_sketch_counts(ev: DataFrame) -> DataFrame:
+    """The huge-cardinality arm of heavy_hitters_topk: space-saving
+    candidates + exact recount.
 
     1. candidate generation — per Arrow batch, keep only the local
        top-m (m=50) keys (``mapInPandas``, zero shuffle);
@@ -1692,29 +1744,23 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        candidate rows only, then an exact hash agg over that slice.
 
     At 100 TB with billions of long-tail keys, pass 2 shuffles only the
-    candidate keys' rows — the full groupBy shuffles EVERYTHING to count
-    keys that could never rank. Accuracy caveat (documented, standard
-    for this family): a true top-k key missed by every batch's local
-    top-m is lost; for skewed distributions (the use case) hot keys
-    dominate every batch. The oracle is the exact answer, so the driver
-    verdict proves candidate recall held.
+    candidate keys' rows — an exact groupBy would hash-aggregate
+    billions of keys per executor and spill. Accuracy caveat
+    (documented, standard for this family): a true top-k key missed by
+    every batch's local top-m is lost; for SKEWED distributions (this
+    arm's use case) hot keys dominate every batch. On NEAR-UNIFORM
+    keys recall collapses — measured at the r9 sf1 sweep: 15,000 users
+    with counts 40-99 (mean 67) lost the true top-10 — which is why
+    the registered query gates on cardinality and this arm never sees
+    a distribution exact counting can handle.
 
     CONFIG SENSITIVITY (ADVICE r4): candidate recall depends on the
     Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch —
     PINNED to 10k in session.get_spark since round 6, with a test
     asserting the effective value) and input partitioning, not only on
-    the data. m=50
-    local candidates for a global top-10 over ~150 distinct users at
-    test SFs gives m ≥ 5× k headroom per batch; if a future driver
-    verdict flips red here, triage as RECALL LOSS under a config/
-    data-distribution change (shrink batches → shrink m-coverage), not
-    as a code bug. The scale remedy is raising m (cost: m keys per
-    batch through the broadcast) or a count-min pre-filter — both
-    documented, neither needed at the tested skew.
+    the data. The recall remedies are raising m (cost: m keys per batch
+    through the broadcast) or a count-min pre-filter.
     """
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events").select("user_id")
 
     def local_topm(batches):
         for pdf in batches:
@@ -1722,17 +1768,10 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield vc.rename_axis("user_id").reset_index()[["user_id"]]
 
     cands = ev.mapInPandas(local_topm, "user_id long").distinct()
-    counts = (
+    return (
         ev.join(F.broadcast(cands), "user_id")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.orderBy(F.desc("n"), "user_id")
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("user_id", "n", "rank")
-        .orderBy("rank")
     )
 
 

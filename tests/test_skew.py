@@ -164,3 +164,37 @@ def test_semdedup_subcell_caps_adversarial_cell(spark, tmp_path):
     dpdf = con.execute(qd.oracle).fetchdf()
     problems, _ = strict_compare_frames(spdf, dpdf)
     assert not problems, "; ".join(problems)
+
+
+def test_heavy_hitters_sketch_arm_exact_on_skew(spark, zipf_dir, monkeypatch):
+    """The r9 sf1 sweep showed the space-saving arm losing recall on
+    near-uniform keys; the fix gates it behind a cardinality check.
+    This test runs the SKETCH arm directly on the genuinely Zipfian
+    fixture — its accuracy contract's home regime — and requires its
+    top-10 to equal the exact answer; it then verifies the registered
+    query (exact arm for this 40k-key corpus) returns the same rows."""
+    from log_analysis_bigdata_spark.queries import relational as R
+
+    ev = _events(spark, zipf_dir).select("user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+        .collect()
+    )
+    sketch = (
+        R._hh_sketch_counts(ev)
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in sketch] == [tuple(r) for r in exact]
+
+    # registered query on the same corpus: exact arm (40k keys < gate),
+    # same answer
+    monkeypatch.setattr(R, "load_table", lambda s, d, t: ev)
+    got = R.heavy_hitters_topk(spark, zipf_dir).collect()
+    assert [(r["user_id"], r["n"]) for r in got] == [
+        (r["user_id"], r["n"]) for r in exact
+    ]
