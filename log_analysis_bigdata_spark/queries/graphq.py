@@ -160,11 +160,12 @@ def _pr_loop(
     PRECONDITION: every ranked node must appear as a ``dst`` in
     ``contrib_src`` (true for bidirectional edge sets, as the
     registered query builds). A node with no in-edges silently leaves
-    the frame after one round — the per-round row-count guard below
-    (ADVICE r8) observes count(*) alongside ``changed`` and refuses to
-    declare convergence on any round whose node set shrank, so reuse
-    on a non-bidirectional graph can burn the full iteration budget
-    but can never report a false fixpoint over a shrunken frame."""
+    the frame after one round — the row-count guard below (ADVICE r8,
+    hardened by code-review r9) seeds the baseline from the INITIAL
+    ranks frame (one extra count; round-1 shrinks are visible) and
+    LATCHES on any shrink, so reuse on a non-bidirectional graph can
+    burn the full iteration budget but can never report a false
+    fixpoint over a shrunken frame."""
     from pyspark.sql import Observation
 
     from ..operators.components import guard_parallelism
@@ -173,7 +174,11 @@ def _pr_loop(
     if session_default is None:
         session_default = spark.conf.get("spark.sql.shuffle.partitions")
     rounds = 0
-    prev_n: int | None = None
+    # baseline from the INITIAL frame (it is localCheckpoint-ed in the
+    # registered query, so this count is cheap) — a node lost in round
+    # 1 must register as a shrink too
+    prev_n: int = ranks.count()
+    ever_shrank = False
     for _ in range(max_iter):
         guard_parallelism(spark, session_default)
         step = (
@@ -236,11 +241,12 @@ def _pr_loop(
         rounds += 1
         got = obs.get
         n = got["n"] or 0
-        shrank = prev_n is not None and n != prev_n
+        if n != prev_n:
+            ever_shrank = True  # LATCHED: a rank vanished without
+            # counting as "changed" — no later round may claim a
+            # fixpoint over the shrunken frame
         prev_n = n
-        if shrank:
-            # node set changed size — a rank vanished without counting
-            # as "changed"; never treat this round as converged
+        if ever_shrank:
             continue
         if (got["changed"] or 0) == 0:
             break

@@ -1699,12 +1699,18 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       map-side combine the exchange carries O(partitions x keys) rows
       regardless of event count, so "exact" is also the FAST plan;
     - huge cardinality: the space-saving candidates + exact-recount
-      two-pass (_hh_sketch_counts), whose accuracy contract requires
-      the skew that regime actually has.
+      two-pass (_hh_sketch_counts), SELF-VERIFYING (code-review r9):
+      the candidate pass also records each batch's 50th-largest local
+      count, whose sum U upper-bounds any NON-candidate key's total
+      (a key outside every batch's top-50 gained at most t_b rows in
+      batch b). If the 10th candidate's exact count exceeds U the
+      top-10 is PROVABLY complete; otherwise (near-uniform keys, where
+      no bounded-memory sketch can rank near-ties) the query falls
+      back to the exact groupBy. Cardinality alone is NOT a skew
+      proof — the bound check is what makes the sketch arm safe.
 
-    Both arms end in the same exact recount + row_number top-10, so
-    whenever candidate recall holds the output equals the oracle's
-    full groupBy answer.
+    Every exit is therefore exact: gate-exact, verified-sketch, or
+    fallback-exact — the oracle's full groupBy answer in all cases.
     """
     from pyspark.sql.window import Window
 
@@ -1714,17 +1720,23 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right plan whenever the key cardinality is bounded — map-side
     # combine collapses each partition to its distinct keys before the
     # exchange, so the shuffle is O(partitions x keys), independent of
-    # row count. The sketch path only wins when keys are too many to
-    # hash-aggregate AND the distribution is skewed (its accuracy
-    # contract). approx_count_distinct at 5% rsd is plenty for a
+    # row count. approx_count_distinct at 5% rsd is plenty for a
     # 100k-key threshold decision.
     n_keys = ev.agg(F.approx_count_distinct("user_id").alias("k")).collect()[
         0
     ]["k"]
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     if n_keys <= HH_EXACT_MAX_KEYS:
-        counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        counts = exact
     else:
-        counts = _hh_sketch_counts(ev)
+        sk_counts, bound = _hh_sketch_counts(ev)
+        top = (
+            sk_counts.orderBy(F.desc("n"), "user_id").limit(10).collect()
+        )
+        if len(top) == 10 and top[-1]["n"] > bound:
+            counts = sk_counts  # provably complete (see docstring)
+        else:
+            counts = exact  # sketch cannot certify this distribution
     w = Window.orderBy(F.desc("n"), "user_id")
     return (
         counts.withColumn("rank", F.row_number().over(w))
@@ -1734,45 +1746,74 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hh_sketch_counts(ev: DataFrame) -> DataFrame:
+def _hh_sketch_counts(ev: DataFrame) -> tuple[DataFrame, int]:
     """The huge-cardinality arm of heavy_hitters_topk: space-saving
-    candidates + exact recount.
+    candidates + exact recount + a provable completeness bound.
 
-    1. candidate generation — per Arrow batch, keep only the local
-       top-m (m=50) keys (``mapInPandas``, zero shuffle);
+    1. candidate generation — per Arrow batch, keep the local top-m
+       (m=50) keys AND the batch's non-candidate ceiling t_b (the
+       50th-largest local count; 0 when the batch had <= 50 distinct
+       keys, since then every key is a candidate). ``mapInPandas``,
+       zero shuffle;
     2. exact recount — broadcast-semi-join the raw stream down to
        candidate rows only, then an exact hash agg over that slice.
 
+    Returns ``(counts, U)`` with U = sum of t_b: a key missed by EVERY
+    batch's top-m gained at most t_b rows in batch b, so its total is
+    <= U — the caller certifies the top-k by comparing the k-th
+    candidate's exact count against U, and falls back to exact
+    counting when the certificate fails (near-uniform keys: measured
+    at the r9 sf1 sweep, 15,000 users with counts 40-99 lost the true
+    top-10 to per-batch near-ties).
+
     At 100 TB with billions of long-tail keys, pass 2 shuffles only the
     candidate keys' rows — an exact groupBy would hash-aggregate
-    billions of keys per executor and spill. Accuracy caveat
-    (documented, standard for this family): a true top-k key missed by
-    every batch's local top-m is lost; for SKEWED distributions (this
-    arm's use case) hot keys dominate every batch. On NEAR-UNIFORM
-    keys recall collapses — measured at the r9 sf1 sweep: 15,000 users
-    with counts 40-99 (mean 67) lost the true top-10 — which is why
-    the registered query gates on cardinality and this arm never sees
-    a distribution exact counting can handle.
+    billions of keys per executor and spill; on the skewed
+    distributions that regime carries, the certificate passes and the
+    exact fallback never runs.
 
     CONFIG SENSITIVITY (ADVICE r4): candidate recall depends on the
     Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch —
     PINNED to 10k in session.get_spark since round 6, with a test
     asserting the effective value) and input partitioning, not only on
     the data. The recall remedies are raising m (cost: m keys per batch
-    through the broadcast) or a count-min pre-filter.
+    through the broadcast) or a count-min pre-filter — and the U
+    certificate turns any residual recall loss from silent wrong
+    answers into a fallback.
     """
+    import pandas as pd
 
     def local_topm(batches):
         for pdf in batches:
-            vc = pdf["user_id"].value_counts().head(50)
-            yield vc.rename_axis("user_id").reset_index()[["user_id"]]
+            vc = pdf["user_id"].value_counts()
+            top = vc.head(50)
+            t_b = int(top.iloc[-1]) if len(vc) > 50 else 0
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.array(
+                        top.index.tolist() + [None], dtype="Int64"
+                    ),
+                    "t": pd.array(
+                        [None] * len(top) + [t_b], dtype="Int64"
+                    ),
+                }
+            )
 
-    cands = ev.mapInPandas(local_topm, "user_id long").distinct()
-    return (
+    raw = ev.mapInPandas(local_topm, "user_id long, t long").persist()
+    bound = raw.agg(F.sum("t").alias("u")).collect()[0]["u"] or 0
+    cands = (
+        raw.filter(F.col("t").isNull())
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    raw.unpersist(blocking=False)
+    counts = (
         ev.join(F.broadcast(cands), "user_id")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return counts, int(bound)
 
 
 @register(

@@ -103,6 +103,12 @@ DRIVER_WINDOW_SLOTS = 50
 
 
 def _verdict_history():
+    """name -> latest round with a PASSING driver verdict. Only passes
+    count (code-review r9): a red verdict must not refresh the rotation
+    clock, or a known-failing query could dodge forced re-rotation for
+    MAX_VERDICT_AGE rounds. Passing = hash_match true, or (future
+    rows-only entries, which the driver records without an oracle
+    hash) no error + rows_match true."""
     import glob
     import json
     import re
@@ -113,8 +119,14 @@ def _verdict_history():
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         r = int(re.search(r"_r(\d+)\.json$", f).group(1))
         rounds.append(r)
-        for name in json.load(open(f)):
-            latest[name] = max(latest.get(name, 0), r)
+        for name, v in json.load(open(f)).items():
+            passed = v.get("hash_match") is True or (
+                v.get("hash_match") is None
+                and v.get("err") is None
+                and v.get("rows_match") is True
+            )
+            if passed:
+                latest[name] = max(latest.get(name, 0), r)
     assert rounds, "no committed CORRECTNESS_r*.json found"
     return latest, max(rounds)
 

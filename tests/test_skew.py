@@ -168,10 +168,12 @@ def test_semdedup_subcell_caps_adversarial_cell(spark, tmp_path):
 
 def test_heavy_hitters_sketch_arm_exact_on_skew(spark, zipf_dir, monkeypatch):
     """The r9 sf1 sweep showed the space-saving arm losing recall on
-    near-uniform keys; the fix gates it behind a cardinality check.
-    This test runs the SKETCH arm directly on the genuinely Zipfian
-    fixture — its accuracy contract's home regime — and requires its
-    top-10 to equal the exact answer; it then verifies the registered
+    near-uniform keys; the fix gates it behind a cardinality check AND
+    a per-run completeness certificate. This test runs the SKETCH arm
+    directly on the genuinely Zipfian fixture — its home regime — and
+    requires (a) its top-10 to equal the exact answer and (b) the U
+    certificate to PASS there (10th count > U, so the sketch result is
+    provably complete, no fallback); it then verifies the registered
     query (exact arm for this 40k-key corpus) returns the same rows."""
     from log_analysis_bigdata_spark.queries import relational as R
 
@@ -183,18 +185,50 @@ def test_heavy_hitters_sketch_arm_exact_on_skew(spark, zipf_dir, monkeypatch):
         .limit(10)
         .collect()
     )
+    sk_counts, bound = R._hh_sketch_counts(ev)
     sketch = (
-        R._hh_sketch_counts(ev)
-        .orderBy(F.desc("n"), "user_id")
-        .limit(10)
-        .collect()
+        sk_counts.orderBy(F.desc("n"), "user_id").limit(10).collect()
     )
     assert [tuple(r) for r in sketch] == [tuple(r) for r in exact]
+    assert sketch[-1]["n"] > bound  # certificate passes on real skew
 
     # registered query on the same corpus: exact arm (40k keys < gate),
     # same answer
     monkeypatch.setattr(R, "load_table", lambda s, d, t: ev)
     got = R.heavy_hitters_topk(spark, zipf_dir).collect()
+    assert [(r["user_id"], r["n"]) for r in got] == [
+        (r["user_id"], r["n"]) for r in exact
+    ]
+
+
+def test_heavy_hitters_sketch_certificate_forces_fallback_on_uniform(
+    spark, monkeypatch
+):
+    """Near-uniform keys are the distribution where per-batch local
+    top-m cannot rank near-ties (the r9 sf1 failure). Force the sketch
+    arm (gate at 0) on a uniform corpus and require the registered
+    query to still return the EXACT answer — the U certificate must
+    fail and trigger the exact-groupBy fallback, turning the old
+    silent wrong answer into a correct one."""
+    from log_analysis_bigdata_spark.queries import relational as R
+
+    # 60k rows over 20k near-uniform keys (count 3 each, +1 for a few)
+    ev = spark.range(60_000).selectExpr("id % 20000 AS user_id").select(
+        "user_id"
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+        .collect()
+    )
+    _sk, bound = R._hh_sketch_counts(ev)
+    assert bound >= 3  # certificate CANNOT pass: counts are all ~3
+
+    monkeypatch.setattr(R, "HH_EXACT_MAX_KEYS", 0)  # force sketch arm
+    monkeypatch.setattr(R, "load_table", lambda s, d, t: ev)
+    got = R.heavy_hitters_topk(spark, "unused").collect()
     assert [(r["user_id"], r["n"]) for r in got] == [
         (r["user_id"], r["n"]) for r in exact
     ]
