@@ -25,6 +25,7 @@ rounds on the warm-min / 3-run-median sections, never on cold deltas
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -287,6 +288,17 @@ def main() -> None:
         runs.sort()
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
+        # Release the query's leaked storage before the next entry
+        # (r9): localCheckpoint()ed RDDs stay pinned in the block
+        # manager until their JVM references die, and py4j finalizers
+        # are LAZY — without the collect, 90 queries x 3 runs
+        # accumulate checkpoint blocks and the late-slot heavyweights
+        # pay the eviction/GC pressure. The Python-side collect frees
+        # the py4j refs so Spark's ContextCleaner can reclaim blocks
+        # asynchronously; a per-query JVM System.gc was tried and
+        # rejected (it perturbed warm timings more than the leak did).
+        del df
+        gc.collect()
 
     # value is null when ANY query errored (ADVICE r4): a partial total
     # must never be mistaken for a faster full run in round-over-round

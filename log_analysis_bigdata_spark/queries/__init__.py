@@ -66,14 +66,17 @@ _LOADED = False
 #       heavy_hitters_topk changed too (cardinality-gated exact arm —
 #       the sf1 sweep caught the sketch losing recall on near-uniform
 #       keys) and takes the slot repetition_metrics_docs vacates;
-#   (3) 30 of the 43 round-6-latest, alphabetical. The 13 that do not
-#       fit (repetition_metrics_docs, reservoir_sample_docs,
+#       corpus_to_training_set changed late (translate-based symbol
+#       count in the quality gate) and takes quality_decile_stats'
+#       slot; quality_filter_docs (same change) was already slot 4;
+#   (3) 29 of the 43 round-6-latest, alphabetical. The 14 that do not
+#       fit (quality_decile_stats, repetition_metrics_docs, reservoir_sample_docs,
 #       sequence_pack_docs, serving_compound_filter, serving_latest_n,
 #       serving_stats, skew_report_events, stratified_sample_docs,
 #       stream_static_enrich_segments, stream_stream_join_attribution,
 #       tfidf_top_terms, unigram_logprob_docs, zorder_locality_events)
 #       keep their r6 green rows — first in line next round.
-#       17 + 3 + 30 = 50.
+#       17 + 4 + 29 = 50.
 _DRIVER_WINDOW = (
     # (1) round-5-latest cohort, rotated in full
     "q5_revenue_by_nation",
@@ -93,11 +96,12 @@ _DRIVER_WINDOW = (
     "text_quality_docs",
     "token_counts_docs",
     "variant_props_stats",
-    # (2) round-9 code-change re-verdicts
+    # (2) round-9 code-change re-verdicts (4)
     "semdedup_embedding_cells",
     "pagerank_supplier_graph",
     "heavy_hitters_topk",
-    # (3) round-6-latest cohort, 30 alphabetical
+    "corpus_to_training_set",
+    # (3) round-6-latest cohort, 29 alphabetical
     "approx_distinct_users",
     "arrow_map_embedding_norms",
     "bpe_token_estimate_docs",
@@ -127,7 +131,6 @@ _DRIVER_WINDOW = (
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_profit_by_nation",
-    "quality_decile_stats",
     # Past the 50-slot window: everything else keeps its r6–r8 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r09.md.
