@@ -120,15 +120,31 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select(
         "node", F.lit(PR_INIT).cast("bigint").alias("rank")
     ).localCheckpoint(eager=True)
-    contrib_src = edges.join(
+    pre = edges.join(
         deg.withColumnRenamed("node", "src"), "src"
-    ).localCheckpoint(eager=True)  # (src, dst, outdeg), reused every round
+    )  # (src, dst, outdeg), loop-invariant
     # per-round joins/aggs shuffle at edge-set scale, not the session's
     # corpus-scale default — shared helper with connected_components
     from ..operators.components import loop_parallelism
 
-    with loop_parallelism(spark, contrib_src.count()) as session_default:
-        ranks, _rounds = _pr_loop(contrib_src, ranks, session_default)
+    with loop_parallelism(spark, edges.count()) as session_default:
+        # Pre-partition the loop-invariant edge frame ON THE JOIN KEY
+        # and persist it (r9): persist — unlike localCheckpoint —
+        # preserves outputPartitioning, so every round's shuffle-hash
+        # join reads the cached partitions in place and only the
+        # node-sized ranks frame moves. Previously the FULL edge frame
+        # re-exchanged every round (3 exchanges/round -> 2, and the big
+        # one is gone) — at 100 TB this is the difference between
+        # shuffling the edge list k times and once. The partition count
+        # matches the narrowed loop conf so the per-round ranks
+        # exchange aligns with the cached layout.
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        contrib_src = pre.repartition(nparts, "src").persist()
+        contrib_src.count()  # materialize before the loop
+        try:
+            ranks, _rounds = _pr_loop(contrib_src, ranks, session_default)
+        finally:
+            contrib_src.unpersist(blocking=False)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
 
 
@@ -183,7 +199,15 @@ def _pr_loop(
         guard_parallelism(spark, session_default)
         step = (
             contrib_src.join(
-                ranks.withColumnRenamed("node", "src"), "src"
+                # shuffle_hash with ranks as build side: the persisted
+                # edge frame's hashpartitioning(src) satisfies the join
+                # requirement (no re-exchange; a broadcast would ship
+                # the node-sized frame to every executor each round and
+                # a sort-merge would re-sort the cached side per round)
+                ranks.withColumnRenamed("node", "src").hint(
+                    "shuffle_hash"
+                ),
+                "src",
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(
