@@ -22,6 +22,7 @@ tree-aggregated gradient pass, no per-row driver traffic.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
@@ -118,9 +119,24 @@ def train_weighted_lr(
     # ml_lr_train_confusion failed in the 159-query parity run but
     # passed standalone). Nothing downstream reads .summary — metrics
     # come from evaluate_binary over the prediction frame.
-    model._java_obj.setSummary(
-        train.sparkSession._jvm.scala.Option.empty()
-    )
+    # setSummary is private[spark] Scala — callable via py4j only
+    # because package-private compiles to public bytecode. Guard it
+    # (ADVICE r9): if a Spark upgrade hides it, training still works
+    # and the closure hazard resurfaces loudly in the parity sweep
+    # rather than as a silent AttributeError here. tests/test_ml.py
+    # asserts hasSummary is False so version drift fails CI first.
+    try:
+        model._java_obj.setSummary(
+            train.sparkSession._jvm.scala.Option.empty()
+        )
+    except Exception:  # pragma: no cover - only on Spark API drift
+        warnings.warn(
+            "LogisticRegressionModel.setSummary unavailable; training "
+            "summary retained — model closures may pin the SparkSession "
+            "(see r9 'Task not serializable' note above)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return model
 
 

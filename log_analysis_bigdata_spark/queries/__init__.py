@@ -160,10 +160,10 @@ def all_queries() -> dict[str, QueryDef]:
         # slot giveaway to an arbitrary already-green entry (code-review
         # r9): every window name must resolve, and exactly 50 must lead
         unknown = set(_DRIVER_WINDOW) - set(REGISTRY)
-        assert not unknown, f"_DRIVER_WINDOW names not in registry: {unknown}"
-        assert len(set(_DRIVER_WINDOW)) == len(_DRIVER_WINDOW) == 50, (
-            "driver window must hold exactly 50 distinct names"
-        )
+        if unknown:  # real raise, not assert: must survive python -O
+            raise ValueError(f"_DRIVER_WINDOW names not in registry: {unknown}")
+        if not (len(set(_DRIVER_WINDOW)) == len(_DRIVER_WINDOW) == 50):
+            raise ValueError("driver window must hold exactly 50 distinct names")
         ordered = {name: REGISTRY[name] for name in _DRIVER_WINDOW}
         for name, qd in REGISTRY.items():
             ordered.setdefault(name, qd)

@@ -1722,22 +1722,47 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange, so the shuffle is O(partitions x keys), independent of
     # row count. approx_count_distinct at 5% rsd is plenty for a
     # 100k-key threshold decision.
-    n_keys = ev.agg(F.approx_count_distinct("user_id").alias("k")).collect()[
-        0
-    ]["k"]
+    gate = ev.agg(
+        F.approx_count_distinct("user_id").alias("k"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_n"),
+    ).collect()[0]
+    n_keys, null_n = gate["k"], gate["null_n"] or 0
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     if n_keys <= HH_EXACT_MAX_KEYS:
         counts = exact
     else:
-        sk_counts, bound = _hh_sketch_counts(ev)
+        # the sketch arm sees non-null keys only: pandas value_counts
+        # drops NaN and an equi-join can't recount a NULL key (ADVICE
+        # r9) — so the NULL group, already counted exactly by the gate
+        # pass, is unioned in as its own exact row. The U certificate
+        # still holds: every non-candidate non-null key is bounded by
+        # U, and NULL is never a non-candidate.
+        sk_counts, bound = _hh_sketch_counts(
+            ev.filter(F.col("user_id").isNotNull()) if null_n else ev
+        )
+        if null_n:
+            sk_counts = sk_counts.unionByName(
+                spark.createDataFrame([(None, null_n)], "user_id long, n long")
+            )
         top = (
-            sk_counts.orderBy(F.desc("n"), "user_id").limit(10).collect()
+            sk_counts.orderBy(F.desc("n"), F.asc_nulls_last("user_id"))
+            .limit(10)
+            .collect()
         )
         if len(top) == 10 and top[-1]["n"] > bound:
-            counts = sk_counts  # provably complete (see docstring)
-        else:
-            counts = exact  # sketch cannot certify this distribution
-    w = Window.orderBy(F.desc("n"), "user_id")
+            # provably complete — and the collected rows already ARE
+            # the exact top-10, so build the result from them instead
+            # of re-executing the candidate pass + recount through the
+            # row_number window (ADVICE r9: sk_counts isn't persisted;
+            # routing it through `counts` ran the expensive arm twice)
+            return spark.createDataFrame(
+                [(r["user_id"], r["n"], i + 1) for i, r in enumerate(top)],
+                "user_id long, n long, rank int",
+            )
+        counts = exact  # sketch cannot certify this distribution
+    # ASC NULLS LAST tie-break matches DuckDB's default (Spark's plain
+    # asc sorts nulls first — divergent only on a null-keyed corpus)
+    w = Window.orderBy(F.desc("n"), F.asc_nulls_last("user_id"))
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
@@ -1749,6 +1774,11 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hh_sketch_counts(ev: DataFrame) -> tuple[DataFrame, int]:
     """The huge-cardinality arm of heavy_hitters_topk: space-saving
     candidates + exact recount + a provable completeness bound.
+
+    ``ev`` must be null-free on ``user_id``: value_counts silently
+    drops NaN and the recount equi-join can't match NULL, so a NULL
+    group would be invisible to both the candidates and the U bound —
+    the caller counts NULL exactly and unions it in (ADVICE r9).
 
     1. candidate generation — per Arrow batch, keep the local top-m
        (m=50) keys AND the batch's non-candidate ceiling t_b (the

@@ -145,6 +145,10 @@ def test_lr_confusion_margin_guard_at_driver_sf(spark):
     train = emb.filter(bucket != 0).drop("x0")
     test = emb.filter(bucket == 0)
     model = train_weighted_lr(balanced_class_weights(train, "label_index"))
+    # the trainingSummary must be dropped post-fit (closure-serialization
+    # fix, r9) — if a Spark upgrade hides the package-private setSummary
+    # this goes True again and the hazard surfaces HERE, not mid-sweep
+    assert model.hasSummary is False
     pred = model.transform(test).select("x0", "label_index", "prediction")
 
     # (a) non-empty margin subset, both classes represented

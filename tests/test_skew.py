@@ -232,3 +232,40 @@ def test_heavy_hitters_sketch_certificate_forces_fallback_on_uniform(
     assert [(r["user_id"], r["n"]) for r in got] == [
         (r["user_id"], r["n"]) for r in exact
     ]
+
+
+def test_heavy_hitters_sketch_arm_counts_null_keys(spark, monkeypatch):
+    """ADVICE r9: pandas value_counts drops NaN and the recount
+    equi-join can't match NULL, so a NULL group used to be invisible to
+    the sketch arm — candidate list AND U bound both missed it. The fix
+    counts NULL exactly in the gate pass and unions it into the sketch
+    counts. Force the sketch arm on a corpus where NULL is a top-10
+    key and the skew is strong enough for the certificate to PASS (so
+    the exact fallback can't mask the bug) and require the NULL group
+    to appear with its exact count."""
+    from log_analysis_bigdata_spark.queries import relational as R
+
+    # NULL every 8th row (5,000 rows); the rest log2-bucketed — ~16
+    # keys with 2^k-style counts, so every Arrow batch holds < 50
+    # distinct keys, every t_b is 0, U = 0 and the certificate passes.
+    ev = spark.range(40_000).selectExpr(
+        "CASE WHEN id % 8 = 0 THEN NULL"
+        " ELSE CAST(log2(id + 1) AS BIGINT) END AS user_id"
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc_nulls_last("user_id"))
+        .limit(10)
+        .collect()
+    )
+    assert any(r["user_id"] is None for r in exact)  # NULL is top-10
+
+    monkeypatch.setattr(R, "HH_EXACT_MAX_KEYS", 0)  # force sketch arm
+    monkeypatch.setattr(R, "load_table", lambda s, d, t: ev)
+    got = R.heavy_hitters_topk(spark, "unused").collect()
+    assert [(r["user_id"], r["n"]) for r in got] == [
+        (r["user_id"], r["n"]) for r in exact
+    ]
+    null_rows = [r for r in got if r["user_id"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["n"] == 5_000
