@@ -1086,3 +1086,169 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_row(bins, 5, "packed", tok="tokens"))
         .orderBy("stage_idx")
     )
+
+
+# --- Quality-aware survivor selection (round 10, VERDICT r9 task 6) ---------
+
+# Survivor-policy corpus: every 10th document appears TWICE — the LOW
+# doc_id carries a space-bloated degraded copy, the HIGH (+1M) doc_id
+# the clean original. Tokens are identical (split on ' +'), so the
+# minhash pipeline verifies the pair at Jaccard 1.0 and clusters it —
+# but the min-doc_id canonical would keep the DEGRADED copy. That makes
+# the quality policy observable: a correct quality-aware survivor is
+# the +1M member, provably different from the legacy min-id keeper.
+_SURV_CORPUS_SQL = """
+    SELECT doc_id, '  ' || replace(text, ' ', '  ') || ' ' AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+"""
+
+# 52-char alpha table for translate()-based letter counting — the r9
+# symbol_count pattern (functions/text.py): a per-char table lookup
+# instead of a regex pass, identical semantics in Spark and DuckDB.
+_ALPHA_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+
+
+def _surv_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    degraded = tenth.select(
+        "doc_id",
+        F.concat(
+            F.lit("  "), F.expr("replace(text, ' ', '  ')"), F.lit(" ")
+        ).alias("text"),
+    )
+    clean = tenth.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    rest = docs.filter(F.col("doc_id") % 10 != 0)
+    return degraded.unionByName(clean).unionByName(rest)
+
+
+def _quality_score(col):
+    """Letter density: alpha chars / total chars, round(4). Space-bloat
+    dilutes it, so the clean member of each planted pair scores higher;
+    any monotone quality metric slots in here unchanged."""
+    alpha = F.length(col) - F.length(F.translate(col, _ALPHA_CHARS, ""))
+    return F.round(
+        alpha.cast("double") / F.greatest(F.length(col), F.lit(1)), 4
+    )
+
+
+@register(
+    "dedup_survivors_by_quality",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_SURV_CORPUS_SQL}),
+    sh_t AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM corpus),
+    sh_ne AS (SELECT doc_id, {_HS_SQL} AS hs FROM sh_t WHERE len(sh) > 0),
+    sigs AS (
+      SELECT doc_id, {_band_sql(0)} AS band0, {_band_sql(4)} AS band1
+      FROM sh_ne
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON (a.band0 = b.band0 OR a.band1 = b.band1)
+       AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT doc_id, list_distinct(hs) AS shd FROM sh_ne),
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.doc_a
+      JOIN shd sb ON sb.doc_id = c.doc_b
+      WHERE {JACCARD_DEN} * len(list_intersect(sa.shd, sb.shd))
+            >= {JACCARD_NUM} * len(list_distinct(sa.shd || sb.shd))
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      UNION SELECT doc_b, doc_a FROM ver
+      UNION SELECT doc_a, doc_a FROM ver
+      UNION SELECT doc_b, doc_b FROM ver
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (SELECT src AS node, min(dst) AS component FROM reach
+               GROUP BY src),
+    qual AS (
+      SELECT doc_id,
+             round(CAST(length(text)
+                        - length(translate(text, '{_ALPHA_CHARS}', ''))
+                     AS DOUBLE) / greatest(length(text), 1), 4) AS quality
+      FROM corpus
+    ),
+    memb AS (
+      SELECT l.component AS cluster_id, l.node AS doc_id, q.quality,
+             row_number() OVER (PARTITION BY l.component
+                                ORDER BY q.quality DESC, l.node) AS rn,
+             count(*) OVER (PARTITION BY l.component) AS n_members
+      FROM labels l JOIN qual q ON q.doc_id = l.node
+    )
+    SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS survivor_doc_id, quality AS survivor_quality
+    FROM memb WHERE rn = 1 AND n_members > 1
+    """,
+    tags=("dedup", "components", "quality", "survivor", "minhash"),
+)
+def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (VERDICT r9 task 6): near-dup
+    clusters keep their HIGHEST-QUALITY member, not the min doc_id —
+    what a real pretraining pipeline does when the duplicates differ in
+    formatting fidelity (reference dedups by first-seen; the Gopher-
+    style upgrade keeps the cleanest copy).
+
+    Shape: minhash → LSH candidates → exact-Jaccard verify → connected
+    components (member-level labels), then ONE extra shuffle: join the
+    per-doc quality score on doc_id and take the top row per cluster by
+    (quality DESC, doc_id). The quality join is node-sized — at 100 TB
+    it carries only clustered doc_ids + one double, never text; the
+    window partitions by cluster_id, whose groups are cluster-sized
+    (tiny), so no skew concern. The planted corpus (degraded copy on
+    the LOW id) proves the policy differs from min-id canonicals:
+    every planted survivor is the +1M clean member.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.components import connected_components
+    from ..operators.dedup import (
+        band_digests,
+        candidate_pairs,
+        shingle_sets,
+        verify_jaccard,
+    )
+
+    corpus = _surv_corpus_spark(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = shingle_sets(corpus).persist()
+    ver = verify_jaccard(candidate_pairs(band_digests(sh)), sh)
+    labels = connected_components(
+        ver, src="doc_a", dst="doc_b", distinct_pairs=True
+    )
+    sh.unpersist(blocking=False)
+    qual = corpus.select("doc_id", _quality_score(F.col("text")).alias("quality"))
+    memb = labels.join(qual, labels["node"] == qual["doc_id"]).select(
+        F.col("component").alias("cluster_id"),
+        F.col("doc_id"),
+        F.col("quality"),
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = w.orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        memb.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("quality").alias("survivor_quality"),
+        )
+    )

@@ -176,3 +176,65 @@ def multimodal_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return ppm_pixel_stats(synth_ppm_assets(docs), target=2)
+
+
+@register(
+    "multimodal_bmp_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 5 + doc_id % 4 AS w, 2 + doc_id % 5 AS h
+      FROM documents
+    ),
+    full_px AS (
+      -- logical image sample i = (doc_id*11 + i) % 256 over the
+      -- top-down row-major RGB layout; the FILE stores a padded BGR
+      -- (mostly bottom-up) permutation the decoder must undo
+      SELECT d.doc_id,
+             CAST((10000 * sum((d.doc_id * 11 + t.i) % 256))
+                  // (d.w * d.h * 3) AS BIGINT) AS mean_pixel_e4
+      FROM d, unnest(range(0, d.w * d.h * 3)) AS t(i)
+      GROUP BY d.doc_id, d.w, d.h
+    ),
+    rz AS (
+      SELECT d.doc_id, c.c AS ch,
+             CAST((10000 * sum(
+                (d.doc_id * 11
+                 + (((ty.y * d.h) // 2) * d.w + ((tx.x * d.w) // 2)) * 3
+                 + c.c) % 256)) // 4 AS BIGINT) AS m_e4
+      FROM d,
+           unnest(range(0, 2)) AS ty(y),
+           unnest(range(0, 2)) AS tx(x),
+           unnest(range(0, 3)) AS c(c)
+      GROUP BY d.doc_id, c.c
+    )
+    SELECT d.doc_id AS asset_id,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           f.mean_pixel_e4,
+           max(CASE WHEN rz.ch = 0 THEN rz.m_e4 END) AS r_mean_e4,
+           max(CASE WHEN rz.ch = 1 THEN rz.m_e4 END) AS g_mean_e4,
+           max(CASE WHEN rz.ch = 2 THEN rz.m_e4 END) AS b_mean_e4
+    FROM d
+    JOIN full_px f ON f.doc_id = d.doc_id
+    JOIN rz ON rz.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.w, d.h, f.mean_pixel_e4
+    """,
+    tags=("multimodal", "decode", "bmp", "pixels", "mapInPandas"),
+)
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel math over REALLY-DECODED Windows BMP payloads (round 10,
+    VERDICT r9 task 4 — a second dependency-free format beyond PPM):
+    synthesize a byte-for-byte valid 24-bit BI_RGB BMP per document
+    (padded BGR rows, bottom-up except every 3rd asset top-down),
+    decode with the from-scratch header/raster parser, NN-resize to
+    2x2, report full-image + per-channel integer micro-unit means.
+
+    The oracle recomputes every decoded sample from the LOGICAL image's
+    closed form — so forgetting the row flip, the BGR->RGB swap, or the
+    4-byte row padding (width cycle 5..8 plants pad 1/2/3/0) breaks the
+    hash. Same fused narrow mapInPandas chain as the PPM twin: zero
+    shuffles, linear scale-out."""
+    from ..multimodal.assets import bmp_pixel_stats, synth_bmp_assets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bmp_pixel_stats(synth_bmp_assets(docs), target=2)

@@ -193,3 +193,67 @@ def test_ppm_pixel_stats_trailing_bytes_not_shifted(spark):
     for c in ("mean_pixel_e4", "r_mean_e4", "g_mean_e4", "b_mean_e4"):
         assert rows[1][c] == rows[2][c]
     assert rows[2]["mean_pixel_e4"] == 55_000
+
+
+def test_bmp_build_parse_roundtrip_both_row_orders():
+    """_build_bmp -> _parse_bmp must be the identity on the logical
+    top-down RGB image for BOTH storage orders, across every padding
+    case (widths 5..8 -> pad 1/2/3/0)."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_bmp,
+        _parse_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for w in (5, 6, 7, 8):
+        for top_down in (False, True):
+            px = rng.integers(0, 256, size=(3, w, 3), dtype=np.uint8)
+            buf = _build_bmp(w, 3, px, top_down=top_down)
+            pw, ph, got = _parse_bmp(buf)
+            assert (pw, ph) == (w, 3)
+            assert np.array_equal(got, px), (w, top_down)
+
+
+def test_bmp_parse_rejects_garbage():
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_bmp,
+        _parse_bmp,
+    )
+
+    px = np.zeros((2, 5, 3), dtype=np.uint8)
+    good = _build_bmp(5, 2, px, top_down=False)
+    with pytest.raises(ValueError, match="not a BMP"):
+        _parse_bmp(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_bmp(good[:-4])
+    import struct as _s
+
+    bad_bpp = bytearray(good)
+    _s.pack_into("<H", bad_bpp, 28, 8)  # claim 8-bit
+    with pytest.raises(ValueError, match="only 24-bit"):
+        _parse_bmp(bytes(bad_bpp))
+
+
+def test_synth_bmp_decode_matches_formula(spark):
+    """End-to-end through Spark: synth writes permuted file bytes
+    (padded BGR, mixed row orders); the decoded image must equal the
+    closed-form logical image sample (doc_id*11 + i) % 256."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _parse_bmp,
+        synth_bmp_assets,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(12)
+    rows = synth_bmp_assets(docs).collect()
+    assert rows
+    for r in rows:
+        d = r["asset_id"]
+        w, h = 5 + d % 4, 2 + d % 5
+        pw, ph, px = _parse_bmp(bytes(r["payload"]))
+        assert (pw, ph) == (w, h)
+        want = (
+            ((d * 11 + np.arange(w * h * 3, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .reshape(h, w, 3)
+        )
+        assert np.array_equal(px, want), d

@@ -324,3 +324,31 @@ def test_simhash_cand_pairs_width_independent(spark):
             assert (1, 2, 0) in got  # the exact dup is always found
         else:
             assert got == want, f"width {bits} changed the result set"
+
+
+def test_dedup_survivors_prefer_quality_over_min_id(spark):
+    """The survivor-policy corpus plants each 10th doc twice: degraded
+    (space-bloated) copy on the LOW doc_id, clean copy at +1M. A
+    min-doc_id canonical would keep every degraded copy; the quality
+    policy must keep the +1M clean member — assert the two policies
+    actually DIVERGE on every planted cluster (otherwise the test
+    would pass vacuously on a min-id implementation)."""
+    from log_analysis_bigdata_spark.queries.corpusq import (
+        dedup_survivors_by_quality,
+    )
+
+    rows = dedup_survivors_by_quality(spark, SF_SMOKE).collect()
+    planted = [r for r in rows if r["cluster_id"] % 10 == 0]
+    assert planted, "no planted clusters found"
+    for r in planted:
+        # cluster_id (the component's min node id) is a degraded copy
+        # whenever it is %10==0 and < 1M. Base-corpus near-dups can
+        # merge several planted pairs into one cluster, so the exact
+        # survivor id varies — but it must NEVER be a degraded member
+        # (low-id %10==0 copy), and never the min-id canonical.
+        assert r["survivor_doc_id"] != r["cluster_id"]
+        is_degraded = (
+            r["survivor_doc_id"] < 1_000_000
+            and r["survivor_doc_id"] % 10 == 0
+        )
+        assert not is_degraded, r
