@@ -53,87 +53,84 @@ _LOADED = False
 # The correctness driver evaluates only the FIRST 50 registry entries per
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
-# on file; tests/test_driver_session.py now CI-enforces the rotation —
-# no latest verdict may age past 4 rounds). Round-9 window (50 slots):
-#   (1) the full round-5-latest cohort — all 17, the oldest verdicts
-#       left in the chain (VERDICT r8 task 2);
-#   (2) re-verdicts for the two queries whose CODE changed this round:
-#       semdedup_embedding_cells (oracle argmin now mirrors the engine
-#       fold + tie-break, ADVICE r8) and pagerank_supplier_graph
-#       (row-count convergence guard in _pr_loop, ADVICE r8);
-#       ml_lr_train_confusion also changed (trainingSummary dropped
-#       post-fit — closure-serialization fix) and sits in cohort (3);
-#       heavy_hitters_topk changed too (cardinality-gated exact arm —
-#       the sf1 sweep caught the sketch losing recall on near-uniform
-#       keys) and takes the slot repetition_metrics_docs vacates;
-#       corpus_to_training_set changed late (translate-based symbol
-#       count in the quality gate) and takes quality_decile_stats'
-#       slot; quality_filter_docs (same change) was already slot 4;
-#   (3) 29 of the 43 round-6-latest, alphabetical. The 14 that do not
-#       fit (quality_decile_stats, repetition_metrics_docs, reservoir_sample_docs,
-#       sequence_pack_docs, serving_compound_filter, serving_latest_n,
-#       serving_stats, skew_report_events, stratified_sample_docs,
-#       stream_static_enrich_segments, stream_stream_join_attribution,
-#       tfidf_top_terms, unigram_logprob_docs, zorder_locality_events)
-#       keep their r6 green rows — first in line next round.
-#       17 + 4 + 29 = 50.
+# on file; tests/test_driver_session.py CI-enforces the rotation —
+# no latest verdict may age past 4 rounds). Round-10 window (50 slots):
+#   (1) the full round-6-latest cohort — all 14, the oldest verdicts
+#       left in the chain (VERDICT r9 task 3);
+#   (2) the two queries REGISTERED this round, never verdicted:
+#       dedup_survivors_by_quality, multimodal_bmp_pixel_stats;
+#   (3) re-verdicts for the two queries whose CODE changed this round:
+#       heavy_hitters_topk (NULL-keyed sketch-arm fix + certified
+#       result built from the collected top-10, ADVICE r9) and
+#       ml_lr_train_confusion (setSummary guarded behind try/except);
+#   (4) 32 of the 49 round-7-latest, alphabetical
+#       (approx_percentile_value .. minhash_dup_pairs). The 17 that do
+#       not fit (minhash_signatures, ml_score_embeddings,
+#       mode_per_event_type, the five multimodal_* r7 entries,
+#       per_user_model_fit, per_user_regression_sql,
+#       percentile_order_value, simhash_near_components,
+#       simhash_near_pairs, udtf_chunk_docs, unpivot_lineitem_metrics,
+#       user_activity_full_join, window_running_value) keep their r7
+#       green rows at age 3 — they MUST head the r11 window (cap 4).
+#       14 + 2 + 2 + 32 = 50.
 _DRIVER_WINDOW = (
-    # (1) round-5-latest cohort, rotated in full
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "quality_filter_docs",
-    "serving_by_key",
-    "serving_delete",
-    "serving_high_score",
-    "serving_time_range",
-    "session_flow_top_transitions",
-    "sessionize_events",
-    "simhash_buckets",
-    "simhash_dup_groups",
-    "simhash_text_docs",
-    "stream_dedup_blocks",
-    "text_quality_docs",
-    "token_counts_docs",
-    "variant_props_stats",
-    # (2) round-9 code-change re-verdicts (4)
-    "semdedup_embedding_cells",
-    "pagerank_supplier_graph",
+    # (1) round-6-latest cohort, rotated in full
+    "quality_decile_stats",
+    "repetition_metrics_docs",
+    "reservoir_sample_docs",
+    "sequence_pack_docs",
+    "serving_compound_filter",
+    "serving_latest_n",
+    "serving_stats",
+    "skew_report_events",
+    "stratified_sample_docs",
+    "stream_static_enrich_segments",
+    "stream_stream_join_attribution",
+    "tfidf_top_terms",
+    "unigram_logprob_docs",
+    "zorder_locality_events",
+    # (2) new registrations this round (never verdicted)
+    "dedup_survivors_by_quality",
+    "multimodal_bmp_pixel_stats",
+    # (3) round-10 code-change re-verdicts
     "heavy_hitters_topk",
-    "corpus_to_training_set",
-    # (3) round-6-latest cohort, 29 alphabetical
-    "approx_distinct_users",
-    "arrow_map_embedding_norms",
-    "bpe_token_estimate_docs",
-    "chunk_dedup_retention",
-    "contamination_check",
-    "crossformat_dedup_docs",
-    "hash_split_summary",
-    "incremental_agg_merge_events",
-    "integrity_check_report",
-    "mixture_weights_lang",
     "ml_lr_train_confusion",
-    "pii_redact_docs",
-    "psi_value_drift",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_excess_share_suppliers",
-    "q21_final_shipper",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    # Past the 50-slot window: everything else keeps its r6–r8 green
+    # (4) round-7-latest cohort, 32 alphabetical
+    "approx_percentile_value",
+    "asof_join_events_orders",
+    "asof_join_tolerance",
+    "bm25_search_docs",
+    "bpe_apply_merges",
+    "bpe_merge_candidates",
+    "bpe_train_merges",
+    "cdc_latest_state",
+    "chunk_documents",
+    "cogroup_user_activity",
+    "constant_columns_detect",
+    "dedup_components",
+    "dedup_pipeline_docs",
+    "distinct_count_segments",
+    "embedding_centroid_drift",
+    "embedding_near_dup",
+    "ewma_user_value",
+    "group_having_active_customers",
+    "grouped_minhash_union",
+    "grouped_zscore_events",
+    "grouped_zscore_window",
+    "hard_negatives_per_query",
+    "incremental_dedup_newbatch",
+    "ivf_topk_nprobe",
+    "join_anti_customers_no_orders",
+    "join_left_customer_orders",
+    "join_semi_customers_with_orders",
+    "json_extract_events",
+    "kmeans_step_shift",
+    "label_histogram_embeddings",
+    "latest_record_per_key",
+    "minhash_dup_pairs",
+    # Past the 50-slot window: everything else keeps its r7–r9 green
     # verdict; the full local parity sweep for ALL registry entries is
-    # committed per round as EVIDENCE_r09.md.
+    # committed per round as EVIDENCE_r10.md.
 )
 
 
