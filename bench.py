@@ -6,6 +6,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is forced end-to-end with the noop sink (full execution, no
 driver collect). Wall time per query + total.
 
+Protocol (r10): $SPARK_GRAFT_BENCH_PASSES (>=3, default 3) INTERLEAVED
+full passes — pass 1 cold, passes 2..N warm; per-pass totals and their
+relative spread are committed in BENCH_LOCAL.json (pass_totals /
+warm_spread_rel) so a round-over-round regression claim must clear the
+run's own noise band.
+
 COLD-PASS NUMBERS ARE JIT-NOISE-DOMINATED FOR SUB-2s QUERIES — compare
 rounds on the warm-min / 3-run-median sections, never on cold deltas
 (VERDICT r5 #4 investigation, 2026-08-14, sf0.1 local[32]):
@@ -200,8 +206,7 @@ MICRO_NAMES = frozenset({
     "multimodal_resize_plan", "percentile_order_value",
     "profile_documents", "psi_value_drift", "quality_decile_stats",
     "rollup_order_status", "salted_event_type_stats",
-    "scalar_subquery_last_order", "setop_except_nations",
-    "setop_intersect_nations", "setop_union_nations",
+    "scalar_subquery_last_order", "setops_nations",
     "stratified_sample_docs", "string_funcs_customer",
     "template_tag_docs", "topk_orders_by_price",
     "unpivot_lineitem_metrics", "window_lag_event_gaps",
@@ -250,55 +255,92 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # 3 runs per query; report min AND median AND the tagged cold run.
-    # Run 1 is COLD for that query: first materialization of any
-    # persist()ed intermediates, page cache, and codegen. Runs 2-3 are
-    # WARM — the steady state a resident engine serves from. min-of-N
-    # suppresses container CPU-contention noise (observed ±50% on
-    # identical plans), the median shows how noisy the run was, and
-    # queries_cold makes persist()-artifact gaps visible (e.g.
-    # minhash_dup_pairs r2: min 0.70 s was cache-hot, cold was 2.5 s).
+    # NOISE-BOUNDED PROTOCOL (round 10, VERDICT r9 task 2): N>=3
+    # INTERLEAVED full passes over the headline list — pass 1 runs
+    # every query once (COLD: first materialization of persist()ed
+    # intermediates, page cache, codegen), then passes 2..N repeat the
+    # whole list (WARM). Interleaving is the point: r9's committed wall
+    # (66.1 s) vs a same-code quieter run (59.5 s) showed ambient
+    # container load drifting +-10% WITHIN one sweep, larger than most
+    # real per-query wins — with back-to-back per-query runs that drift
+    # lands on whichever queries were executing, while full passes
+    # spread it evenly and the PER-PASS WARM TOTALS give the noise band
+    # directly: a round-over-round regression claim must clear
+    # warm_spread_rel, not just move the single committed number.
+    # Per query: warm-min (min over passes 2..N — suppresses contention
+    # noise, observed +-50% on identical plans), median of all passes,
+    # and the tagged cold pass (persist()-artifact gaps visible, e.g.
+    # minhash_dup_pairs r2: min 0.70 s was cache-hot, cold 2.5 s).
     # Headline order is pinned so round-over-round per-query regression
     # comparison is mechanical.
     # Per-query isolation: one raising query must NOT kill the run
     # (round-3 lesson — BENCH_r03 produced zero numbers because query #1
     # threw at plan time). A failed query gets {"err": ...}; every other
     # query still gets timed, and the total covers the ones that ran.
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    colds: dict[str, float] = {}
+    n_passes = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    per_pass: list[dict[str, float]] = []
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        runs = []
-        try:
-            for _ in range(3):
-                # timer covers CONSTRUCTION + execution: plan building is
-                # ~ms for lazy queries, but eager operators (the stateful-
-                # streaming replay runs its stream inside the query fn)
-                # must not get their real cost hidden outside the timer.
+    for p in range(n_passes):
+        pass_times: dict[str, float] = {}
+        for name in HEADLINE:
+            if name in errors:
+                continue  # failed once — don't re-fail it N times
+            try:
+                # timer covers CONSTRUCTION + execution: plan building
+                # is ~ms for lazy queries, but eager operators (the
+                # stateful-streaming replay runs its stream inside the
+                # query fn) must not get their real cost hidden outside
+                # the timer.
                 t0 = time.perf_counter()
                 df = registry[name].spark(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-            continue
-        colds[name] = round(runs[0], 3)
-        runs.sort()
-        timings[name] = round(runs[0], 3)
-        medians[name] = round(runs[len(runs) // 2], 3)
-        # Release the query's leaked storage before the next entry
-        # (r9): localCheckpoint()ed RDDs stay pinned in the block
-        # manager until their JVM references die, and py4j finalizers
-        # are LAZY — without the collect, 90 queries x 3 runs
-        # accumulate checkpoint blocks and the late-slot heavyweights
-        # pay the eviction/GC pressure. The Python-side collect frees
-        # the py4j refs so Spark's ContextCleaner can reclaim blocks
-        # asynchronously; a per-query JVM System.gc was tried and
-        # rejected (it perturbed warm timings more than the leak did).
-        del df
-        gc.collect()
+                pass_times[name] = time.perf_counter() - t0
+            except Exception as exc:  # noqa: BLE001 — isolate, continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(
+                    f"bench: {name} FAILED: {errors[name]}", file=sys.stderr
+                )
+                continue
+            # Release the query's leaked storage before the next entry
+            # (r9): localCheckpoint()ed RDDs stay pinned in the block
+            # manager until their JVM references die, and py4j
+            # finalizers are LAZY — without the collect, 90 queries x N
+            # passes accumulate checkpoint blocks and the late-slot
+            # heavyweights pay the eviction/GC pressure. The Python-side
+            # collect frees the py4j refs so Spark's ContextCleaner can
+            # reclaim blocks asynchronously; a per-query JVM System.gc
+            # was tried and rejected (it perturbed warm timings more
+            # than the leak did).
+            del df
+            gc.collect()
+        per_pass.append(pass_times)
+        print(
+            f"bench: pass {p + 1}/{n_passes} done, "
+            f"total {round(sum(pass_times.values()), 2)}s",
+            file=sys.stderr,
+        )
+
+    # present in EVERY pass (a query can fail first in a warm pass)
+    ok_names = [n for n in HEADLINE if all(n in pp for pp in per_pass)]
+    timings = {  # warm-min: min over passes 2..N
+        n: round(min(pp[n] for pp in per_pass[1:]), 3) for n in ok_names
+    }
+    medians = {
+        n: round(sorted(pp[n] for pp in per_pass)[n_passes // 2], 3)
+        for n in ok_names
+    }
+    colds = {n: round(per_pass[0][n], 3) for n in ok_names}
+    # per-pass totals over the queries that ran in EVERY pass — the
+    # committed noise band (warm spread = max/min of the warm passes)
+    pass_totals = [
+        round(sum(pp[n] for n in ok_names), 3) for pp in per_pass
+    ]
+    warm_totals = pass_totals[1:]
+    warm_spread_rel = (
+        round((max(warm_totals) - min(warm_totals)) / min(warm_totals), 4)
+        if warm_totals and min(warm_totals) > 0
+        else None
+    )
 
     # value is null when ANY query errored (ADVICE r4): a partial total
     # must never be mistaken for a faster full run in round-over-round
@@ -314,6 +356,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_ok": len(timings),
         "n_err": len(errors),
+        # noise band (r10): pass 1 is cold, passes 2..N warm; a
+        # round-over-round total delta smaller than the warm passes'
+        # own spread is ambient load, not a regression
+        "n_passes": n_passes,
+        "pass_totals": pass_totals,
+        "warm_spread_rel": warm_spread_rel,
     }
     if errors:
         out["errors"] = errors
@@ -398,6 +446,8 @@ def main() -> None:
             "n_err": len(errors),
             "total_cold": round(sum(colds.values()), 2),
             "total_median": round(sum(medians.values()), 2),
+            "pass_totals": pass_totals,
+            "warm_spread_rel": warm_spread_rel,
             "q_key": f"name[:{width}]",
             "q_val": "warm_min_s" if warm_only else "[cold_s,warm_min_s]",
             "queries": {

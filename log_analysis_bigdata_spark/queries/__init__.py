@@ -57,22 +57,24 @@ _LOADED = False
 # no latest verdict may age past 4 rounds). Round-10 window (50 slots):
 #   (1) the full round-6-latest cohort — all 14, the oldest verdicts
 #       left in the chain (VERDICT r9 task 3);
-#   (2) the two queries REGISTERED this round, never verdicted:
-#       dedup_survivors_by_quality, multimodal_bmp_pixel_stats;
+#   (2) the three queries REGISTERED this round, never verdicted:
+#       dedup_survivors_by_quality, multimodal_bmp_pixel_stats, and
+#       the consolidated setops_nations;
 #   (3) re-verdicts for the two queries whose CODE changed this round:
 #       heavy_hitters_topk (NULL-keyed sketch-arm fix + certified
 #       result built from the collected top-10, ADVICE r9) and
 #       ml_lr_train_confusion (setSummary guarded behind try/except);
-#   (4) 32 of the 49 round-7-latest, alphabetical
-#       (approx_percentile_value .. minhash_dup_pairs). The 17 that do
-#       not fit (minhash_signatures, ml_score_embeddings,
+#   (4) 31 of the 49 round-7-latest, alphabetical
+#       (approx_percentile_value .. latest_record_per_key). The 18
+#       that do not fit (minhash_dup_pairs, minhash_signatures,
+#       ml_score_embeddings,
 #       mode_per_event_type, the five multimodal_* r7 entries,
 #       per_user_model_fit, per_user_regression_sql,
 #       percentile_order_value, simhash_near_components,
 #       simhash_near_pairs, udtf_chunk_docs, unpivot_lineitem_metrics,
 #       user_activity_full_join, window_running_value) keep their r7
 #       green rows at age 3 — they MUST head the r11 window (cap 4).
-#       14 + 2 + 2 + 32 = 50.
+#       14 + 3 + 2 + 31 = 50.
 _DRIVER_WINDOW = (
     # (1) round-6-latest cohort, rotated in full
     "quality_decile_stats",
@@ -89,13 +91,16 @@ _DRIVER_WINDOW = (
     "tfidf_top_terms",
     "unigram_logprob_docs",
     "zorder_locality_events",
-    # (2) new registrations this round (never verdicted)
+    # (2) new registrations this round (never verdicted) — including
+    # the consolidated setops_nations (replaces the setop trio whose
+    # three r8-green entries left the registry, task 5)
     "dedup_survivors_by_quality",
     "multimodal_bmp_pixel_stats",
+    "setops_nations",
     # (3) round-10 code-change re-verdicts
     "heavy_hitters_topk",
     "ml_lr_train_confusion",
-    # (4) round-7-latest cohort, 32 alphabetical
+    # (4) round-7-latest cohort, 31 alphabetical
     "approx_percentile_value",
     "asof_join_events_orders",
     "asof_join_tolerance",
@@ -127,7 +132,6 @@ _DRIVER_WINDOW = (
     "kmeans_step_shift",
     "label_histogram_embeddings",
     "latest_record_per_key",
-    "minhash_dup_pairs",
     # Past the 50-slot window: everything else keeps its r7–r9 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r10.md.

@@ -421,60 +421,46 @@ def window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "setop_union_nations",
+    "setops_nations",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
+    SELECT 'union' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
     """,
-    tags=("setop", "union"),
+    tags=("setop", "union", "intersect", "except"),
 )
-def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operators in ONE tagged frame (registry budget
+    audit, VERDICT r9 task 5: the former setop_union/intersect/except
+    trio held three window slots for one oracle's worth of coverage).
+    Each branch still runs its own physical operator — Union+
+    HashAggregate, and the dedicated INTERSECT/EXCEPT hash joins — so
+    the fold loses no plan coverage, only slot pressure; a mismatch in
+    any branch still breaks the hash, and the op column says which."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return c.union(s).distinct()
-
-
-@register(
-    "setop_intersect_nations",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-    tags=("setop", "intersect"),
-)
-def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.intersect(s)
-
-
-@register(
-    "setop_except_nations",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    """,
-    tags=("setop", "except"),
-)
-def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.subtract(s)  # EXCEPT (distinct) semantics
+    branches = [
+        ("union", c.union(s).distinct()),
+        ("intersect", c.intersect(s)),
+        ("except", c.subtract(s)),  # EXCEPT (distinct) semantics
+    ]
+    out = None
+    for op, df in branches:
+        tagged = df.select(F.lit(op).alias("op"), "nationkey")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
 
 
 # --- scalar functions -------------------------------------------------------
