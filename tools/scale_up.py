@@ -16,7 +16,7 @@ corpus whose PER-TILE statistics match sf0.1 (so runtimes should scale
 - events tile with offset event/user ids over the same time range
   (more traffic, same horizon — the realistic growth mode).
 
-Usage: python tools/scale_up.py <out_dir> [K=10] [src=/root/testdata/sf0.1]
+Usage: python tools/scale_up.py <out_dir> [K=10] [src=/root/testdata/sf0.1] [emb_mode=rotate|signflip]
 """
 
 from __future__ import annotations
@@ -30,7 +30,20 @@ from pyspark.sql import functions as F
 
 
 def build(spark, out_dir: str, k_tiles: int = 10,
-          src: str = "/root/testdata/sf0.1") -> None:
+          src: str = "/root/testdata/sf0.1",
+          emb_mode: str = "rotate") -> None:
+    """emb_mode chooses the embedding decorrelator:
+    - "rotate" (default): rotate by k positions — right for FIRST-level
+      scaling from the raw testdata;
+    - "signflip": negate the first k dims — REQUIRED when ``src`` is
+      itself a scaled set (r10): rotations compose additively, so
+      re-rotating sf1's tiles makes (k1,k2) pairs with equal k1+k2
+      EXACT duplicates across tiles (and sums >= 64 wrap onto the
+      originals), planting a fake near-dup rate the dedup/ANN probes
+      would then measure instead of the algorithm. Sign-flips are
+      norm-preserving, pairwise distinct in k, and compose with any
+      prior rotation without collisions.
+    """
     from log_analysis_bigdata_spark.catalog import load_table
 
     os.makedirs(out_dir, exist_ok=True)
@@ -127,11 +140,19 @@ def build(spark, out_dir: str, k_tiles: int = 10,
         if k == 0:
             return d
         dim = 64
-        rot = F.concat(
-            F.slice(F.col("embedding"), k + 1, dim - k),
-            F.slice(F.col("embedding"), 1, k),
-        )
-        return d.withColumn("embedding", rot)
+        if emb_mode == "signflip":
+            xf = F.concat(
+                F.transform(
+                    F.slice(F.col("embedding"), 1, k), lambda x: -x
+                ),
+                F.slice(F.col("embedding"), k + 1, dim - k),
+            )
+        else:
+            xf = F.concat(
+                F.slice(F.col("embedding"), k + 1, dim - k),
+                F.slice(F.col("embedding"), 1, k),
+            )
+        return d.withColumn("embedding", xf)
 
     write(tiles(spark.read.parquet(f"{src}/embeddings.parquet"), emb_tile),
           "embeddings")
@@ -143,8 +164,9 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    emb_mode = sys.argv[4] if len(sys.argv) > 4 else "rotate"
     spark = get_spark(app_name="scale_up")
-    build(spark, out, k, src)
+    build(spark, out, k, src, emb_mode)
     for t in sorted(os.listdir(out)):
         n = spark.read.parquet(f"{out}/{t}").count()
         print(t, n)
