@@ -240,7 +240,10 @@ def main() -> int:
         from tools.scale_up import build
 
         t0 = time.perf_counter()
-        build(spark, sf10, 10, src=sf1, emb_mode="signflip")
+        # signflip + fresh "u" tag: BOTH level-1 transforms (rotation,
+        # "_t{k}" word suffix) collide with themselves when re-applied
+        # to an already-scaled src — see scale_up.build's docstring
+        build(spark, sf10, 10, src=sf1, emb_mode="signflip", doc_tag="u")
         print(f"built {sf10} in {time.perf_counter() - t0:.0f}s",
               file=sys.stderr)
 

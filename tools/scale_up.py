@@ -31,8 +31,16 @@ from pyspark.sql import functions as F
 
 def build(spark, out_dir: str, k_tiles: int = 10,
           src: str = "/root/testdata/sf0.1",
-          emb_mode: str = "rotate") -> None:
-    """emb_mode chooses the embedding decorrelator:
+          emb_mode: str = "rotate", doc_tag: str = "t") -> None:
+    """doc_tag namespaces the per-tile word suffix (``_<tag><k>``).
+    Second-level scaling MUST use a fresh tag: with the default "t",
+    src-tile-0 words suffixed ``_t1`` become byte-identical to
+    src-tile-1's words landing in out-tile-0 (``w + _t1 == w_t1``), so
+    10% of every tile pair turns into EXACT cross-tile duplicates —
+    measured at r10 as 64k cross-tile verified pairs and a 14.6x (not
+    10x) cluster count before the fix.
+
+    emb_mode chooses the embedding decorrelator:
     - "rotate" (default): rotate by k positions — right for FIRST-level
       scaling from the raw testdata;
     - "signflip": negate the first k dims — REQUIRED when ``src`` is
@@ -125,7 +133,7 @@ def build(spark, out_dir: str, k_tiles: int = 10,
             " ",
             F.transform(
                 F.split(F.trim(F.col("text")), " +"),
-                lambda w: F.concat(w, F.lit(f"_t{k}")),
+                lambda w: F.concat(w, F.lit(f"_{doc_tag}{k}")),
             ),
         )
         return d.withColumn("text", text).withColumn(
@@ -165,8 +173,9 @@ if __name__ == "__main__":
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     emb_mode = sys.argv[4] if len(sys.argv) > 4 else "rotate"
+    doc_tag = sys.argv[5] if len(sys.argv) > 5 else "t"
     spark = get_spark(app_name="scale_up")
-    build(spark, out, k, src, emb_mode)
+    build(spark, out, k, src, emb_mode, doc_tag)
     for t in sorted(os.listdir(out)):
         n = spark.read.parquet(f"{out}/{t}").count()
         print(t, n)
