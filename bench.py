@@ -173,8 +173,12 @@ EXCLUDED_REASONS = {
     "tpch": "TPC-H shapes beyond the 8 benched: same scan/join/agg "
             "machinery; the benched subset spans the heavy shapes "
             "(q1/q2/q9/q13/q18/q21)",
-    "streaming-harness": "wall time is the fixed micro-batch replay "
-            "harness cost, represented by ewma_user_value_stateful",
+    "streaming-harness": "wall time is fixed per-micro-batch state-store "
+            "lifecycle overhead, NOT data volume (r10 profile: replay "
+            "harness floor 0.5s; ss-join 5.5s at 32 shuffle partitions "
+            "vs 1.8s at 4 — ~19ms per store instance x partitions x "
+            "stores x batches, amortized at production volume); "
+            "represented by ewma_user_value_stateful",
     "demo-twin": "deliberate slow-path API demos (pandas/UDTF/cogroup "
             "surfaces); their JVM twins ARE benched alongside",
     "serving-micro": "single-key/limit-N serving lookups — "
