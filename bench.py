@@ -162,6 +162,10 @@ HEADLINE = [
     # round-8: the composed end-to-end training-set build (quality →
     # dedup → decontaminate → split → pack in ONE entry)
     "corpus_to_training_set",
+    # round-10: product-quantized ANN — distinct plan family (codebook
+    # train + 1-pass encode + ADC candidate scan + exact re-rank), not a
+    # parameter variant of ivf_topk
+    "ivfpq_topk",
 ]
 
 # Registry entries NOT in HEADLINE are timed only in the parity sweeps

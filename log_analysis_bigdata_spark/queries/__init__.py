@@ -57,16 +57,18 @@ _LOADED = False
 # no latest verdict may age past 4 rounds). Round-10 window (50 slots):
 #   (1) the full round-6-latest cohort — all 14, the oldest verdicts
 #       left in the chain (VERDICT r9 task 3);
-#   (2) the three queries REGISTERED this round, never verdicted:
-#       dedup_survivors_by_quality, multimodal_bmp_pixel_stats, and
+#   (2) the four queries REGISTERED this round, never verdicted:
+#       dedup_survivors_by_quality, multimodal_bmp_pixel_stats,
+#       ivfpq_topk (product-quantized ANN), and
 #       the consolidated setops_nations;
 #   (3) re-verdicts for the two queries whose CODE changed this round:
 #       heavy_hitters_topk (NULL-keyed sketch-arm fix + certified
 #       result built from the collected top-10, ADVICE r9) and
 #       ml_lr_train_confusion (setSummary guarded behind try/except);
-#   (4) 31 of the 49 round-7-latest, alphabetical
-#       (approx_percentile_value .. latest_record_per_key). The 18
-#       that do not fit (minhash_dup_pairs, minhash_signatures,
+#   (4) 30 of the 49 round-7-latest, alphabetical
+#       (approx_percentile_value .. label_histogram_embeddings). The 19
+#       that do not fit (latest_record_per_key,
+#       minhash_dup_pairs, minhash_signatures,
 #       ml_score_embeddings,
 #       mode_per_event_type, the five multimodal_* r7 entries,
 #       per_user_model_fit, per_user_regression_sql,
@@ -74,7 +76,7 @@ _LOADED = False
 #       simhash_near_pairs, udtf_chunk_docs, unpivot_lineitem_metrics,
 #       user_activity_full_join, window_running_value) keep their r7
 #       green rows at age 3 — they MUST head the r11 window (cap 4).
-#       14 + 3 + 2 + 31 = 50.
+#       14 + 4 + 2 + 30 = 50.
 _DRIVER_WINDOW = (
     # (1) round-6-latest cohort, rotated in full
     "quality_decile_stats",
@@ -95,6 +97,7 @@ _DRIVER_WINDOW = (
     # the consolidated setops_nations (replaces the setop trio whose
     # three r8-green entries left the registry, task 5)
     "dedup_survivors_by_quality",
+    "ivfpq_topk",
     "multimodal_bmp_pixel_stats",
     "setops_nations",
     # (3) round-10 code-change re-verdicts
@@ -131,7 +134,6 @@ _DRIVER_WINDOW = (
     "json_extract_events",
     "kmeans_step_shift",
     "label_histogram_embeddings",
-    "latest_record_per_key",
     # Past the 50-slot window: everything else keeps its r7–r9 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r10.md.

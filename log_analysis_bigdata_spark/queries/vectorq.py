@@ -1177,3 +1177,166 @@ def hard_negatives_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.label").alias("neg_label"),
         F.col("s.cosine").alias("cosine"),
     )
+
+
+# --- IVF-PQ (round 10): product-quantized ANN -------------------------
+#
+# At 100 TB the float32 embedding column itself is the bottleneck: a
+# candidate scan that touches raw vectors reads 256 bytes/row (64 × f32),
+# while an 8-subspace × 16-code product quantization stores 8 nibbles
+# (4 bytes) — a 64x scan-size reduction. The production shape is:
+# (1) train tiny per-subspace codebooks once (M × K × dims/M doubles —
+#     here 8 × 16 × 8 = 1 024 values, kilobytes at any corpus size);
+# (2) encode the corpus in ONE narrow pass (broadcast codebooks, no
+#     shuffle of the raw vectors);
+# (3) at query time build the ADC (asymmetric-distance) lookup table —
+#     M × K doubles, broadcast — and rank candidates reading ONLY the
+#     4-byte codes;
+# (4) exact re-rank of the top-C candidates touches raw vectors for C
+#     rows total.
+# Like ivf_topk's centroids, codebook "training" is one deterministic
+# Lloyd half-step (per-dimension mean of the vec_id % K seed classes) so
+# the full flow — train, encode, ADC, re-rank — is SQL-replayable by the
+# DuckDB oracle. Reference anchor: the reference's serving-side
+# similarity lookups (SURVEY §2.10) scan raw vectors; this is the
+# beyond-reference scale path the brief's "similarity search" bullet
+# asks for (IVF/LSH-bucketed variant), compressed one step further.
+#
+# Determinism: code assignment uses min_by(code, d2) — exact float ties
+# across distinct codebook rows do not occur on real-valued data (same
+# argument as _IVF_ASSIGN_SQL, parity-proven since r5); the candidate
+# cut rounds the ADC distance to 6 decimals and tie-breaks on vec_id so
+# both engines cut the same top-C set.
+
+PQ_SUBDIM = 8      # dims per subspace  (64 / PQ_SUBDIM subspaces)
+PQ_CODES = 16      # codebook size per subspace (4-bit codes)
+PQ_CANDIDATES = 100  # ADC top-C kept for exact re-rank
+
+_PQ_COMMON_SQL = f"""
+    sdims AS (
+      SELECT vec_id, vec_id % {PQ_CODES} AS seed_code,
+             (t.i - 1) // {PQ_SUBDIM} AS sub,
+             (t.i - 1) % {PQ_SUBDIM} AS subdim,
+             CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cb AS (
+      SELECT sub, seed_code AS code, subdim, avg(x) AS cx
+      FROM sdims GROUP BY 1, 2, 3
+    ),
+    dist AS (
+      SELECT s.vec_id, s.sub, c.code,
+             sum((s.x - c.cx) * (s.x - c.cx)) AS d2
+      FROM sdims s JOIN cb c ON s.sub = c.sub AND s.subdim = c.subdim
+      GROUP BY 1, 2, 3
+    )
+"""
+
+
+@register(
+    "ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_COMMON_SQL},
+    codes AS (
+      SELECT vec_id, sub, arg_min(code, d2) AS code FROM dist GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT sub, code, d2 AS qd2 FROM dist WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    approx AS (
+      SELECT c.vec_id, round(sum(a.qd2), 6) AS ad2
+      FROM codes c JOIN adc a ON c.sub = a.sub AND c.code = a.code
+      WHERE c.vec_id <> {QUERY_VEC_ID}
+      GROUP BY 1
+    ),
+    cand AS (
+      SELECT vec_id, ad2 FROM approx
+      ORDER BY ad2, vec_id LIMIT {PQ_CANDIDATES}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT cand.vec_id, e.label,
+           round(cand.ad2, 4) AS pq_d2,
+           round({_DOT_SQL.format(a="e.embedding", b="q.qv")}
+                 / ({_NORM_SQL.format(a="e.embedding")}
+                    * {_NORM_SQL.format(a="q.qv")}), 4) AS cosine
+    FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
+    ORDER BY cosine DESC, cand.vec_id LIMIT 10
+    """,
+    tags=("vector", "ann", "ivfpq", "quantization", "topk"),
+)
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: train 8×16 subspace codebooks (one
+    deterministic Lloyd half-step), encode every vector as 8 nibble
+    codes, rank candidates by the broadcast ADC lookup table WITHOUT
+    touching raw vectors, then exact-cosine re-rank the top-C candidates.
+
+    Plan shape (asserted in test_plans): the codebook (1 024 rows) and
+    the ADC table (128 rows) are broadcast; the corpus is read in two
+    narrow passes (encode, re-rank join on the C candidate ids) and never shuffles
+    by anything wider than vec_id. At 100 TB the codes frame is the
+    only full-corpus operand of the query path — 64x smaller than the
+    raw embedding column.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sdims = emb.select(
+        "vec_id",
+        (F.col("vec_id") % PQ_CODES).alias("seed_code"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "seed_code",
+        (F.col("dim") / PQ_SUBDIM).cast("long").alias("sub"),
+        (F.col("dim") % PQ_SUBDIM).alias("subdim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    # The trained codebook is referenced by BOTH downstream branches
+    # (corpus encode and the query's ADC table); without a cut Catalyst
+    # re-derives the full-corpus training pass for each. localCheckpoint
+    # materializes the 1 024-row table once — at deployment the codebook
+    # is trained once and persisted, so "train exactly once" is also the
+    # production contract.
+    cb = (
+        sdims.groupBy("sub", F.col("seed_code").alias("code"), "subdim")
+        .agg(F.avg("x").alias("cx"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sdims.join(F.broadcast(cb), ["sub", "subdim"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+            ).alias("d2")
+        )
+    )
+    codes = dist.groupBy("vec_id", "sub").agg(F.min_by("code", "d2").alias("code"))
+    adc = dist.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "sub", "code", F.col("d2").alias("qd2")
+    )
+    approx = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(adc), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("ad2"))
+    )
+    cand = approx.orderBy("ad2", "vec_id").limit(PQ_CANDIDATES)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cosine = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (norm(F.col("embedding")) * norm(F.col("qv"))),
+        4,
+    )
+    return (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("ad2"), 4).alias("pq_d2"),
+            cosine.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )

@@ -92,6 +92,17 @@ def test_ivf_centroids_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfpq_codebook_and_adc_broadcast(spark):
+    """IVF-PQ's scale contract: the codebook (1 024 rows) and the ADC
+    table (128 rows) broadcast — the corpus never shuffles against
+    either — and both the candidate cut and the final re-rank are
+    top-k (TakeOrderedAndProject), not global sorts."""
+    plan = _plan(spark, "ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_cosine_topk_broadcast_and_topk(spark):
     """One-row query side must broadcast (the brute-force scan stays a
     narrow map) and the final ordering is top-k, not a global sort."""

@@ -638,3 +638,43 @@ def test_embedding_lsh_planted_near_dup_recall(spark, tmp_path):
     planted = {(int(a), int(b)) for a, b in zip(vid[idx], new_id)}
     recall = len(planted & found) / len(planted)
     assert recall >= 0.95, f"planted near-dup recall {recall:.2f}"
+
+
+def test_ivfpq_measured_recall_sf001(spark):
+    """IVF-PQ recall@10 vs the exact brute-force top-10, pinned like the
+    LSH recall tests: the sf0.01 corpus is the DIFFUSE tier (best true
+    cosine ~0.37 — no planted near-dups for vec 0), the hardest ANN
+    case, and the 8x16 one-half-step codebook with C=100 candidates
+    measures 0.9 today. Floor 0.8 so a codebook/candidate-count edit
+    that trades recall fails CI. Also asserts the returned cosines are
+    the EXACT values (the re-rank touches raw vectors), so a refactor
+    can't silently return ADC-approximate scores."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from log_analysis_bigdata_spark.queries import all_queries
+    from log_analysis_bigdata_spark.queries.vectorq import QUERY_VEC_ID
+
+    t = pq.read_table(f"{_RECALL_SF}/embeddings.parquet")
+    V = np.array(
+        [np.array(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+    )
+    vid = np.array(t["vec_id"].to_pylist())
+    q = V[vid == QUERY_VEC_ID][0]
+    cos = np.round(
+        (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q)), 4
+    )
+    mask = vid != QUERY_VEC_ID
+    order = np.lexsort((vid[mask], -cos[mask]))
+    truth = {int(i) for i in vid[mask][order][:10]}
+    exact_cos = {int(i): c for i, c in zip(vid, cos)}
+
+    rows = all_queries()["ivfpq_topk"].spark(spark, _RECALL_SF).collect()
+    got = {r["vec_id"] for r in rows}
+    recall = len(truth & got) / 10
+    assert recall >= 0.8, (
+        f"IVF-PQ recall@10 dropped to {recall:.2f} (today: 0.9) — a "
+        "codebook or PQ_CANDIDATES edit traded recall"
+    )
+    for r in rows:  # re-ranked scores must be exact, not ADC-approximate
+        assert abs(r["cosine"] - exact_cos[r["vec_id"]]) < 1e-9, r
