@@ -166,6 +166,11 @@ HEADLINE = [
     # train + 1-pass encode + ADC candidate scan + exact re-rank), not a
     # parameter variant of ivf_topk
     "ivfpq_topk",
+    # round-10: the two new real decoders beside the PPM twin — BMP
+    # (padded BGR raster permutations) and GIF87a (full LZW
+    # decompression, the honest no-wheel decode-throughput number)
+    "multimodal_bmp_pixel_stats",
+    "multimodal_gif_pixel_stats",
 ]
 
 # Registry entries NOT in HEADLINE are timed only in the parity sweeps

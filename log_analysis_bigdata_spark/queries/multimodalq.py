@@ -238,3 +238,77 @@ def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bmp_pixel_stats(synth_bmp_assets(docs), target=2)
+
+
+@register(
+    "multimodal_gif_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 20
+                  ELSE 4 + doc_id % 5 END AS w,
+             CASE WHEN doc_id % 5 = 0 THEN 15
+                  ELSE 2 + doc_id % 4 END AS h
+      FROM documents
+    ),
+    -- logical palette index at position p is (doc_id*13 + p) % 256;
+    -- palette entry i -> RGB (i, 3i % 256, 7i % 256). The FILE stores
+    -- an LZW-compressed (every 4th asset: interlaced) index stream the
+    -- decoder must fully undo.
+    full_px AS (
+      SELECT d.doc_id,
+             CAST((10000 * sum(
+                ((d.doc_id * 13 + t.i) % 256)
+                + ((d.doc_id * 13 + t.i) * 3 % 256)
+                + ((d.doc_id * 13 + t.i) * 7 % 256)
+             )) // (d.w * d.h * 3) AS BIGINT) AS mean_pixel_e4
+      FROM d, unnest(range(0, d.w * d.h)) AS t(i)
+      GROUP BY d.doc_id, d.w, d.h
+    ),
+    rz AS (
+      SELECT d.doc_id, c.c AS ch,
+             CAST((10000 * sum(
+                ((d.doc_id * 13
+                  + ((ty.y * d.h) // 2) * d.w + ((tx.x * d.w) // 2))
+                 * (CASE c.c WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 7 END))
+                % 256
+             )) // 4 AS BIGINT) AS m_e4
+      FROM d,
+           unnest(range(0, 2)) AS ty(y),
+           unnest(range(0, 2)) AS tx(x),
+           unnest(range(0, 3)) AS c(c)
+      GROUP BY d.doc_id, c.c
+    )
+    SELECT d.doc_id AS asset_id,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           f.mean_pixel_e4,
+           max(CASE WHEN rz.ch = 0 THEN rz.m_e4 END) AS r_mean_e4,
+           max(CASE WHEN rz.ch = 1 THEN rz.m_e4 END) AS g_mean_e4,
+           max(CASE WHEN rz.ch = 2 THEN rz.m_e4 END) AS b_mean_e4
+    FROM d
+    JOIN full_px f ON f.doc_id = d.doc_id
+    JOIN rz ON rz.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.w, d.h, f.mean_pixel_e4
+    """,
+    tags=("multimodal", "decode", "gif", "lzw", "pixels", "mapInPandas"),
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel math over REALLY-DECODED GIF87a payloads (round 10, beyond
+    task 4's BMP) — the first COMPRESSED from-scratch format: the
+    synthesizer LZW-compresses each index raster (variable 9..12-bit
+    codes, sub-blocks; every 4th asset interlaced, every 5th sized to
+    force the 9->10-bit width-growth path), and the decoder implements
+    the full inverse plus palette mapping and de-interlacing.
+
+    The oracle recomputes every decoded sample from the logical image's
+    closed form — a decoder that mishandles ANY LZW mechanism (width
+    bump timing, KwKwK, sub-block reassembly), the palette, or the
+    4-pass interlace breaks the hash. Same fused narrow mapInPandas
+    chain as the PPM/BMP twins: zero shuffles, linear scale-out.
+    Codec unit-tested in tests/test_multimodal.py (roundtrip property
+    incl. table-overflow clear-reset)."""
+    from ..multimodal.assets import gif_pixel_stats, synth_gif_assets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gif_pixel_stats(synth_gif_assets(docs), target=2)

@@ -257,3 +257,96 @@ def test_synth_bmp_decode_matches_formula(spark):
             .reshape(h, w, 3)
         )
         assert np.array_equal(px, want), d
+
+
+def test_gif_lzw_roundtrip_properties():
+    """Full LZW compress/decompress roundtrip across the regimes that
+    break naive implementations: repetitive streams (deep dictionary,
+    KwKwK), incompressible streams (width growth 9->10->11->12),
+    sub-256-color code sizes, and a stream long enough to overflow the
+    4096-entry table and exercise the clear-code reset."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        GIF_MCS,
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(24):
+        n = int(rng.randint(1, 5000))
+        if trial % 3 == 0:
+            raw = rng.randint(0, 4, n).astype(np.uint8).tobytes()
+        elif trial % 3 == 1:
+            raw = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        else:
+            raw = (np.arange(n) % 7).astype(np.uint8).tobytes()
+        assert _lzw_decompress(_lzw_compress(raw, GIF_MCS), GIF_MCS, n) == raw
+    for mcs in (2, 4):
+        raw = rng.randint(0, 1 << mcs, 2000).astype(np.uint8).tobytes()
+        assert _lzw_decompress(_lzw_compress(raw, mcs), mcs, 2000) == raw
+    # table overflow -> clear-reset branch (random AND repetitive)
+    big = rng.randint(0, 256, 60000).astype(np.uint8).tobytes()
+    assert _lzw_decompress(_lzw_compress(big, GIF_MCS), GIF_MCS, 60000) == big
+    big2 = (np.arange(80000) % 3).astype(np.uint8).tobytes()
+    assert _lzw_decompress(_lzw_compress(big2, GIF_MCS), GIF_MCS, 80000) == big2
+
+
+def test_gif_build_parse_roundtrip_interlaced_and_not():
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_gif,
+        _gif_palette,
+        _parse_gif,
+    )
+
+    rng = np.random.RandomState(11)
+    pal = _gif_palette().astype(np.int64)
+    for trial in range(40):
+        w, h = int(rng.randint(1, 40)), int(rng.randint(1, 30))
+        idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        buf = _build_gif(w, h, idx, interlaced=trial % 2 == 0)
+        w2, h2, px = _parse_gif(buf)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(px.astype(np.int64), pal[idx]), trial
+
+
+def test_gif_parse_rejects_garbage():
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_gif,
+        _parse_gif,
+    )
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        _parse_gif(b"GIF88a" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="not a GIF"):
+        _parse_gif(b"BM" + b"\x00" * 60)
+    ok = _build_gif(3, 2, np.zeros((2, 3), dtype=np.uint8), False)
+    with pytest.raises(ValueError):  # truncated LZW sub-blocks
+        _parse_gif(ok[:-6])
+
+
+def test_synth_gif_decode_matches_formula(spark):
+    """End-to-end through Spark: synth -> decode -> stats equals the
+    numpy recomputation from the logical closed form (incl. the 20x15
+    width-growth assets and the interlaced quarter)."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _gif_palette,
+        gif_pixel_stats,
+        synth_gif_assets,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(23)
+    rows = gif_pixel_stats(synth_gif_assets(docs), target=2).collect()
+    assert len(rows) == 23
+    pal = _gif_palette().astype(np.int64)
+    for r in rows:
+        d = r["asset_id"]
+        w, h = (20, 15) if d % 5 == 0 else (4 + d % 5, 2 + d % 4)
+        assert (r["width"], r["height"]) == (w, h)
+        idx = ((d * 13 + np.arange(w * h)) % 256).reshape(h, w)
+        px = pal[idx]
+        assert r["mean_pixel_e4"] == int(10_000 * px.sum()) // (w * h * 3)
+        ys, xs = (np.arange(2) * h) // 2, (np.arange(2) * w) // 2
+        ch = px[np.ix_(ys, xs)].sum(axis=(0, 1))
+        assert r["r_mean_e4"] == int(10_000 * ch[0]) // 4
+        assert r["g_mean_e4"] == int(10_000 * ch[1]) // 4
+        assert r["b_mean_e4"] == int(10_000 * ch[2]) // 4
