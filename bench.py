@@ -171,6 +171,10 @@ HEADLINE = [
     # decompression, the honest no-wheel decode-throughput number)
     "multimodal_bmp_pixel_stats",
     "multimodal_gif_pixel_stats",
+    # round-10: span-level boilerplate dedup (cross-doc repeated k-gram
+    # windows merged to maximal spans) — the third dedup regime beside
+    # doc-level and chunk-level
+    "repeated_ngram_spans",
 ]
 
 # Registry entries NOT in HEADLINE are timed only in the parity sweeps

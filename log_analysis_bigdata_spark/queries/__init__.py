@@ -57,18 +57,20 @@ _LOADED = False
 # no latest verdict may age past 4 rounds). Round-10 window (50 slots):
 #   (1) the full round-6-latest cohort — all 14, the oldest verdicts
 #       left in the chain (VERDICT r9 task 3);
-#   (2) the five queries REGISTERED this round, never verdicted:
+#   (2) the six queries REGISTERED this round, never verdicted:
 #       dedup_survivors_by_quality, multimodal_bmp_pixel_stats,
 #       multimodal_gif_pixel_stats (from-scratch LZW decode),
-#       ivfpq_topk (product-quantized ANN), and
+#       ivfpq_topk (product-quantized ANN),
+#       repeated_ngram_spans (span-level boilerplate dedup), and
 #       the consolidated setops_nations;
 #   (3) re-verdicts for the two queries whose CODE changed this round:
 #       heavy_hitters_topk (NULL-keyed sketch-arm fix + certified
 #       result built from the collected top-10, ADVICE r9) and
 #       ml_lr_train_confusion (setSummary guarded behind try/except);
-#   (4) 29 of the 49 round-7-latest, alphabetical
-#       (approx_percentile_value .. kmeans_step_shift). The 20
-#       that do not fit (label_histogram_embeddings,
+#   (4) 28 of the 49 round-7-latest, alphabetical
+#       (approx_percentile_value .. json_extract_events). The 21
+#       that do not fit (kmeans_step_shift,
+#       label_histogram_embeddings,
 #       latest_record_per_key,
 #       minhash_dup_pairs, minhash_signatures,
 #       ml_score_embeddings,
@@ -78,7 +80,7 @@ _LOADED = False
 #       simhash_near_pairs, udtf_chunk_docs, unpivot_lineitem_metrics,
 #       user_activity_full_join, window_running_value) keep their r7
 #       green rows at age 3 — they MUST head the r11 window (cap 4).
-#       14 + 5 + 2 + 29 = 50.
+#       14 + 6 + 2 + 28 = 50.
 _DRIVER_WINDOW = (
     # (1) round-6-latest cohort, rotated in full
     "quality_decile_stats",
@@ -102,6 +104,7 @@ _DRIVER_WINDOW = (
     "ivfpq_topk",
     "multimodal_bmp_pixel_stats",
     "multimodal_gif_pixel_stats",
+    "repeated_ngram_spans",
     "setops_nations",
     # (3) round-10 code-change re-verdicts
     "heavy_hitters_topk",
@@ -135,7 +138,6 @@ _DRIVER_WINDOW = (
     "join_left_customer_orders",
     "join_semi_customers_with_orders",
     "json_extract_events",
-    "kmeans_step_shift",
     # Past the 50-slot window: everything else keeps its r7–r9 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r10.md.

@@ -2006,3 +2006,171 @@ def simhash_near_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep_labels, F.col("rep") == F.col("node"))
         .select(F.col("doc_id").alias("node"), F.col("component"))
     )
+
+
+# --- Span-level repeated-substring detection (round 10) ---------------------
+#
+# Doc-level (exact/minhash/simhash) and chunk-level dedup miss the third
+# regime: BOILERPLATE — short spans (license headers, nav text, ToS
+# lines) duplicated across otherwise-distinct documents. Deduplicating
+# repeated substrings is a first-class training-data op (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499 — their ExactSubstr variant); the suffix-array build
+# used there is not distribution-friendly, so the Spark-native shape is
+# the k-gram inventory: every token position emits its k-gram, grams
+# repeated across >=2 DISTINCT docs mark their windows, and per-doc
+# overlapping windows merge into maximal spans (islands over positions).
+#
+# 100 TB plan shape: ONE shuffle of the gram inventory keyed by the
+# gram (exactly the minhash shingle topology), then ONE doc-keyed
+# window for the island merge. The dup-gram filter is agg+join, NOT
+# collect_list-per-gram: a hot boilerplate gram occurs in millions of
+# docs, so any per-gram row accumulation is the skew trap; count
+# (distinct doc) + equi-join keeps every stage partial-aggregatable and
+# AQE-skew-splittable. At deployment the gram string is xxhash64-ed to
+# an 8-byte key before the shuffle; here it stays a string so the
+# DuckDB oracle is byte-identical.
+
+SPAN_K = 6  # tokens per window; >= 2 windows overlap per planted line
+_BOILERPLATE = "terms of service apply contact the site admin for details"
+
+
+@register(
+    "repeated_ngram_spans",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN '{_BOILERPLATE} ' || text ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs),
+    grams AS (
+      SELECT doc_id, t.i AS pos,
+             array_to_string(toks[t.i + 1 : t.i + {SPAN_K}], ' ') AS gram
+      FROM toks,
+           unnest(range(0, greatest(len(toks) - {SPAN_K - 1}, 0))) AS t(i)
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > {SPAN_K}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    sp AS (
+      SELECT doc_id, island, min(pos) AS p0, max(pos) AS p1,
+             count(*) AS wins
+      FROM isl2 GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_spans,
+             sum(p1 - p0 + {SPAN_K}) AS covered,
+             sum(wins) AS dup_windows
+      FROM sp GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(10000 * coalesce(p.covered, 0) // len(t.toks) AS BIGINT)
+             AS coverage_e4,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "spans", "boilerplate", "ngram", "text"),
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring (boilerplate) spans: k-gram
+    windows duplicated across >=2 distinct docs, merged per doc into
+    maximal spans, reported as window/coverage/span counts in integer
+    micro-units. Every 7th doc gets a planted 10-token boilerplate
+    line (both engines apply the same transform), so the answer is
+    non-trivial at every SF and a full planted span must merge from
+    {10 - SPAN_K + 1} overlapping windows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_BOILERPLATE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    gram_arr = F.when(
+        n >= SPAN_K,
+        F.transform(
+            F.sequence(F.lit(0), n - SPAN_K),
+            lambda i: F.array_join(F.slice("toks", i + 1, SPAN_K), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    )
+    # agg + equi-join (NOT collect_list): hot grams stay partial-agg +
+    # AQE-splittable; this is the one gram-keyed shuffle of the plan
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > SPAN_K),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).select(
+        "doc_id", "pos", F.sum("brk").over(w).alias("island")
+    )
+    sp = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("p0"),
+        F.max("pos").alias("p1"),
+        F.count(F.lit(1)).alias("wins"),
+    )
+    per_doc = sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("p1") - F.col("p0") + SPAN_K).alias("covered"),
+        F.sum("wins").alias("dup_windows"),
+    )
+    return (
+        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+            # integer `div`, not `/`: double division + cast can land
+            # one ULP under the exact quotient; DuckDB's // is exact
+            F.expr(
+                "(10000 * coalesce(covered, 0)) div n_tokens"
+            )
+            .cast("long")
+            .alias("coverage_e4"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+        .orderBy("doc_id")
+    )

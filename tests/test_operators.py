@@ -352,3 +352,36 @@ def test_dedup_survivors_prefer_quality_over_min_id(spark):
             and r["survivor_doc_id"] % 10 == 0
         )
         assert not is_degraded, r
+
+
+def test_repeated_ngram_spans_planted_boilerplate(spark):
+    """Every 7th doc carries the planted 10-token boilerplate line, so
+    it must show >= 5 duplicated 6-gram windows (10-6+1) merging into
+    at least one span that covers >= 10 tokens; invariants hold for
+    every row (coverage arithmetic, covered <= n_tokens, spans <->
+    windows consistency). Value-level cross-check vs DuckDB is the
+    parity oracle; this pins the SEMANTICS a refactor must keep."""
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    rows = (
+        all_queries()["repeated_ngram_spans"].spark(spark, SF_SMOKE).collect()
+    )
+    assert rows, "empty result"
+    by_id = {r["doc_id"]: r for r in rows}
+    planted = [r for r in rows if r["doc_id"] % 7 == 0]
+    assert planted
+    for r in planted:
+        assert r["dup_windows"] >= 5, r
+        assert r["n_spans"] >= 1, r
+        assert r["covered_tokens"] >= 10, r
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"], r
+        assert r["coverage_e4"] == 10000 * r["covered_tokens"] // r["n_tokens"], r
+        assert (r["n_spans"] >= 1) == (r["dup_windows"] >= 1), r
+        # per span, W windows cover between W + K - 1 (dense overlap)
+        # and W * K (starts spaced exactly K apart) tokens
+        if r["dup_windows"]:
+            assert r["covered_tokens"] <= 6 * r["dup_windows"], r
+            assert (
+                r["covered_tokens"] >= r["dup_windows"] + 5 * r["n_spans"]
+            ), r
