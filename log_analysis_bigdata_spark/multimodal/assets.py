@@ -734,8 +734,10 @@ def _parse_gif(buf: bytes) -> tuple[int, int, np.ndarray]:
     pos += gct_n * 3
     while pos < len(buf) and buf[pos] == 0x21:  # skip 89a extensions
         pos += 2
-        while buf[pos]:
+        while pos < len(buf) and buf[pos]:
             pos += 1 + buf[pos]
+        if pos >= len(buf):
+            raise ValueError("truncated GIF extension block")
         pos += 1
     if pos >= len(buf) or buf[pos] != 0x2C:
         raise ValueError("missing GIF image descriptor")
