@@ -109,7 +109,7 @@ _DRIVER_WINDOW = (
     # (3) round-10 code-change re-verdicts
     "heavy_hitters_topk",
     "ml_lr_train_confusion",
-    # (4) round-7-latest cohort, 31 alphabetical
+    # (4) round-7-latest cohort, 28 alphabetical
     "approx_percentile_value",
     "asof_join_events_orders",
     "asof_join_tolerance",

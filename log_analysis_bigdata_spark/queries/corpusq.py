@@ -1096,12 +1096,22 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 # minhash pipeline verifies the pair at Jaccard 1.0 and clusters it —
 # but the min-doc_id canonical would keep the DEGRADED copy. That makes
 # the quality policy observable: a correct quality-aware survivor is
-# the +1M member, provably different from the legacy min-id keeper.
-_SURV_CORPUS_SQL = """
+# the shifted member, provably different from the legacy min-id keeper.
+# Shift = 10^12, NOT the legacy +1M (code-review r10): scale_up tiles
+# doc_ids to ~5M at sf100, where a +1M clean-copy id collides with a
+# real doc_id and every doc_id-keyed stage fans out. 10^12 clears any
+# plausible corpus (100 TB ≈ 2.5e10 docs at ~4 KB/doc). The older
+# queries sharing the +1M convention (corpusq 185/251/774, textq's
+# _dup_corpus) carry the same latent bound — bump them to 10^12 in the
+# r11 rotation, when the minhash family re-verdicts anyway (changing
+# their planted ids changes green-verdicted results, which costs window
+# slots this round has already spent).
+_SURV_SHIFT = 1_000_000_000_000
+_SURV_CORPUS_SQL = f"""
     SELECT doc_id, '  ' || replace(text, ' ', '  ') || ' ' AS text
     FROM documents WHERE doc_id % 10 = 0
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text
+    SELECT doc_id + {_SURV_SHIFT} AS doc_id, text
     FROM documents WHERE doc_id % 10 = 0
     UNION ALL
     SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
@@ -1124,7 +1134,7 @@ def _surv_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("  "), F.expr("replace(text, ' ', '  ')"), F.lit(" ")
         ).alias("text"),
     )
-    clean = tenth.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    clean = tenth.select((F.col("doc_id") + _SURV_SHIFT).alias("doc_id"), "text")
     rest = docs.filter(F.col("doc_id") % 10 != 0)
     return degraded.unionByName(clean).unionByName(rest)
 

@@ -328,12 +328,13 @@ def test_simhash_cand_pairs_width_independent(spark):
 
 def test_dedup_survivors_prefer_quality_over_min_id(spark):
     """The survivor-policy corpus plants each 10th doc twice: degraded
-    (space-bloated) copy on the LOW doc_id, clean copy at +1M. A
-    min-doc_id canonical would keep every degraded copy; the quality
-    policy must keep the +1M clean member — assert the two policies
+    (space-bloated) copy on the LOW doc_id, clean copy at +_SURV_SHIFT
+    (10^12). A min-doc_id canonical would keep every degraded copy; the
+    quality policy must keep the shifted clean member — assert the two policies
     actually DIVERGE on every planted cluster (otherwise the test
     would pass vacuously on a min-id implementation)."""
     from log_analysis_bigdata_spark.queries.corpusq import (
+        _SURV_SHIFT,
         dedup_survivors_by_quality,
     )
 
@@ -342,13 +343,13 @@ def test_dedup_survivors_prefer_quality_over_min_id(spark):
     assert planted, "no planted clusters found"
     for r in planted:
         # cluster_id (the component's min node id) is a degraded copy
-        # whenever it is %10==0 and < 1M. Base-corpus near-dups can
+        # whenever it is %10==0 and < _SURV_SHIFT. Base-corpus near-dups can
         # merge several planted pairs into one cluster, so the exact
         # survivor id varies — but it must NEVER be a degraded member
         # (low-id %10==0 copy), and never the min-id canonical.
         assert r["survivor_doc_id"] != r["cluster_id"]
         is_degraded = (
-            r["survivor_doc_id"] < 1_000_000
+            r["survivor_doc_id"] < _SURV_SHIFT
             and r["survivor_doc_id"] % 10 == 0
         )
         assert not is_degraded, r

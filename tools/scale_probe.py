@@ -195,7 +195,13 @@ def invariants(spark, registry, sf1: str, sf10: str) -> dict:
     sketch_arm = n_keys > R.HH_EXACT_MAX_KEYS
     cert_pass = None
     if sketch_arm:
-        sk_counts, bound = R._hh_sketch_counts(ev)
+        # mirror heavy_hitters_topk's contract (ADVICE r9): the sketch
+        # arm input must be null-free on user_id — the query pre-filters
+        # and unions the exact NULL count back; the probe's telemetry
+        # must validate the same arm, not a null-dropping variant
+        sk_counts, bound = R._hh_sketch_counts(
+            ev.filter(F.col("user_id").isNotNull())
+        )
         top = (
             sk_counts.orderBy(F.desc("n"), F.asc_nulls_last("user_id"))
             .limit(10)

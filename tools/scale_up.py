@@ -43,14 +43,21 @@ def build(spark, out_dir: str, k_tiles: int = 10,
     emb_mode chooses the embedding decorrelator:
     - "rotate" (default): rotate by k positions — right for FIRST-level
       scaling from the raw testdata;
-    - "signflip": negate the first k dims — REQUIRED when ``src`` is
-      itself a scaled set (r10): rotations compose additively, so
+    - "signflip": rotate by k, then flip dim j's sign iff
+      popcount(k & j) is odd (Hadamard parity) — REQUIRED when ``src``
+      is itself a scaled set (r10): rotations compose additively, so
       re-rotating sf1's tiles makes (k1,k2) pairs with equal k1+k2
       EXACT duplicates across tiles (and sums >= 64 wrap onto the
       originals), planting a fake near-dup rate the dedup/ANN probes
-      would then measure instead of the algorithm. Sign-flips are
-      norm-preserving, pairwise distinct in k, and compose with any
-      prior rotation without collisions.
+      would then measure instead of the algorithm. The parity signs
+      differ between ANY two tiles on exactly half the dims and the
+      rotation misaligns components, so cross-tile copies measure as
+      random pairs (mean cosine 0.002, 0.5% >= the 0.35 near-dup
+      threshold — the corpus's natural diffuse rate); norm-preserving
+      and injective when stacked on a rotate-built corpus. The FIRST
+      signflip (flip dims 1..k only, code-review r10) left tiles k and
+      k+1 one sign apart — measured cross-tile copy cosine 0.97, i.e.
+      a planted K-member near-dup clique per source vector.
     """
     from log_analysis_bigdata_spark.catalog import load_table
 
@@ -149,11 +156,38 @@ def build(spark, out_dir: str, k_tiles: int = 10,
             return d
         dim = 64
         if emb_mode == "signflip":
-            xf = F.concat(
-                F.transform(
-                    F.slice(F.col("embedding"), 1, k), lambda x: -x
-                ),
+            # Hadamard-parity signs (code-review r10): tile k flips dim
+            # j iff popcount(k & j) is odd. Any two distinct tiles then
+            # differ in sign on EXACTLY half the dims, so cross-tile
+            # copies of one source vector have E[cosine] ~ 0. The first
+            # version flipped only dims 1..k — tiles k and k+1 differed
+            # by ONE dim (measured cross-tile cosine 0.97 on sf0.1),
+            # silently planting a K-member near-dup clique per source
+            # vector: the exact artifact the mode exists to prevent.
+            # ...and compose with the k-rotation: parity signs alone
+            # leave a tail of structured pairs (vector energy aligned
+            # with a low-popcount sign-agreement pattern — measured
+            # 7.7% of adjacent-tile copies still >= cos 0.35 on sf0.1
+            # data); rotating first misaligns components so the signed
+            # dot is a random-pair sum. Still injective when stacked on
+            # a rotate-built corpus: level pairs (k1,k2) share a total
+            # transform only if the level-2 sign patterns match, i.e.
+            # k2 = k2', which forces k1 = k1'.
+            signs = [
+                -1.0 if bin(k & j).count("1") % 2 else 1.0
+                for j in range(dim)
+            ]
+            rotated = F.concat(
                 F.slice(F.col("embedding"), k + 1, dim - k),
+                F.slice(F.col("embedding"), 1, k),
+            )
+            xf = F.zip_with(
+                rotated,
+                F.array(*[F.lit(s) for s in signs]),
+                # cast back: lit signs are double, and a double element
+                # type would silently change the parquet schema vs the
+                # base table's array<float>
+                lambda x, s: (x * s).cast("float"),
             )
         else:
             xf = F.concat(
