@@ -58,6 +58,11 @@ FAMILIES = [
     "pagerank_supplier_graph",
     "corpus_to_training_set",
     "heavy_hitters_topk",
+    # r10 (post-signflip-fix): the embedding PAIR families — probing
+    # them at sf10 only became meaningful once cross-tile copies stopped
+    # being planted near-dups (see scale_up signflip docstring)
+    "embedding_near_dup",
+    "ivfpq_topk",
 ]
 
 RATIO_BOUND = 30.0  # sub-quadratic gate for one 10x decade, fixed cores
@@ -182,6 +187,57 @@ def invariants(spark, registry, sf1: str, sf10: str) -> dict:
         },
         "check": "raw_exact_10x_and_monotone",
         "ok": raw_ok and mono_ok,
+    }
+
+    # embedding_near_dup: the signflip-fix validator. Cross-tile COPIES
+    # of one source vector must NOT read as near-dups — under the broken
+    # decorrelator they were ~100% above threshold (64k planted pairs);
+    # under rotate+parity-signs they are random pairs, so the found
+    # pairs should be overwhelmingly WITHIN-tile (same vec_id // V_OFF
+    # tile for both ends). No tight 10x band on the total: the band-bit
+    # ladder widens with corpus count, so diffuse-tier recall is
+    # intentionally scale-dependent.
+    v_off = (
+        spark.read.parquet(f"{sf1}/embeddings.parquet")
+        .agg(F.max("vec_id"))
+        .first()[0]
+        + 1
+    )
+    pairs10 = registry["embedding_near_dup"].spark(spark, sf10)
+    agg = pairs10.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            (
+                (F.col("id_a") % v_off) == (F.col("id_b") % v_off)
+            ).cast("long")
+        ).alias("copy_pairs"),
+        F.sum(
+            (
+                F.floor(F.col("id_a") / v_off) != F.floor(F.col("id_b") / v_off)
+            ).cast("long")
+        ).alias("cross_tile_pairs"),
+    ).first()
+    n_pairs_sf1 = registry["embedding_near_dup"].spark(spark, sf1).count()
+    out["embedding_near_dup"] = {
+        "pairs_sf1": int(n_pairs_sf1),
+        "pairs_sf10": int(agg["total"]),
+        "cross_tile_copy_pairs_sf10": int(agg["copy_pairs"]),
+        "cross_tile_pairs_sf10": int(agg["cross_tile_pairs"]),
+        "check": "cross_tile_copies_below_5pct",
+        "ok": agg["copy_pairs"] <= max(1, agg["total"] // 20),
+    }
+
+    # ivfpq: structural sanity at sf10 (exactness vs brute force is
+    # recall-pinned at sf0.01 in CI; the oracle-free check here is the
+    # contract shape: exactly top-10, exact cosines strictly ordered)
+    pq = registry["ivfpq_topk"].spark(spark, sf10).collect()
+    cos_seq = [r["cosine"] for r in pq]
+    out["ivfpq_topk"] = {
+        "rows": len(pq),
+        "top_cosines": cos_seq[:3],
+        "check": "ten_rows_descending_cosine",
+        "ok": len(pq) == 10
+        and all(a >= b for a, b in zip(cos_seq, cos_seq[1:])),
     }
 
     # heavy hitters: gate telemetry + exact-answer equality at sf10
