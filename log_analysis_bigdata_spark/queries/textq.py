@@ -2117,9 +2117,16 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice("toks", i + 1, SPAN_K), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # The inventory feeds BOTH branches (dup-gram agg + the hits join);
+    # without a cut each re-runs tokenize+posexplode over the corpus —
+    # the checkpoint trades that second pass for block storage bounded
+    # by corpus tokens × gram width (measured 2.67→1.87 s at sf0.1,
+    # 4.49→3.38 s at sf1). At 100 TB this materialization moves to
+    # disk-backed persist or a written-out gram table keyed for reuse;
+    # recompute is the fallback when storage is the scarcer resource.
     grams = toks.select(
         "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
-    )
+    ).localCheckpoint(eager=True)
     # agg + equi-join (NOT collect_list): hot grams stay partial-agg +
     # AQE-splittable; this is the one gram-keyed shuffle of the plan
     dup = (
