@@ -1207,6 +1207,15 @@ def hard_negatives_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # argument as _IVF_ASSIGN_SQL, parity-proven since r5); the candidate
 # cut rounds the ADC distance to 6 decimals and tie-breaks on vec_id so
 # both engines cut the same top-C set.
+#
+# Recall (measured, EVIDENCE_r10 §5): planted near-dups are found at
+# every SF; on the DIFFUSE synthetic tier (near-uniform vectors, true
+# top-10 cosine ~0.37 — the ANN worst case) recall@10 at C=100 is 0.9
+# at N=500 but falls to 0.1 at N=20k, since 16-code subspaces cannot
+# separate cos-0.37 peers from the bulk without cluster structure.
+# Production levers, in order: IVF cells in front of PQ (the cells
+# carry the cluster structure this corpus lacks), count-derived C
+# (band_bits_ladder pattern), more codebook bits per subspace.
 
 PQ_SUBDIM = 8      # dims per subspace  (64 / PQ_SUBDIM subspaces)
 PQ_CODES = 16      # codebook size per subspace (4-bit codes)
