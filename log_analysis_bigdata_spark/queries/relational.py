@@ -1659,6 +1659,16 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 HH_EXACT_MAX_KEYS = 100_000
 
 
+def _hh_ordered_top10(counts: DataFrame) -> DataFrame:
+    """The final cut of heavy_hitters_topk, shared by both arms:
+    orderBy + limit plans as TakeOrderedAndProject (per-partition
+    top-10 heaps merged on the driver) — NOT a row_number window,
+    whose unpartitioned WindowExec would move every key count to a
+    single partition first (VERDICT r10 task 5). Rank is assigned
+    from the position in the collected 10-row result."""
+    return counts.orderBy(F.desc("n"), F.asc_nulls_last("user_id")).limit(10)
+
+
 @register(
     "heavy_hitters_topk",
     oracle="""
@@ -1698,8 +1708,6 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every exit is therefore exact: gate-exact, verified-sketch, or
     fallback-exact — the oracle's full groupBy answer in all cases.
     """
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events").select("user_id")
 
     # regime gate, one cheap narrow pass: an exact groupBy-count is THE
@@ -1730,11 +1738,7 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sk_counts = sk_counts.unionByName(
                 spark.createDataFrame([(None, null_n)], "user_id long, n long")
             )
-        top = (
-            sk_counts.orderBy(F.desc("n"), F.asc_nulls_last("user_id"))
-            .limit(10)
-            .collect()
-        )
+        top = _hh_ordered_top10(sk_counts).collect()
         if len(top) == 10 and top[-1]["n"] > bound:
             # provably complete — and the collected rows already ARE
             # the exact top-10, so build the result from them instead
@@ -1747,13 +1751,13 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         counts = exact  # sketch cannot certify this distribution
     # ASC NULLS LAST tie-break matches DuckDB's default (Spark's plain
-    # asc sorts nulls first — divergent only on a null-keyed corpus)
-    w = Window.orderBy(F.desc("n"), F.asc_nulls_last("user_id"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("user_id", "n", "rank")
-        .orderBy("rank")
+    # asc sorts nulls first — divergent only on a null-keyed corpus);
+    # rank comes from the position in the ordered LIMIT (see
+    # _hh_ordered_top10), not a single-partition row_number window.
+    top = _hh_ordered_top10(counts).collect()
+    return spark.createDataFrame(
+        [(r["user_id"], r["n"], i + 1) for i, r in enumerate(top)],
+        "user_id long, n long, rank int",
     )
 
 

@@ -407,3 +407,28 @@ def test_incremental_dedup_broadcasts_new_batch_never_shuffles_history(
     # (history flows scan -> band unpivot -> BroadcastHashJoin with no
     # Exchange; a regression that shuffles history adds a fourth).
     assert len(shuffles) <= 3, shuffles
+
+
+def test_heavy_hitters_final_cut_is_topk_not_window(spark):
+    """heavy_hitters_topk's final ranking must be TakeOrderedAndProject
+    (per-partition top-10 heaps), never an unpartitioned row_number
+    WindowExec that moves every key count to a single partition
+    (VERDICT r10 task 5). Asserted on the shared _hh_ordered_top10
+    helper both arms route through, and on the registered query's
+    returned plan (a 10-row LocalTableScan — no window anywhere)."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_bigdata_spark.catalog import load_table
+    from log_analysis_bigdata_spark.queries import relational as R
+
+    counts = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _fmt(spark, R._hh_ordered_top10(counts))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+    final = _plan(spark, "heavy_hitters_topk")
+    assert "Window" not in final
