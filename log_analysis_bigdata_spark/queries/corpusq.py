@@ -25,6 +25,7 @@ from .textq import (
     _DUP_CORPUS_SQL,
     _HS_SQL,
     _SHINGLE_SQL,
+    PLANT_SHIFT,
     _band_sql,
     _dup_corpus_spark,
 )
@@ -174,18 +175,18 @@ def bpe_token_estimate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Cross-format variant corpus: the same content under different
-# formatting — case-flipped re-keys at +1M (doc_id % 10), whitespace-
-# inflated re-keys at +2M (doc_id % 15) — so normalization-robust dedup
-# has non-trivial clusters (docs at % 30 get BOTH variants: 3-member
-# groups) while plain exact dedup (dedup_exact_docs) would miss all of
-# them.
-_VARIANT_CORPUS_SQL = """
+# formatting — case-flipped re-keys at +PLANT_SHIFT (doc_id % 10),
+# whitespace-inflated re-keys at +2·PLANT_SHIFT (doc_id % 15) — so
+# normalization-robust dedup has non-trivial clusters (docs at % 30 get
+# BOTH variants: 3-member groups) while plain exact dedup
+# (dedup_exact_docs) would miss all of them.
+_VARIANT_CORPUS_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, upper(text) AS text
+    SELECT doc_id + {PLANT_SHIFT} AS doc_id, upper(text) AS text
     FROM documents WHERE doc_id % 10 = 0
     UNION ALL
-    SELECT doc_id + 2000000 AS doc_id,
+    SELECT doc_id + {2 * PLANT_SHIFT} AS doc_id,
            '  ' || replace(text, ' ', '  ') || ' ' AS text
     FROM documents WHERE doc_id % 15 = 0
 """
@@ -194,11 +195,11 @@ _VARIANT_CORPUS_SQL = """
 def _variant_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     case_v = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + PLANT_SHIFT).alias("doc_id"),
         F.upper("text").alias("text"),
     )
     space_v = docs.filter(F.col("doc_id") % 15 == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        (F.col("doc_id") + 2 * PLANT_SHIFT).alias("doc_id"),
         F.concat(
             F.lit("  "), F.expr("replace(text, ' ', '  ')"), F.lit(" ")
         ).alias("text"),
@@ -242,16 +243,17 @@ def crossformat_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Incremental-dedup "new batch": exact re-keys of history at +1M
-# (doc_id % 10) plus near-dup mutations at +3M (doc_id % 7 == 3, first
-# token dropped — shingle Jaccard ~ (m-1)/m, well above the 4/5 verify
-# threshold) plus everything else novel-by-construction is absent, so
-# the answer has all three outcomes: exact match, near match, novel.
-_NEW_BATCH_SQL = """
-    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+# Incremental-dedup "new batch": exact re-keys of history at
+# +PLANT_SHIFT (doc_id % 10) plus near-dup mutations at +3·PLANT_SHIFT
+# (doc_id % 7 == 3, first token dropped — shingle Jaccard ~ (m-1)/m,
+# well above the 4/5 verify threshold) plus everything else
+# novel-by-construction is absent, so the answer has all three
+# outcomes: exact match, near match, novel.
+_NEW_BATCH_SQL = f"""
+    SELECT doc_id + {PLANT_SHIFT} AS doc_id, text FROM documents
     WHERE doc_id % 10 = 0
     UNION ALL
-    SELECT doc_id + 3000000 AS doc_id,
+    SELECT doc_id + {3 * PLANT_SHIFT} AS doc_id,
            regexp_replace(text, '^[^ ]+ ', '') AS text
     FROM documents WHERE doc_id % 7 = 3
 """
@@ -260,10 +262,10 @@ _NEW_BATCH_SQL = """
 def _new_batch_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + PLANT_SHIFT).alias("doc_id"), "text"
     )
     near = docs.filter(F.col("doc_id") % 7 == 3).select(
-        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        (F.col("doc_id") + 3 * PLANT_SHIFT).alias("doc_id"),
         F.regexp_replace("text", "^[^ ]+ ", "").alias("text"),
     )
     return exact.unionByName(near)
@@ -768,10 +770,10 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- round 8: the composed end-to-end training-set build ---------------------
 
-_C2T_CORPUS_SQL = """
+_C2T_CORPUS_SQL = f"""
     SELECT doc_id, source, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, source, text
+    SELECT doc_id + {PLANT_SHIFT} AS doc_id, source, text
     FROM documents WHERE doc_id % 10 = 0
 """
 
@@ -968,7 +970,7 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "source", "text").unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+            (F.col("doc_id") + PLANT_SHIFT).alias("doc_id"), "source", "text"
         )
     )
     # spread the one expensive narrow text pass across all cores (the
@@ -1100,13 +1102,11 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shift = 10^12, NOT the legacy +1M (code-review r10): scale_up tiles
 # doc_ids to ~5M at sf100, where a +1M clean-copy id collides with a
 # real doc_id and every doc_id-keyed stage fans out. 10^12 clears any
-# plausible corpus (100 TB ≈ 2.5e10 docs at ~4 KB/doc). The older
-# queries sharing the +1M convention (corpusq 185/251/774, textq's
-# _dup_corpus) carry the same latent bound — bump them to 10^12 in the
-# r11 rotation, when the minhash family re-verdicts anyway (changing
-# their planted ids changes green-verdicted results, which costs window
-# slots this round has already spent).
-_SURV_SHIFT = 1_000_000_000_000
+# plausible corpus (100 TB ≈ 2.5e10 docs at ~4 KB/doc). Since r11 the
+# shift is textq.PLANT_SHIFT, shared by EVERY planted-dup corpus in the
+# repo (textq._dup_corpus, the variant/new-batch/c2t corpora below) so
+# a headroom fix can't miss a copy.
+_SURV_SHIFT = PLANT_SHIFT
 _SURV_CORPUS_SQL = f"""
     SELECT doc_id, '  ' || replace(text, ' ', '  ') || ' ' AS text
     FROM documents WHERE doc_id % 10 = 0

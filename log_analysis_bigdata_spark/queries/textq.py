@@ -5,7 +5,7 @@ dedup, MinHash-LSH near-dup, fingerprinting, token/quality metrics.
 Cross-engine determinism: all hashing is ``md5`` (identical hex output in
 Spark and DuckDB), MinHash is min-over-tokens of seeded md5 (lexicographic
 min on hex strings — engine-independent), and the dup corpus injects
-deterministic duplicates (every doc_id % 10 == 0 re-keyed at +1_000_000)
+deterministic duplicates (every doc_id % 10 == 0 re-keyed at +PLANT_SHIFT)
 so dedup queries have non-trivial answers at every scale factor.
 
 Scale notes (100 TB): exact dedup is one hash-shuffle on a 32-hex-char
@@ -48,19 +48,28 @@ def _tokens(col: str = "text") -> Column:
     return tokens(F.col(col))
 
 
+# Re-key shift for every planted-duplicate corpus in the repo. 10^12,
+# not the legacy +1M: real doc_ids reach ~5M at sf100, where a 1M shift
+# makes a planted copy COLLIDE with a genuine document (the survivors
+# query hit exactly that in its r10 self-review). ONE shared constant —
+# variant corpora use small multiples (2x, 3x) — so a headroom fix can
+# never miss a copy again (ADVICE r10 / VERDICT r10 task 1).
+PLANT_SHIFT = 1_000_000_000_000
+
+
 def _dup_corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dups = (
         docs.filter(F.col("doc_id") % 10 == 0)
-        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .select((F.col("doc_id") + PLANT_SHIFT).alias("doc_id"), "text")
     )
     return docs.unionByName(dups)
 
 
-_DUP_CORPUS_SQL = """
+_DUP_CORPUS_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text
+    SELECT doc_id + {PLANT_SHIFT} AS doc_id, text
     FROM documents WHERE doc_id % 10 = 0
 """
 
@@ -260,13 +269,13 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
                  / CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE), 4)
              AS jaccard
-    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1000000
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + {PLANT_SHIFT}
     """,
     tags=("dedup", "jaccard", "ngram"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-set Jaccard verification over the known dup pairs
-    (original, +1M re-key): the verify stage of the dedup pipeline. At
+    (original, +PLANT_SHIFT re-key): the verify stage of the dedup pipeline. At
     scale the pair list comes from the LSH candidates, keeping this
     linear in candidates, never quadratic in corpus."""
     corpus = _dup_corpus_spark(spark, sf_dir)
@@ -275,7 +284,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
-    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1_000_000)
+    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + PLANT_SHIFT)
     inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
     uni = F.size(F.array_distinct(F.concat("tok_a", "tok_b"))).cast("double")
     return pairs.select(
