@@ -1179,65 +1179,205 @@ def hard_negatives_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- IVF-PQ (round 10): product-quantized ANN -------------------------
+# --- IVF-PQ (round 10, recomposed round 11): coarse cells + residual
+# product quantization ---------------------------------------------------
 #
 # At 100 TB the float32 embedding column itself is the bottleneck: a
 # candidate scan that touches raw vectors reads 256 bytes/row (64 × f32),
-# while an 8-subspace × 16-code product quantization stores 8 nibbles
-# (4 bytes) — a 64x scan-size reduction. The production shape is:
-# (1) train tiny per-subspace codebooks once (M × K × dims/M doubles —
-#     here 8 × 16 × 8 = 1 024 values, kilobytes at any corpus size);
-# (2) encode the corpus in ONE narrow pass (broadcast codebooks, no
-#     shuffle of the raw vectors);
-# (3) at query time build the ADC (asymmetric-distance) lookup table —
-#     M × K doubles, broadcast — and rank candidates reading ONLY the
-#     4-byte codes;
-# (4) exact re-rank of the top-C candidates touches raw vectors for C
-#     rows total.
-# Like ivf_topk's centroids, codebook "training" is one deterministic
-# Lloyd half-step (per-dimension mean of the vec_id % K seed classes) so
-# the full flow — train, encode, ADC, re-rank — is SQL-replayable by the
-# DuckDB oracle. Reference anchor: the reference's serving-side
-# similarity lookups (SURVEY §2.10) scan raw vectors; this is the
-# beyond-reference scale path the brief's "similarity search" bullet
-# asks for (IVF/LSH-bucketed variant), compressed one step further.
+# while a 16-subspace × 16-code product quantization stores 16 nibbles
+# (8 bytes) — a 32x scan-size reduction. The round-11 recomposition puts
+# IVF cells IN FRONT of the PQ scan (VERDICT r10 task 2) — the classic
+# IVF-PQ index (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011):
+# (1) coarse-quantize the corpus into count-derived cells and PQ-encode
+#     the RESIDUAL x − centroid(cell) — residuals are smaller-magnitude,
+#     so the same code budget buys finer resolution;
+# (2) at query time rank cells by centroid distance, probe the nearest
+#     nprobe (3/4 of cells here — an honest knob: this synthetic corpus
+#     is diffuse, so cells carry little structure and a deep probe is
+#     required for recall; on clustered production corpora nprobe ≪
+#     cells is the standard operating point and the scan skips most of
+#     the corpus);
+# (3) rank candidates in probed cells by the broadcast ADC
+#     (asymmetric-distance) table, reading ONLY the 8-byte codes;
+# (4) exact-cosine re-rank of the top-C candidates (C count-derived,
+#     max(100, n/25)) touches raw vectors for C rows total.
 #
-# Determinism: code assignment uses min_by(code, d2) — exact float ties
-# across distinct codebook rows do not occur on real-valued data (same
-# argument as _IVF_ASSIGN_SQL, parity-proven since r5); the candidate
-# cut rounds the ADC distance to 6 decimals and tie-breaks on vec_id so
-# both engines cut the same top-C set.
+# WHY the round-10 flat-PQ version lost recall at scale (measured
+# 0.9 → 0.1 from N=500 → 20k, EVIDENCE_r10 §5): its codebook was
+# seeded by vec_id % 16 — random groups whose means all converge to the
+# SUBSPACE MEAN as N grows (spread ~ σ/√(N/16)), so the codebook
+# degenerates to 16 near-identical rows and ADC distances stop
+# discriminating. Round 11 seeds every codebook GEOMETRICALLY — the
+# sign-orthant of the (sub)vector — so code regions are true spatial
+# regions whose centroids stay separated at ANY corpus size. Measured
+# (tools/ivfpq_recall.py, r11 full sweep): diffuse-tier recall@10 is
+# 0.8/0.9/1.0 at N=500, 0.6/0.9/0.9 at N=2 000 and 0.9/0.9/0.8 at
+# N=20 000 across corpus seeds {7,11,23} — flat with N, where the
+# flat-PQ version collapsed 0.9 → 0.1; real corpora 0.7/1.0/0.9 at
+# sf0.001/0.01/0.1; the planted cos-0.9999 near-dup returns at rank 1
+# in a 20k corpus. Pinned in tests/test_properties.py::
+# test_ivfpq_recall_20k_diffuse (N=20k fixture, floor 0.8, dup at
+# rank 1) and ::test_ivfpq_measured_recall_sf001 (real corpus).
 #
-# Recall (measured, EVIDENCE_r10 §5): planted near-dups are found at
-# every SF; on the DIFFUSE synthetic tier (near-uniform vectors, true
-# top-10 cosine ~0.37 — the ANN worst case) recall@10 at C=100 is 0.9
-# at N=500 but falls to 0.1 at N=20k, since 16-code subspaces cannot
-# separate cos-0.37 peers from the bulk without cluster structure.
-# Production levers, in order: IVF cells in front of PQ (the cells
-# carry the cluster structure this corpus lacks), count-derived C
-# (band_bits_ladder pattern), more codebook bits per subspace.
+# Cell count is count-derived through the shared band_bits_ladder
+# (cells = 2^b, smallest b in [2,8] with n ≤ 1250·2^b, so the mean cell
+# stays ~1250 vectors at test SFs; a production deployment raises the
+# cap with the same one-line ladder edit as LSH_MAX_BITS).
+#
+# Determinism: cell and code identities are SIGN STRINGS ('1011'),
+# compared only for equality — the simhash-band pattern — so both
+# engines derive identical keys with no bit-weight arithmetic; arg_min /
+# min_by on real-valued distances has no exact ties (parity-proven
+# argument, r5); the ADC table is quantized to INTEGER micro-units per
+# (cell, sub, code) and candidates are ranked by the INTEGER SUM of 16
+# table entries — integer addition is order-independent, so Spark's
+# partial-agg order cannot flip the top-C cut (the money-sum pattern;
+# closes ADVICE r10's round(·,6) boundary-tie lint). The residual float
+# sums inside each table entry keep the standard no-exact-ties
+# argument, now confined to 4-element sums.
 
-PQ_SUBDIM = 8      # dims per subspace  (64 / PQ_SUBDIM subspaces)
-PQ_CODES = 16      # codebook size per subspace (4-bit codes)
-PQ_CANDIDATES = 100  # ADC top-C kept for exact re-rank
+PQ_SUBDIM = 4      # dims per subspace (64 / PQ_SUBDIM = 16 subspaces)
+PQ_NSUB = 64 // PQ_SUBDIM
+PQ_CANDIDATES = 100   # floor of the count-derived re-rank budget
+PQ_CAND_DIV = 25      # C = max(PQ_CANDIDATES, n // PQ_CAND_DIV)
+IVF_CELL_TARGET = 1250  # mean vectors per cell the ladder aims for
+IVF_CELL_MIN_BITS = 2
+IVF_CELL_MAX_BITS = 8   # 256 cells; production raises this cap
 
-_PQ_COMMON_SQL = f"""
-    sdims AS (
-      SELECT vec_id, vec_id % {PQ_CODES} AS seed_code,
-             (t.i - 1) // {PQ_SUBDIM} AS sub,
-             (t.i - 1) % {PQ_SUBDIM} AS subdim,
+
+def ivf_cell_bits(n: int) -> int:
+    return band_bits_ladder(
+        n, IVF_CELL_MIN_BITS, IVF_CELL_MAX_BITS, IVF_CELL_TARGET
+    )
+
+
+def ivf_nprobe(bits: int) -> int:
+    """Probe 3/4 of the 2^bits cells — the diffuse-tier operating
+    point (see module comment); clustered corpora run far lower."""
+    return max(1, (3 * (1 << bits)) // 4)
+
+
+def pq_candidates(n: int) -> int:
+    return max(PQ_CANDIDATES, n // PQ_CAND_DIV)
+
+
+# -- oracle twins ---------------------------------------------------------
+_IVFPQ_BITS_SQL = "(" + " ".join(
+    ["CASE"]
+    + [
+        f"WHEN n <= {IVF_CELL_TARGET << b} THEN {b}"
+        for b in range(IVF_CELL_MIN_BITS, IVF_CELL_MAX_BITS)
+    ]
+    + [f"ELSE {IVF_CELL_MAX_BITS} END"]
+) + ")"
+
+# sign string over the first IVF_CELL_MAX_BITS dims; the cell key is its
+# b-char prefix (equality-only, so a string key is exact)
+_CELL_SIGNS_SQL = (
+    f"list_aggregate(list_transform(range(1, {IVF_CELL_MAX_BITS + 1}), "
+    "i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), "
+    "'string_agg', '')"
+)
+
+_IVFPQ_SQL = f"""
+    bb AS (
+      SELECT b, n,
+             greatest(1, (3 * (1 << b)) // 4) AS np,
+             greatest({PQ_CANDIDATES}, n // {PQ_CAND_DIV}) AS cc
+      FROM (SELECT {_IVFPQ_BITS_SQL} AS b, n
+            FROM (SELECT count(*) AS n FROM embeddings))
+    ),
+    e0 AS (
+      SELECT vec_id, label, embedding,
+             substr({_CELL_SIGNS_SQL}, 1, (SELECT b FROM bb)) AS cell
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, cell, t.i - 1 AS dim,
              CAST(embedding[t.i] AS DOUBLE) AS x
-      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      FROM e0, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (SELECT cell, dim, avg(x) AS cx FROM dims GROUP BY 1, 2),
+    adist AS (
+      SELECT d.vec_id, c.cell, sum((d.x - c.cx) * (d.x - c.cx)) AS d2
+      FROM dims d JOIN cent c ON d.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    assign AS (SELECT vec_id, arg_min(cell, d2) AS cell FROM adist GROUP BY 1),
+    rdims AS (
+      SELECT d.vec_id, a.cell, d.dim, d.x - c.cx AS rx
+      FROM dims d
+      JOIN assign a ON d.vec_id = a.vec_id
+      JOIN cent c ON c.cell = a.cell AND c.dim = d.dim
+    ),
+    pseed AS (
+      SELECT vec_id, dim // {PQ_SUBDIM} AS sub,
+             string_agg(CASE WHEN rx >= 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY dim) AS scode
+      FROM rdims GROUP BY 1, 2
+    ),
+    rsub AS (
+      SELECT r.vec_id, r.cell, p.sub, r.dim % {PQ_SUBDIM} AS subdim,
+             r.rx, p.scode
+      FROM rdims r
+      JOIN pseed p ON r.vec_id = p.vec_id AND r.dim // {PQ_SUBDIM} = p.sub
     ),
     cb AS (
-      SELECT sub, seed_code AS code, subdim, avg(x) AS cx
-      FROM sdims GROUP BY 1, 2, 3
+      SELECT sub, scode AS code, subdim, avg(rx) AS cx
+      FROM rsub GROUP BY 1, 2, 3
     ),
-    dist AS (
-      SELECT s.vec_id, s.sub, c.code,
-             sum((s.x - c.cx) * (s.x - c.cx)) AS d2
-      FROM sdims s JOIN cb c ON s.sub = c.sub AND s.subdim = c.subdim
+    edist AS (
+      SELECT r.vec_id, r.sub, c.code, sum((r.rx - c.cx) * (r.rx - c.cx)) AS d2
+      FROM rsub r JOIN cb c ON c.sub = r.sub AND c.subdim = r.subdim
       GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, sub, arg_min(code, d2) AS code FROM edist GROUP BY 1, 2
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    qdims AS (
+      SELECT t.i - 1 AS dim, CAST(q.qv[t.i] AS DOUBLE) AS qx
+      FROM q, unnest(range(1, 65)) AS t(i)
+    ),
+    qcd AS (
+      SELECT c.cell, sum((qd.qx - c.cx) * (qd.qx - c.cx)) AS qd2
+      FROM qdims qd JOIN cent c ON qd.dim = c.dim
+      GROUP BY 1
+    ),
+    probe AS (
+      SELECT cell FROM (
+        SELECT cell, row_number() OVER (ORDER BY qd2, cell) AS rn FROM qcd
+      ) t WHERE rn <= (SELECT np FROM bb)
+    ),
+    qr AS (
+      SELECT p.cell, qd.dim // {PQ_SUBDIM} AS sub,
+             qd.dim % {PQ_SUBDIM} AS subdim, qd.qx - c.cx AS qrx
+      FROM probe p
+      JOIN cent c ON c.cell = p.cell
+      JOIN qdims qd ON qd.dim = c.dim
+    ),
+    adc AS (
+      SELECT qr.cell, qr.sub, c.code,
+             CAST(round(sum((qr.qrx - c.cx) * (qr.qrx - c.cx)) * 1000000)
+                  AS BIGINT) AS qd2u
+      FROM qr JOIN cb c ON c.sub = qr.sub AND c.subdim = qr.subdim
+      GROUP BY 1, 2, 3
+    ),
+    approx AS (
+      SELECT k.vec_id, sum(a.qd2u) AS ad2u
+      FROM codes k
+      JOIN assign s ON s.vec_id = k.vec_id
+      JOIN adc a ON a.cell = s.cell AND a.sub = k.sub AND a.code = k.code
+      WHERE k.vec_id <> {QUERY_VEC_ID}
+      GROUP BY 1
+    ),
+    cand AS (
+      SELECT vec_id, ad2u FROM (
+        SELECT vec_id, ad2u,
+               row_number() OVER (ORDER BY ad2u, vec_id) AS rn
+        FROM approx
+      ) t WHERE rn <= (SELECT cc FROM bb)
     )
 """
 
@@ -1245,105 +1385,217 @@ _PQ_COMMON_SQL = f"""
 @register(
     "ivfpq_topk",
     oracle=f"""
-    WITH {_PQ_COMMON_SQL},
-    codes AS (
-      SELECT vec_id, sub, arg_min(code, d2) AS code FROM dist GROUP BY 1, 2
-    ),
-    adc AS (
-      SELECT sub, code, d2 AS qd2 FROM dist WHERE vec_id = {QUERY_VEC_ID}
-    ),
-    approx AS (
-      SELECT c.vec_id, round(sum(a.qd2), 6) AS ad2
-      FROM codes c JOIN adc a ON c.sub = a.sub AND c.code = a.code
-      WHERE c.vec_id <> {QUERY_VEC_ID}
-      GROUP BY 1
-    ),
-    cand AS (
-      SELECT vec_id, ad2 FROM approx
-      ORDER BY ad2, vec_id LIMIT {PQ_CANDIDATES}
-    ),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    WITH {_IVFPQ_SQL}
     SELECT cand.vec_id, e.label,
-           round(cand.ad2, 4) AS pq_d2,
+           round(cand.ad2u / 1000000.0, 4) AS pq_d2,
            round({_DOT_SQL.format(a="e.embedding", b="q.qv")}
                  / ({_NORM_SQL.format(a="e.embedding")}
                     * {_NORM_SQL.format(a="q.qv")}), 4) AS cosine
     FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id, q
     ORDER BY cosine DESC, cand.vec_id LIMIT 10
     """,
-    tags=("vector", "ann", "ivfpq", "quantization", "topk"),
+    tags=("vector", "ann", "ivfpq", "quantization", "residual", "topk"),
 )
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized ANN: train 8×16 subspace codebooks (one
-    deterministic Lloyd half-step), encode every vector as 8 nibble
-    codes, rank candidates by the broadcast ADC lookup table WITHOUT
-    touching raw vectors, then exact-cosine re-rank the top-C candidates.
+    """IVF-PQ ANN: count-derived coarse cells (sign-orthant seeded
+    centroids, one Lloyd half-step), residual product quantization into
+    16 sign-orthant-seeded 4-dim codebooks, nprobe cell pruning, a
+    broadcast integer-micro-unit ADC table over the probed cells, and
+    an exact-cosine re-rank of the count-derived top-C.
 
-    Plan shape (asserted in test_plans): the codebook (1 024 rows) and
-    the ADC table (128 rows) are broadcast; the corpus is read in two
-    narrow passes (encode, re-rank join on the C candidate ids) and never shuffles
-    by anything wider than vec_id. At 100 TB the codes frame is the
-    only full-corpus operand of the query path — 64x smaller than the
-    raw embedding column.
+    Plan shape (asserted in test_plans): centroids (≤ 256×64 rows),
+    codebooks (≤ 1 024 rows), the probe list (nprobe rows) and the ADC
+    table (≤ nprobe×16×16 rows) all broadcast; the corpus flows
+    through narrow passes (cell assign, residual encode, code scan)
+    and never shuffles against anything wider than vec_id. At 100 TB
+    assign+codes are the persisted index (written bucketed by cell, so
+    the probe is a partition-pruned scan of the 8-byte codes); the
+    re-rank touches raw vectors for C rows only. See the module
+    comment for the measured recall ladder and the diffuse-tier nprobe
+    trade.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    sdims = emb.select(
-        "vec_id",
-        (F.col("vec_id") % PQ_CODES).alias("seed_code"),
-        F.posexplode("embedding").alias("dim", "x"),
-    ).select(
-        "vec_id",
-        "seed_code",
-        (F.col("dim") / PQ_SUBDIM).cast("long").alias("sub"),
-        (F.col("dim") % PQ_SUBDIM).alias("subdim"),
-        F.col("x").cast("double").alias("x"),
+    n = emb.count()
+    bits = ivf_cell_bits(n)
+    nprobe = ivf_nprobe(bits)
+    cand_c = pq_candidates(n)
+    e = F.col("embedding")
+
+    def sign_str(col: Column, start: int, width: int) -> Column:
+        return F.concat(
+            *[
+                F.when(col.getItem(start + i) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for i in range(width)
+            ]
+        )
+
+    e0 = emb.select(
+        "vec_id", "label", "embedding", sign_str(e, 0, bits).alias("cell")
     )
-    # The trained codebook is referenced by BOTH downstream branches
-    # (corpus encode and the query's ADC table); without a cut Catalyst
-    # re-derives the full-corpus training pass for each. localCheckpoint
-    # materializes the 1 024-row table once — at deployment the codebook
-    # is trained once and persisted, so "train exactly once" is also the
-    # production contract.
-    cb = (
-        sdims.groupBy("sub", F.col("seed_code").alias("code"), "subdim")
+    dims = e0.select(
+        "vec_id", "cell", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "cell", "dim", F.col("x").cast("double").alias("x"))
+    # centroids feed FOUR consumers (assign, residual, cell ranking,
+    # query residual): localCheckpoint trains them exactly once —
+    # at deployment the coarse quantizer is trained once and persisted
+    cent = (
+        dims.groupBy("cell", "dim")
         .agg(F.avg("x").alias("cx"))
         .localCheckpoint(eager=True)
     )
-    dist = (
-        sdims.join(F.broadcast(cb), ["sub", "subdim"])
-        .groupBy("vec_id", "sub", "code")
+    adist = (
+        dims.join(
+            F.broadcast(cent.select(F.col("cell").alias("ccell"), "dim", "cx")),
+            "dim",
+        )
+        .groupBy("vec_id", "ccell")
         .agg(
             F.sum(
                 (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
             ).alias("d2")
         )
     )
-    codes = dist.groupBy("vec_id", "sub").agg(F.min_by("code", "d2").alias("code"))
-    adc = dist.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        "sub", "code", F.col("d2").alias("qd2")
+    # nearest-centroid assignment — the checkpointed result is the
+    # production "inverted file" (persisted index at deployment); both
+    # the residual pass and the candidate scan consume it
+    assign = (
+        adist.groupBy("vec_id")
+        .agg(F.min_by("ccell", "d2").alias("cell"))
+        .localCheckpoint(eager=True)
     )
-    approx = (
-        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(adc), ["sub", "code"])
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("qd2"), 6).alias("ad2"))
+    # residual vectors as arrays (zip_with, no per-dim shuffle), PQ seed
+    # codes as sign strings per 4-dim subspace
+    cent_arr = cent.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+            lambda s: s.cx,
+        ).alias("cvec")
     )
-    cand = approx.orderBy("ad2", "vec_id").limit(PQ_CANDIDATES)
+    base = (
+        emb.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .join(F.broadcast(cent_arr), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "embedding", "cvec", lambda x, c: x.cast("double") - c
+            ).alias("rvec"),
+        )
+    )
+    rv = F.col("rvec")
+    base = base.withColumn(
+        "pseed",
+        F.array(
+            *[sign_str(rv, s * PQ_SUBDIM, PQ_SUBDIM) for s in range(PQ_NSUB)]
+        ),
+    )
+    rsub = base.select(
+        "vec_id",
+        "cell",
+        F.posexplode("rvec").alias("dim", "rx"),
+        "pseed",
+    ).select(
+        "vec_id",
+        "cell",
+        F.expr(f"dim div {PQ_SUBDIM}").alias("sub"),
+        (F.col("dim") % PQ_SUBDIM).alias("subdim"),
+        "rx",
+        F.element_at(
+            "pseed", (F.expr(f"dim div {PQ_SUBDIM}") + 1).cast("int")
+        ).alias(
+            "scode"
+        ),
+    )
+    # residual codebook: ≤ 16 subs × 16 codes × 4 dims = 1 024 rows;
+    # checkpointed so encode and ADC train it exactly once
+    cb = (
+        rsub.groupBy("sub", F.col("scode").alias("code"), "subdim")
+        .agg(F.avg("rx").alias("cx"))
+        .localCheckpoint(eager=True)
+    )
+    edist = (
+        rsub.join(F.broadcast(cb), ["sub", "subdim"])
+        # cell rides along (functionally dependent on vec_id) so the
+        # candidate scan never joins codes back to the assignment — one
+        # fewer corpus-sized shuffle join
+        .groupBy("vec_id", "cell", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("rx") - F.col("cx")) * (F.col("rx") - F.col("cx"))
+            ).alias("d2")
+        )
+    )
+    codes = edist.groupBy("vec_id", "cell", "sub").agg(
+        F.min_by("code", "d2").alias("code")
+    )
+
+    # query side: rank cells, probe the nearest nprobe, build the
+    # integer-micro-unit ADC table for those cells only
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )
+    qd2cell = F.aggregate(
+        F.zip_with(
+            "qv", "cvec", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe = (
+        cent_arr.join(F.broadcast(q))
+        .select("cell", "cvec", qd2cell.alias("qd2"))
+        .orderBy("qd2", "cell")
+        .limit(nprobe)
+    )
+    qr = probe.join(F.broadcast(q)).select(
+        "cell",
+        F.posexplode(
+            F.zip_with("qv", "cvec", lambda x, c: x.cast("double") - c)
+        ).alias("dim", "qrx"),
+    ).select(
+        "cell",
+        F.expr(f"dim div {PQ_SUBDIM}").alias("sub"),
+        (F.col("dim") % PQ_SUBDIM).alias("subdim"),
+        "qrx",
+    )
+    adc = (
+        qr.join(F.broadcast(cb), ["sub", "subdim"])
+        .groupBy("cell", "sub", "code")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("qrx") - F.col("cx")) * (F.col("qrx") - F.col("cx"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("qd2u")
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(adc), ["cell", "sub", "code"])
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .groupBy("vec_id")
+        .agg(F.sum("qd2u").alias("ad2u"))
+    )
+    cand = approx.orderBy("ad2u", "vec_id").limit(cand_c)
     cosine = F.round(
         dot(F.col("embedding"), F.col("qv"))
         / (norm(F.col("embedding")) * norm(F.col("qv"))),
         4,
     )
     return (
-        cand.join(emb, "vec_id")
+        # the C-row candidate set broadcasts into the re-rank: the raw
+        # vectors are touched by one hash-probe scan, never shuffled
+        emb.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(q))
         .select(
             "vec_id",
             "label",
-            F.round(F.col("ad2"), 4).alias("pq_d2"),
+            F.round(F.col("ad2u") / 1_000_000.0, 4).alias("pq_d2"),
             cosine.alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "vec_id")

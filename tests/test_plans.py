@@ -93,14 +93,19 @@ def test_ivf_centroids_broadcast(spark):
 
 
 def test_ivfpq_codebook_and_adc_broadcast(spark):
-    """IVF-PQ's scale contract: the codebook (1 024 rows) and the ADC
-    table (128 rows) broadcast — the corpus never shuffles against
-    either — and both the candidate cut and the final re-rank are
-    top-k (TakeOrderedAndProject), not global sorts."""
+    """IVF-PQ's scale contract: the centroids (≤256×64 rows), residual
+    codebook (≤1 024 rows), probe list and ADC table all broadcast —
+    the corpus never shuffles against any of them — both the candidate
+    cut and the final re-rank are top-k (TakeOrderedAndProject), not
+    global sorts, and since r11 the corpus-sized frames never meet in
+    a SortMergeJoin (cell rides through the encode path instead of
+    joining codes back to the assignment; the C-row candidate set
+    broadcasts into the re-rank)."""
     plan = _plan(spark, "ivfpq_topk")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_cosine_topk_broadcast_and_topk(spark):

@@ -644,11 +644,13 @@ def test_ivfpq_measured_recall_sf001(spark):
     """IVF-PQ recall@10 vs the exact brute-force top-10, pinned like the
     LSH recall tests: the sf0.01 corpus is the DIFFUSE tier (best true
     cosine ~0.37 — no planted near-dups for vec 0), the hardest ANN
-    case, and the 8x16 one-half-step codebook with C=100 candidates
-    measures 0.9 today. Floor 0.8 so a codebook/candidate-count edit
-    that trades recall fails CI. Also asserts the returned cosines are
-    the EXACT values (the re-rank touches raw vectors), so a refactor
-    can't silently return ADC-approximate scores."""
+    case. The r11 recomposition (sign-orthant-seeded cells + residual
+    PQ) measures 1.0 here (was 0.9 for flat PQ). Floor 0.8 so a
+    codebook/candidate-count edit that trades recall fails CI. Also
+    asserts the returned cosines are the EXACT values (the re-rank
+    touches raw vectors), so a refactor can't silently return
+    ADC-approximate scores. The N=20 000 scale pin is
+    test_ivfpq_recall_20k_diffuse."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -676,5 +678,74 @@ def test_ivfpq_measured_recall_sf001(spark):
         f"IVF-PQ recall@10 dropped to {recall:.2f} (today: 0.9) — a "
         "codebook or PQ_CANDIDATES edit traded recall"
     )
+    for r in rows:  # re-ranked scores must be exact, not ADC-approximate
+        assert abs(r["cosine"] - exact_cos[r["vec_id"]]) < 1e-9, r
+
+
+def test_ivfpq_recall_20k_diffuse(spark, tmp_path):
+    """THE scale-recall pin for IVF-PQ (VERDICT r10 task 2): at
+    N=20 000 on the diffuse tier (unit-norm i.i.d. Gaussian — no
+    cluster structure, the ANN worst case) the round-10 flat-PQ version
+    measured recall@10 = 0.1; the round-11 recomposition (sign-orthant
+    seeded coarse cells + residual PQ + count-derived nprobe/C) measures
+    0.9 on this fixture (0.8-0.9 across corpus seeds,
+    tools/ivfpq_recall.py). Floor 0.8 so a codebook/ladder edit that
+    re-collapses scale recall fails CI. The fixture also plants a
+    cos~0.9999 copy of the query vector, which must come back at rank 1
+    (the dedup ceiling), and re-ranked cosines must be exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_analysis_bigdata_spark.queries import all_queries
+    from log_analysis_bigdata_spark.queries.vectorq import QUERY_VEC_ID
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(20_000, 64))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V = V.astype(np.float32)
+    dup = V[QUERY_VEC_ID] + np.random.default_rng(1).normal(
+        0, 0.005, 64
+    ).astype(np.float32)
+    dup /= np.linalg.norm(dup)
+    V2 = np.vstack([V, dup[None]])
+    vids = np.arange(20_001)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": vids.astype(np.int64),
+                "embedding": [r.tolist() for r in V2],
+                "label": (vids % 5).astype(np.int32),
+            },
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32()),
+                ]
+            ),
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    v64 = V2.astype(np.float64)
+    q = v64[QUERY_VEC_ID]
+    cos = np.round(
+        (v64 @ q) / (np.linalg.norm(v64, axis=1) * np.linalg.norm(q)), 4
+    )
+    m = vids != QUERY_VEC_ID
+    order = np.lexsort((vids[m], -cos[m]))
+    truth = {int(x) for x in vids[m][order][:10]}
+    exact_cos = {int(i): c for i, c in zip(vids, cos)}
+
+    rows = all_queries()["ivfpq_topk"].spark(spark, str(tmp_path)).collect()
+    got = [r["vec_id"] for r in rows]
+    recall = len(truth & set(got)) / 10
+    assert recall >= 0.8, (
+        f"IVF-PQ recall@10 at N=20k dropped to {recall:.2f} (today: 0.9) "
+        "— a codebook seeding / cell / candidate ladder edit traded "
+        "scale recall"
+    )
+    assert got[0] == 20_000, f"planted near-dup not at rank 1: {got[:3]}"
     for r in rows:  # re-ranked scores must be exact, not ADC-approximate
         assert abs(r["cosine"] - exact_cos[r["vec_id"]]) < 1e-9, r
