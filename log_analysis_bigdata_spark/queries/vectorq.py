@@ -199,6 +199,54 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEAR_DUP_THRESHOLD = 0.35
+# COUNT-DERIVED output bounding for the diffuse near-dup tier (VERDICT
+# r10 task 3): at a FIXED cosine threshold the number of GENUINE pairs
+# on a diffuse corpus grows O(n²·p) — the r10 sf1→sf10 probe measured
+# found-pairs 6.7k → 147k for 10× vectors (runtime stayed sub-quadratic;
+# the OUTPUT didn't). For unit vectors in d dims, P(cos ≥ t) ≈
+# exp(-d·t²/2)·…, so holding expected pairs ~LINEAR in n needs
+# p(t) ∝ 1/n, i.e. t² growing by 2·ln2/d per corpus DOUBLING. The
+# ladder below starts at NEAR_DUP_THRESHOLD for n ≤ NEAR_DUP_BASE_N
+# (all test SFs and the sf1 probe corpus — their outputs are unchanged)
+# and tightens per doubling; Spark derives the threshold from count()
+# in Python, the oracle replays the identical integer-breakpoint CASE.
+# The trade is explicit: on corpora past BASE_N the query reports the
+# TIGHTEST near-dups at ~linear output volume rather than every pair
+# above an absolute score — for dedup survivorship (keep one of each
+# near-identical group) the tight pairs are the actionable ones, and
+# an absolute-threshold sweep at scale belongs in a batch pipeline
+# with an explicit pair budget, not a fixed-size answer frame.
+NEAR_DUP_BASE_N = 20_000
+NEAR_DUP_DIM = 64
+NEAR_DUP_MAX_DOUBLINGS = 16  # ladder cap: ~1.3B vectors; raise to extend
+_NEAR_DUP_LADDER: tuple[float, ...] = tuple(
+    round(
+        (NEAR_DUP_THRESHOLD**2 + k * 2 * 0.6931471805599453 / NEAR_DUP_DIM)
+        ** 0.5,
+        4,
+    )
+    for k in range(NEAR_DUP_MAX_DOUBLINGS + 1)
+)
+
+
+def near_dup_threshold(n: int) -> float:
+    """Smallest ladder rung whose corpus bound covers n — the
+    band_bits_ladder pattern applied to the score threshold."""
+    for k in range(NEAR_DUP_MAX_DOUBLINGS):
+        if n <= (NEAR_DUP_BASE_N << k):
+            return _NEAR_DUP_LADDER[k]
+    return _NEAR_DUP_LADDER[NEAR_DUP_MAX_DOUBLINGS]
+
+
+# oracle twin: identical integer breakpoints, identical 4-decimal rungs
+_NEAR_DUP_THR_SQL = "(" + " ".join(
+    ["CASE"]
+    + [
+        f"WHEN n <= {NEAR_DUP_BASE_N << k} THEN {_NEAR_DUP_LADDER[k]!r}"
+        for k in range(NEAR_DUP_MAX_DOUBLINGS)
+    ]
+    + [f"ELSE {_NEAR_DUP_LADDER[NEAR_DUP_MAX_DOUBLINGS]!r} END"]
+) + ")"
 # LSH band width GROWS WITH CORPUS SIZE (round 7, same lesson as
 # SemDeDup's cell count): a fixed 6-bit band means 64 buckets forever,
 # so candidates are O(N²/64) — measurably super-linear at the sf1
@@ -241,8 +289,8 @@ _BITS_SQL = "(" + " ".join(
     + [f"ELSE {LSH_MAX_BITS} END"]
 ) + ")"
 _LSH_BB_SQL = (
-    "bb AS (SELECT " + _BITS_SQL
-    + " AS bits FROM (SELECT count(*) AS n FROM embeddings))"
+    "bb AS (SELECT " + _BITS_SQL + " AS bits, " + _NEAR_DUP_THR_SQL
+    + " AS thr FROM (SELECT count(*) AS n FROM embeddings))"
 )
 # sign string spans exactly the dims the two widest bands can read
 # (2 * LSH_MAX_BITS) — derived, not hard-coded, so raising the cap
@@ -279,7 +327,7 @@ _SIGNS_SQL = (
       FROM cand
     )
     SELECT id_a, id_b, cosine FROM scored
-    WHERE cosine >= {NEAR_DUP_THRESHOLD!r}
+    WHERE cosine >= (SELECT thr FROM bb)
     ORDER BY cosine DESC, id_a, id_b
     """,
     tags=("dedup", "vector", "cosine", "lsh", "near-dup"),
@@ -298,14 +346,20 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to per-pair evaluation but 2 HOF passes per row instead
     of 2 per pair. Pairs found by both bands are deduped before the dot
     product so the similarity work runs once per unique candidate.
+    The REPORTING threshold is count-derived too (near_dup_threshold —
+    0.35 at every test SF, tightening per corpus doubling past 20k) so
+    the answer volume grows ~linearly where a fixed threshold grows
+    O(n²·p) — see the ladder comment above.
     At 100 TB: persist the banded table, bucket it by band key on write,
     and add bands to raise recall at linear (not quadratic) cost.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
-    # width from a cheap count (row-group stats), same integer ladder
-    # as the oracle's bb CTE — see lsh_band_bits
-    bits = lsh_band_bits(emb.count())
+    # band width AND report threshold from one cheap count (row-group
+    # stats), same integer ladders as the oracle's bb CTE
+    n = emb.count()
+    bits = lsh_band_bits(n)
+    thr = near_dup_threshold(n)
 
     def band(start: int):
         return sum(
@@ -344,7 +398,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
     return (
         deduped.select("id_a", "id_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= thr)
         .orderBy(F.desc("cosine"), "id_a", "id_b")
     )
 
@@ -457,7 +511,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT id_a, id_b FROM cand
       WHERE round({_DOT_SQL.format(a="ea", b="eb")} / (na * nb), 4)
-            >= {NEAR_DUP_THRESHOLD!r}
+            >= (SELECT thr FROM bb)
     ),
     -- MATERIALIZED: DuckDB inlines CTEs by default, so the recursive
     -- reach join would re-evaluate the whole banded-candidate pipeline

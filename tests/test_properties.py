@@ -749,3 +749,46 @@ def test_ivfpq_recall_20k_diffuse(spark, tmp_path):
     assert got[0] == 20_000, f"planted near-dup not at rank 1: {got[:3]}"
     for r in rows:  # re-ranked scores must be exact, not ADC-approximate
         assert abs(r["cosine"] - exact_cos[r["vec_id"]]) < 1e-9, r
+
+
+def test_near_dup_threshold_ladder_twins_and_shape():
+    """The count-derived near-dup report threshold (VERDICT r10 task 3):
+    (1) identity below the base corpus — every test SF and the sf1
+    probe corpus (n <= 20 000) keep the historical 0.35, so the ladder
+    changed no green-verdicted result; (2) strictly monotone rungs;
+    (3) the rung spacing is the linear-output criterion t_k =
+    sqrt(t0^2 + k*2*ln2/d), which holds expected diffuse-tier pairs
+    ~linear in n (P(cos>=t) ~ exp(-d*t^2/2)); (4) the SQL CASE twin
+    enumerates the identical breakpoints and rungs, so Spark and the
+    oracle derive the same threshold from the same count."""
+    import math
+
+    from log_analysis_bigdata_spark.queries.vectorq import (
+        NEAR_DUP_BASE_N,
+        NEAR_DUP_DIM,
+        NEAR_DUP_MAX_DOUBLINGS,
+        NEAR_DUP_THRESHOLD,
+        _NEAR_DUP_LADDER,
+        _NEAR_DUP_THR_SQL,
+        near_dup_threshold,
+    )
+
+    for n in (1, 500, 2_000, 20_000):
+        assert near_dup_threshold(n) == NEAR_DUP_THRESHOLD
+    assert list(_NEAR_DUP_LADDER) == sorted(set(_NEAR_DUP_LADDER))
+    for k, t in enumerate(_NEAR_DUP_LADDER):
+        expect = math.sqrt(
+            NEAR_DUP_THRESHOLD**2 + k * 2 * math.log(2) / NEAR_DUP_DIM
+        )
+        assert abs(t - expect) < 5e-5, (k, t, expect)
+    # doubling boundary semantics: n = base<<k is the LAST n on rung k
+    for k in range(1, NEAR_DUP_MAX_DOUBLINGS):
+        assert near_dup_threshold(NEAR_DUP_BASE_N << k) == _NEAR_DUP_LADDER[k]
+        assert (
+            near_dup_threshold((NEAR_DUP_BASE_N << k) + 1)
+            == _NEAR_DUP_LADDER[k + 1]
+        )
+    # SQL twin carries every breakpoint and rung verbatim
+    for k in range(NEAR_DUP_MAX_DOUBLINGS):
+        assert f"WHEN n <= {NEAR_DUP_BASE_N << k} THEN {_NEAR_DUP_LADDER[k]!r}" in _NEAR_DUP_THR_SQL
+    assert f"ELSE {_NEAR_DUP_LADDER[NEAR_DUP_MAX_DOUBLINGS]!r} END" in _NEAR_DUP_THR_SQL

@@ -218,13 +218,24 @@ def invariants(spark, registry, sf1: str, sf10: str) -> dict:
         ).alias("cross_tile_pairs"),
     ).first()
     n_pairs_sf1 = registry["embedding_near_dup"].spark(spark, sf1).count()
+    # r11: the REPORTED pair count must now grow ~linearly — the
+    # count-derived threshold ladder (vectorq.near_dup_threshold)
+    # tightens the cosine cut per corpus doubling, so 10x vectors may
+    # report at most ~10x pairs with headroom (30x bound, the repo's
+    # standard sub-quadratic band; the fixed 0.35 threshold measured
+    # 6.7k -> 147k = 22x-super-linear O(n^2 p) growth in r10).
+    pairs_ratio = agg["total"] / max(n_pairs_sf1, 1)
     out["embedding_near_dup"] = {
         "pairs_sf1": int(n_pairs_sf1),
         "pairs_sf10": int(agg["total"]),
+        "pairs_ratio": round(pairs_ratio, 2),
         "cross_tile_copy_pairs_sf10": int(agg["copy_pairs"]),
         "cross_tile_pairs_sf10": int(agg["cross_tile_pairs"]),
-        "check": "cross_tile_copies_below_5pct",
-        "ok": agg["copy_pairs"] <= max(1, agg["total"] // 20),
+        "check": "cross_tile_copies_below_5pct_and_pairs_ratio_le_30x",
+        "ok": (
+            agg["copy_pairs"] <= max(1, agg["total"] // 20)
+            and pairs_ratio <= 30.0
+        ),
     }
 
     # ivfpq: structural sanity at sf10 (exactness vs brute force is
