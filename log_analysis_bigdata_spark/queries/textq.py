@@ -2128,13 +2128,22 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     # The inventory feeds BOTH branches (dup-gram agg + the hits join);
     # without a cut each re-runs tokenize+posexplode over the corpus —
-    # the checkpoint trades that second pass for block storage bounded
-    # by corpus tokens × gram width (measured 2.67→1.87 s at sf0.1,
-    # 4.49→3.38 s at sf1). At 100 TB this materialization moves to
-    # disk-backed persist or a written-out gram table keyed for reuse;
+    # the checkpoint trades that second pass for block storage (measured
+    # 2.67→1.87 s at sf0.1, 4.49→3.38 s at sf1). Since r11 (ADVICE r10)
+    # the gram STRING is collapsed to an 8-byte xxhash64 key BEFORE the
+    # cut, so the materialization holds corpus tokens × 8 bytes instead
+    # of × ~6-token strings (~5× smaller) and the gram-keyed shuffle
+    # moves fixed-width longs. Dup detection groups by hash: a 64-bit
+    # collision could merge two distinct grams (P ≈ m²/2⁶⁵ ≈ 3e-8 at
+    # the sf1 gram count — negligible, and the span/coverage outputs
+    # aggregate per doc, so a single phantom dup-gram perturbs counts
+    # by at most one window). At 100 TB this materialization moves to
+    # disk-backed persist or a written-out gram-key table for reuse;
     # recompute is the fallback when storage is the scarcer resource.
     grams = toks.select(
         "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+    ).select(
+        "doc_id", "pos", F.xxhash64("gram").alias("gram")
     ).localCheckpoint(eager=True)
     # agg + equi-join (NOT collect_list): hot grams stay partial-agg +
     # AQE-splittable; this is the one gram-keyed shuffle of the plan
