@@ -54,93 +54,84 @@ _LOADED = False
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
 # on file; tests/test_driver_session.py CI-enforces the rotation —
-# no latest verdict may age past 4 rounds). Round-10 window (50 slots):
-#   (1) the full round-6-latest cohort — all 14, the oldest verdicts
-#       left in the chain (VERDICT r9 task 3);
-#   (2) the six queries REGISTERED this round, never verdicted:
-#       dedup_survivors_by_quality, multimodal_bmp_pixel_stats,
-#       multimodal_gif_pixel_stats (from-scratch LZW decode),
-#       ivfpq_topk (product-quantized ANN),
-#       repeated_ngram_spans (span-level boilerplate dedup), and
-#       the consolidated setops_nations;
-#   (3) re-verdicts for the two queries whose CODE changed this round:
-#       heavy_hitters_topk (NULL-keyed sketch-arm fix + certified
-#       result built from the collected top-10, ADVICE r9) and
-#       ml_lr_train_confusion (setSummary guarded behind try/except);
-#   (4) 28 of the 49 round-7-latest, alphabetical
-#       (approx_percentile_value .. json_extract_events). The 21
-#       that do not fit (kmeans_step_shift,
-#       label_histogram_embeddings,
-#       latest_record_per_key,
-#       minhash_dup_pairs, minhash_signatures,
-#       ml_score_embeddings,
-#       mode_per_event_type, the five multimodal_* r7 entries,
-#       per_user_model_fit, per_user_regression_sql,
-#       percentile_order_value, simhash_near_components,
-#       simhash_near_pairs, udtf_chunk_docs, unpivot_lineitem_metrics,
-#       user_activity_full_join, window_running_value) keep their r7
-#       green rows at age 3 — they MUST head the r11 window (cap 4).
-#       14 + 6 + 2 + 28 = 50.
+# no latest verdict may age past 4 rounds). Round-11 window (50 slots):
+#   (1) the full round-7-latest cohort — all 21, at the age cap after
+#       r10 (VERDICT r10 task 1: they MUST head this window);
+#   (2) re-verdicts for the 8 queries OUTSIDE that cohort whose
+#       RESULTS changed with the PLANT_SHIFT 10^12 id-shift bump
+#       (textq._dup_corpus / the variant / new-batch / c2t corpora —
+#       the r7 minhash/simhash entries in (1) re-verdict the same
+#       change): dedup_exact_docs, ngram_jaccard_pairs (r8),
+#       simhash_dup_groups, crossformat_dedup_docs,
+#       corpus_to_training_set (r9), dedup_pipeline_docs,
+#       grouped_minhash_union, incremental_dedup_newbatch (r10);
+#   (3) re-verdicts for the 5 queries whose CODE changed this round:
+#       heavy_hitters_topk (TakeOrderedAndProject final cut),
+#       ivfpq_topk (IVF cells + residual PQ recomposition),
+#       embedding_near_dup + dedup_components (count-derived
+#       threshold ladder), repeated_ngram_spans (8-byte gram keys);
+#   (4) 16 of the remaining 41 round-8-latest, alphabetical
+#       (ann_bucketed_topk .. ivf_topk). The 25 that do not fit keep
+#       their r8 green rows at age 3 — they MUST head the r12 window
+#       (cap 4). 21 + 8 + 5 + 16 = 50.
 _DRIVER_WINDOW = (
-    # (1) round-6-latest cohort, rotated in full
-    "quality_decile_stats",
-    "repetition_metrics_docs",
-    "reservoir_sample_docs",
-    "sequence_pack_docs",
-    "serving_compound_filter",
-    "serving_latest_n",
-    "serving_stats",
-    "skew_report_events",
-    "stratified_sample_docs",
-    "stream_static_enrich_segments",
-    "stream_stream_join_attribution",
-    "tfidf_top_terms",
-    "unigram_logprob_docs",
-    "zorder_locality_events",
-    # (2) new registrations this round (never verdicted) — including
-    # the consolidated setops_nations (replaces the setop trio whose
-    # three r8-green entries left the registry, task 5)
-    "dedup_survivors_by_quality",
-    "ivfpq_topk",
-    "multimodal_bmp_pixel_stats",
-    "multimodal_gif_pixel_stats",
-    "repeated_ngram_spans",
-    "setops_nations",
-    # (3) round-10 code-change re-verdicts
-    "heavy_hitters_topk",
-    "ml_lr_train_confusion",
-    # (4) round-7-latest cohort, 28 alphabetical
-    "approx_percentile_value",
-    "asof_join_events_orders",
-    "asof_join_tolerance",
-    "bm25_search_docs",
-    "bpe_apply_merges",
-    "bpe_merge_candidates",
-    "bpe_train_merges",
-    "cdc_latest_state",
-    "chunk_documents",
-    "cogroup_user_activity",
-    "constant_columns_detect",
-    "dedup_components",
+    # (1) round-7-latest cohort, rotated in full (age cap)
+    "kmeans_step_shift",
+    "label_histogram_embeddings",
+    "latest_record_per_key",
+    "minhash_dup_pairs",
+    "minhash_signatures",
+    "ml_score_embeddings",
+    "mode_per_event_type",
+    "multimodal_asset_stats",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    "multimodal_ppm_pixel_stats",
+    "multimodal_resize_plan",
+    "per_user_model_fit",
+    "per_user_regression_sql",
+    "percentile_order_value",
+    "simhash_near_components",
+    "simhash_near_pairs",
+    "udtf_chunk_docs",
+    "unpivot_lineitem_metrics",
+    "user_activity_full_join",
+    "window_running_value",
+    # (2) PLANT_SHIFT re-verdicts outside the r7 cohort
+    "dedup_exact_docs",
+    "ngram_jaccard_pairs",
+    "simhash_dup_groups",
+    "crossformat_dedup_docs",
+    "corpus_to_training_set",
     "dedup_pipeline_docs",
-    "distinct_count_segments",
-    "embedding_centroid_drift",
-    "embedding_near_dup",
-    "ewma_user_value",
-    "group_having_active_customers",
     "grouped_minhash_union",
-    "grouped_zscore_events",
-    "grouped_zscore_window",
-    "hard_negatives_per_query",
     "incremental_dedup_newbatch",
-    "ivf_topk_nprobe",
-    "join_anti_customers_no_orders",
-    "join_left_customer_orders",
-    "join_semi_customers_with_orders",
-    "json_extract_events",
-    # Past the 50-slot window: everything else keeps its r7–r9 green
+    # (3) round-11 code-change re-verdicts
+    "heavy_hitters_topk",
+    "ivfpq_topk",
+    "embedding_near_dup",
+    "dedup_components",
+    "repeated_ngram_spans",
+    # (4) round-8-latest cohort, 16 alphabetical
+    "ann_bucketed_topk",
+    "anti_join_docs_quarantine",
+    "case_bucket_order_price",
+    "cosine_topk",
+    "cube_order_status",
+    "date_parts_orders",
+    "doc_fingerprint",
+    "embedding_norms",
+    "event_traces_users",
+    "ewma_user_value_stateful",
+    "feature_counts_events",
+    "fuzzy_match_names",
+    "grouped_agg_weighted_mean",
+    "grouping_sets_order_stats",
+    "interval_overlap_sessions",
+    "ivf_topk",
+    # Past the 50-slot window: everything else keeps its r8–r10 green
     # verdict; the full local parity sweep for ALL registry entries is
-    # committed per round as EVIDENCE_r10.md.
+    # committed per round as EVIDENCE_r11.md.
 )
 
 
