@@ -175,7 +175,53 @@ HEADLINE = [
     # windows merged to maximal spans) — the third dedup regime beside
     # doc-level and chunk-level
     "repeated_ngram_spans",
+    # round-11 (VERDICT r10 task 4): the quality-aware survivor
+    # selection is a PIPELINE (components → quality join → max_by
+    # survivor), not a parameter variant of the minhash family — it
+    # belongs in HEADLINE like dedup_pipeline_docs
+    "dedup_survivors_by_quality",
+    # round-11: flagged by the excluded-wall audit below — a full
+    # 4-way melt of lineitem (the biggest table) is a throughput
+    # shape, not a fixed-latency micro; also the only unpivot/stack
+    # plan family in the list
+    "unpivot_lineitem_metrics",
 ]
+
+# Heavyweight entries DELIBERATELY excluded from HEADLINE, name →
+# justification. The excluded-wall audit below (VERDICT r10 task 4)
+# times every variant/micro exclusion once per bench run and flags any
+# wall over EXCLUDED_WALL_BUDGET seconds that is not justified here —
+# so a future heavyweight can no longer hide in 'variant' silently.
+EXCLUDED_WALL_BUDGET = 1.0
+HEAVY_EXCLUDED_OK = {
+    "simhash_near_pairs": (
+        "planted-dup corpus yields ~20k true near-pairs at sf0.01 "
+        "already — correct but multi-minute at sf0.1; the family's "
+        "engine cost is benched via simhash_near_components"
+    ),
+    # the r11 audit's first sweep flagged these four at 1.0-1.7s on a
+    # contended host; each one's engine machinery is already benched
+    # inside a HEADLINE entry, so they stay variants WITH the receipt:
+    "minhash_signatures": (
+        "the signature stage is the first half of benched "
+        "minhash_dup_pairs; the standalone wall is the full n×8 "
+        "signature frame materializing to noop"
+    ),
+    "ngram_jaccard_pairs": (
+        "the shingle-Jaccard verify stage is benched inside "
+        "dedup_pipeline_docs; this entry exists for the oracle "
+        "contract on the planted pairs"
+    ),
+    "simhash_dup_groups": (
+        "simhash family cost is benched via simhash_near_components "
+        "(HEADLINE); this is the exact-signature grouping variant"
+    ),
+    "dedup_components": (
+        "composition of benched embedding_near_dup + the "
+        "connected-components operator benched inside "
+        "dedup_pipeline_docs; no unbenched machinery"
+    ),
+}
 
 # Registry entries NOT in HEADLINE are timed only in the parity sweeps
 # (tools/driver_parity.py prints per-query seconds); the bench line's
@@ -197,12 +243,15 @@ EXCLUDED_REASONS = {
     "serving-micro": "single-key/limit-N serving lookups — "
             "sub-100ms fixed-latency shapes, not throughput queries",
     "variant": "parameter/family variants of a benched dedup/ANN "
-            "entry (signatures/buckets/nprobe/width variants)",
+            "entry (signatures/buckets/nprobe/width variants); "
+            "wall-audited each run — see excluded_walls/"
+            "excluded_over_budget",
     "ml-recipe": "deterministic ML train/eval recipes — quality is "
             "anchored vs closed-form oracles in test_ml, not wall time",
     "micro": "single-pass micro shapes (small dims, scalar funcs, "
             "setops, tiny aggs) dominated by fixed job latency at any "
-            "benched SF; timed per-query in the parity sweeps",
+            "benched SF; wall-audited each run — see excluded_walls/"
+            "excluded_over_budget",
     "uncategorized": "matched NO explicit exclusion rule — a new "
             "registry entry that should either join HEADLINE or get "
             "an explicit category (this bucket existing is a bug)",
@@ -226,7 +275,7 @@ MICRO_NAMES = frozenset({
     "scalar_subquery_last_order", "setops_nations",
     "stratified_sample_docs", "string_funcs_customer",
     "template_tag_docs", "topk_orders_by_price",
-    "unpivot_lineitem_metrics", "window_lag_event_gaps",
+    "window_lag_event_gaps",
     "window_running_value", "window_time_range_sum",
     "word_histogram_docs",
 })
@@ -402,6 +451,47 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # excluded-wall audit (VERDICT r10 task 4): 'variant' and 'micro'
+    # exist for CHEAP family/parameter shapes — time each one once and
+    # flag any wall over EXCLUDED_WALL_BUDGET that is not justified in
+    # HEAVY_EXCLUDED_OK, so a heavyweight pipeline can never sit in a
+    # cheap-exclusion category silently (the dedup_survivors lesson).
+    # One pass, not three: this is a classification guard, not a
+    # benchmark — the flagged set must be empty, its walls are not
+    # compared round-over-round.
+    excluded_walls: dict[str, float] = {}
+    over_budget: dict[str, float] = {}
+    for name, cat in out["excluded"].items():
+        if cat not in ("variant", "micro") or name in HEAVY_EXCLUDED_OK:
+            continue
+        try:
+            t0 = time.perf_counter()
+            df = registry[name].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — audit must not kill bench
+            excluded_walls[name] = -1.0
+            print(
+                f"bench: excluded-audit {name} FAILED: "
+                f"{type(exc).__name__}: {exc}"[:300],
+                file=sys.stderr,
+            )
+            continue
+        del df
+        gc.collect()
+        excluded_walls[name] = wall
+        if wall > EXCLUDED_WALL_BUDGET:
+            over_budget[name] = wall
+            print(
+                f"WARNING: excluded query {name!r} ({cat}) ran "
+                f"{wall}s > {EXCLUDED_WALL_BUDGET}s budget — move it to "
+                "HEADLINE or justify it in HEAVY_EXCLUDED_OK",
+                file=sys.stderr,
+            )
+    out["excluded_walls"] = excluded_walls
+    out["excluded_over_budget"] = over_budget
+    out["excluded_heavy_justified"] = HEAVY_EXCLUDED_OK
+
     # Evidence-capture contract (learned rounds 3-5): the driver stores
     # only the LAST 2000 chars of stdout and parses the final line as
     # JSON. The full three-pass JSON is ~6 KB, so printing it last left
@@ -465,6 +555,10 @@ def main() -> None:
             "total_median": round(sum(medians.values()), 2),
             "pass_totals": pass_totals,
             "warm_spread_rel": warm_spread_rel,
+            # excluded-wall audit verdict: entries in variant/micro
+            # over the 1s budget without a HEAVY_EXCLUDED_OK entry
+            # (must be 0; names in BENCH_LOCAL.json)
+            "x_over_budget": len(over_budget),
             "q_key": f"name[:{width}]",
             "q_val": "warm_min_s" if warm_only else "[cold_s,warm_min_s]",
             "queries": {
