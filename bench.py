@@ -185,6 +185,9 @@ HEADLINE = [
     # shape, not a fixed-latency micro; also the only unpivot/stack
     # plan family in the list
     "unpivot_lineitem_metrics",
+    # round-11: token-level benchmark decontamination (span excision
+    # with columnar splice) — a pipeline, registered this round
+    "decontaminate_spans_docs",
 ]
 
 # Heavyweight entries DELIBERATELY excluded from HEADLINE, name →

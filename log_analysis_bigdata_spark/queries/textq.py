@@ -2199,3 +2199,183 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- round 11: token-level benchmark decontamination -------------------------
+
+DECON_K = 5  # word-gram width, matches contamination_check's 5-grams
+
+
+@register(
+    "decontaminate_spans_docs",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, source,
+             CASE WHEN (source = 'src0' AND doc_id % 4 = 0)
+                       OR (source <> 'src0' AND doc_id % 9 = 0)
+                  THEN '{_BOILERPLATE} ' || text ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, source, {_TOK_SQL} AS tok FROM docs2),
+    bench AS (
+      SELECT DISTINCT unnest(list_distinct({_ngram_sql(DECON_K)})) AS g
+      FROM toks WHERE source = 'src0'
+    ),
+    corpus AS (SELECT doc_id, tok FROM toks WHERE source <> 'src0'),
+    grams AS (
+      SELECT doc_id, t.i AS pos,
+             list_aggregate(tok[t.i + 1 : t.i + {DECON_K}],
+                            'string_agg', ' ') AS g
+      FROM corpus,
+           unnest(range(0, greatest(len(tok) - {DECON_K - 1}, 0))) AS t(i)
+    ),
+    hits AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN bench b USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > {DECON_K}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    sp AS (
+      SELECT doc_id, island, min(pos) AS p0,
+             max(pos) + {DECON_K - 1} AS p1
+      FROM isl2 GROUP BY 1, 2
+    ),
+    tokpos AS (
+      SELECT doc_id, t.i AS pos, tok[t.i + 1] AS t
+      FROM corpus, unnest(range(0, len(tok))) AS t(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.t FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sp
+        WHERE sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.p0 AND sp.p1
+      )
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY 1
+    ),
+    spn AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(len(c.tok) AS BIGINT) AS n_tok,
+           CAST(len(c.tok) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(spn.n_spans, 0) AS BIGINT) AS n_spans,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM corpus c
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN spn USING (doc_id)
+    ORDER BY c.doc_id
+    """,
+    tags=("text", "contamination", "decontamination", "spans", "ngram"),
+)
+def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level benchmark decontamination: EXCISE contaminated spans
+    instead of dropping whole documents.
+
+    contamination_check answers "which docs leak eval data"; the
+    document-drop policy it implies wastes every clean token in a doc
+    that shares one line with the benchmark. This operator implements
+    the surgical policy a production pretraining pipeline runs: find
+    every corpus position whose word-{DECON_K}-gram appears in the
+    benchmark (src0) gram set, merge overlapping/adjacent windows into
+    maximal spans (the repeated_ngram_spans island rule), remove those
+    token ranges, and return the spliced text with before/after
+    accounting. A 10-token boilerplate line is planted into every 4th
+    benchmark doc AND every 9th corpus doc (both engines apply the same
+    transform), so full-span excision is exercised at every SF on top
+    of the corpus's own organic 5-gram collisions.
+
+    Scale shape (100 TB): the benchmark gram set is DISTINCT'd and
+    broadcast (eval suites are MBs); the corpus flows scan → shingle
+    explode → broadcast-hash hit filter → ONE doc-keyed shuffle for the
+    island merge (hit positions only, a tiny fraction of tokens) →
+    spans collected per doc (bounded by spans per doc) → joined back on
+    doc_id to the token arrays (the second doc-keyed shuffle, and the
+    only one that carries text) — the splice itself is a columnar
+    filter/transform over the token array, never per-token rows. The
+    text column never shuffles by gram.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            ((F.col("source") == "src0") & (F.col("doc_id") % 4 == 0))
+            | ((F.col("source") != "src0") & (F.col("doc_id") % 9 == 0)),
+            F.concat(F.lit(_BOILERPLATE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    bench = (
+        toks.filter(F.col("source") == "src0")
+        .select(
+            F.explode(
+                F.array_distinct(shingles(F.col("toks"), DECON_K))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    corpus = toks.filter(F.col("source") != "src0").select("doc_id", "toks")
+    grams = corpus.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("toks"), DECON_K)).alias("pos", "g"),
+    )
+    hits = grams.join(F.broadcast(bench), "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > DECON_K),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).select("doc_id", "pos", F.sum("brk").over(w).alias("island"))
+    sp = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("p0"),
+        (F.max("pos") + (DECON_K - 1)).alias("p1"),
+    )
+    doc_sp = sp.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("p0", "p1"))).alias("spans"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    spans = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<p0:int,p1:int>>")
+    )
+    indexed = F.transform(
+        "toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            spans, lambda r: (s.i >= r.p0) & (s.i <= r.p1)
+        ),
+    )
+    return (
+        corpus.join(doc_sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tok"),
+            (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.array_join(
+                F.transform(kept, lambda s: s.t), " "
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -386,3 +386,41 @@ def test_repeated_ngram_spans_planted_boilerplate(spark):
             assert (
                 r["covered_tokens"] >= r["dup_windows"] + 5 * r["n_spans"]
             ), r
+
+
+def test_decontaminate_spans_excises_planted_boilerplate(spark):
+    """Token-level decontamination semantics on the planted fixture:
+    every 9th corpus doc gets the 10-token boilerplate line that every
+    4th benchmark (src0) doc also carries, so for those docs the query
+    MUST (a) report at least one span and >= 10 removed tokens, (b)
+    return clean_text that no longer contains the line, and (c) keep
+    the doc's own tail text. Docs are never dropped — the output has
+    one row per corpus doc — and removal accounting is exact:
+    n_tok - n_removed == len(clean_text tokens)."""
+    from log_analysis_bigdata_spark.queries.textq import (
+        _BOILERPLATE,
+        decontaminate_spans_docs,
+    )
+
+    rows = decontaminate_spans_docs(spark, SF_SMOKE).collect()
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("source") != "src0")
+        .select("doc_id", "text")
+        .collect()
+    )
+    orig = {r["doc_id"]: r["text"] for r in docs}
+    assert {r["doc_id"] for r in rows} == set(orig)  # no doc dropped
+
+    planted = [r for r in rows if r["doc_id"] % 9 == 0]
+    assert planted, "fixture must plant at least one corpus doc"
+    for r in rows:
+        kept = r["clean_text"].split(" ") if r["clean_text"] else []
+        assert r["n_tok"] - r["n_removed"] == len(kept), r["doc_id"]
+        assert _BOILERPLATE not in r["clean_text"], r["doc_id"]
+    for r in planted:
+        assert r["n_spans"] >= 1, r
+        assert r["n_removed"] >= 10, r  # at least the planted line
+        # the doc's own content survives the excision: its last token
+        # (untouched by the PREPENDED line) is still the last token
+        assert r["clean_text"].split(" ")[-1] == orig[r["doc_id"]].split()[-1]
