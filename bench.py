@@ -188,6 +188,9 @@ HEADLINE = [
     # round-11: token-level benchmark decontamination (span excision
     # with columnar splice) — a pipeline, registered this round
     "decontaminate_spans_docs",
+    # round-11: temperature-flattened mixture resampling — the
+    # data-mixing stage, registered this round
+    "mixture_temperature_sample",
 ]
 
 # Heavyweight entries DELIBERATELY excluded from HEADLINE, name →

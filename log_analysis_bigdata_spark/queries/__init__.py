@@ -70,12 +70,13 @@ _LOADED = False
 #       ivfpq_topk (IVF cells + residual PQ recomposition),
 #       embedding_near_dup + dedup_components (count-derived
 #       threshold ladder), repeated_ngram_spans (8-byte gram keys);
-#   (3b) the one query REGISTERED this round, never verdicted:
-#       decontaminate_spans_docs (token-level span excision);
-#   (4) 15 of the remaining 41 round-8-latest, alphabetical
-#       (ann_bucketed_topk .. interval_overlap_sessions). The 26 that
+#   (3b) the two queries REGISTERED this round, never verdicted:
+#       decontaminate_spans_docs (token-level span excision) and
+#       mixture_temperature_sample (tau=1/2 data-mixing resampler);
+#   (4) 14 of the remaining 41 round-8-latest, alphabetical
+#       (ann_bucketed_topk .. grouping_sets_order_stats). The 27 that
 #       do not fit keep their r8 green rows at age 3 — they MUST head
-#       the r12 window (cap 4). 21 + 8 + 5 + 1 + 15 = 50.
+#       the r12 window (cap 4). 21 + 8 + 5 + 2 + 14 = 50.
 _DRIVER_WINDOW = (
     # (1) round-7-latest cohort, rotated in full (age cap)
     "kmeans_step_shift",
@@ -114,9 +115,10 @@ _DRIVER_WINDOW = (
     "embedding_near_dup",
     "dedup_components",
     "repeated_ngram_spans",
-    # (3b) new registration this round (never verdicted)
+    # (3b) new registrations this round (never verdicted)
     "decontaminate_spans_docs",
-    # (4) round-8-latest cohort, 15 alphabetical
+    "mixture_temperature_sample",
+    # (4) round-8-latest cohort, 14 alphabetical
     "ann_bucketed_topk",
     "anti_join_docs_quarantine",
     "case_bucket_order_price",
@@ -131,7 +133,6 @@ _DRIVER_WINDOW = (
     "fuzzy_match_names",
     "grouped_agg_weighted_mean",
     "grouping_sets_order_stats",
-    "interval_overlap_sessions",
     # Past the 50-slot window: everything else keeps its r8–r10 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r11.md.

@@ -25,6 +25,7 @@ from .textq import (
     _DUP_CORPUS_SQL,
     _HS_SQL,
     _SHINGLE_SQL,
+    _TOK_SQL,
     PLANT_SHIFT,
     _band_sql,
     _dup_corpus_spark,
@@ -1261,4 +1262,173 @@ def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("survivor_doc_id"),
             F.col("quality").alias("survivor_quality"),
         )
+    )
+
+
+# --- round 11: temperature-based mixture resampling --------------------------
+#
+# The data-mixing stage between mixture weighting and training-set
+# assembly: given per-source token masses, sample each source at a rate
+# that moves the mixture toward temperature-flattened shares
+# (share_s ∝ tok_s^τ, τ = 1/2 — the standard pretraining convention for
+# up-weighting small high-quality sources without drowning the big ones)
+# under a global kept-token budget of half the corpus.
+#
+# EVERYTHING after the one sqrt is INTEGER math, so both engines derive
+# bit-identical rates with no float-sum order risk (the money-sum
+# pattern): w_e4 = round(sqrt(tok_s)·10⁴) is an integer weight (sqrt is
+# IEEE correctly-rounded in both engines; the round-4 boundary has the
+# standing measure-zero argument), the keep rate is the integer
+# k_s = min(256, (B·w_e4_s·256) // (Σw_e4 · tok_s)) in 1/256 units, and
+# a doc is kept iff its 2-nibble md5 value v ∈ [0,255] < k_s — the
+# hash_split_summary determinism pattern widened to 8 bits. At real
+# scale the int64 product B·w_e4·256 wants DECIMAL/HUGEINT headroom
+# (DuckDB promotes automatically; Spark: cast to decimal(38,0)) — at
+# the test SFs it is ~4e16, well inside int64.
+
+MIX_RATE_DEN = 256   # keep-rate resolution (2 md5 nibbles)
+MIX_BUDGET_DEN = 2   # kept-token budget = total_tokens // 2
+
+_MIX_V_SQL = (
+    "((strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef',"
+    " substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@register(
+    "mixture_temperature_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens,
+             {_MIX_V_SQL} AS v
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tok,
+             CAST(round(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 10000)
+                  AS BIGINT) AS w_e4
+      FROM d GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(w_e4) AS BIGINT) AS sw,
+             CAST(sum(n_tok) AS BIGINT) // {MIX_BUDGET_DEN} AS b
+      FROM per_src
+    ),
+    rates AS (
+      SELECT p.source, p.n_docs, p.n_tok, p.w_e4,
+             least({MIX_RATE_DEN},
+                   (t.b * p.w_e4 * {MIX_RATE_DEN}) // (t.sw * p.n_tok))
+               AS k256
+      FROM per_src p, tot t
+    ),
+    kept AS (
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS kept_docs,
+             CAST(coalesce(sum(d.n_tokens), 0) AS BIGINT) AS kept_tokens
+      FROM d JOIN rates r ON d.source = r.source AND d.v < r.k256
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.n_tok, r.w_e4,
+           CAST(r.k256 AS BIGINT) AS k256,
+           coalesce(k.kept_docs, 0) AS kept_docs,
+           coalesce(k.kept_tokens, 0) AS kept_tokens,
+           (10000 * coalesce(k.kept_tokens, 0)) // r.n_tok
+             AS kept_frac_e4
+    FROM rates r LEFT JOIN kept k USING (source)
+    ORDER BY r.source
+    """,
+    tags=("text", "mixture", "sampling", "temperature", "training"),
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture resampling (see module comment):
+    per-source keep-rates k/256 from integer math over token masses,
+    deterministic 2-nibble md5 membership, per-source before/after
+    accounting.
+
+    Scale shape (100 TB): pass 1 is a narrow scan → per-source agg
+    (#sources rows); the rate table is #sources rows and BROADCAST back
+    into pass 2's keep filter, so the corpus never shuffles — both
+    passes are scan-side, and the kept set would be written out
+    partitioned by source. The two corpus scans share the page cache;
+    persisting per-doc (doc_id, source, n_tokens, v) metadata collapses
+    them to one text pass at deployment.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (
+            (
+                F.expr(
+                    "locate(substr(md5(CAST(doc_id AS STRING)), 1, 1),"
+                    " '0123456789abcdef') - 1"
+                )
+            )
+            * 16
+            + F.expr(
+                "locate(substr(md5(CAST(doc_id AS STRING)), 2, 1),"
+                " '0123456789abcdef') - 1"
+            )
+        ).alias("v"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tok"),
+        F.round(F.sqrt(F.sum("n_tokens").cast("double")) * 10000)
+        .cast("long")
+        .alias("w_e4"),
+    )
+    tot = per_src.agg(
+        F.sum("w_e4").cast("long").alias("sw"),
+        F.expr(f"CAST(sum(n_tok) AS BIGINT) div {MIX_BUDGET_DEN}").alias("b"),
+    )
+    rates = per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tok",
+        "w_e4",
+        F.least(
+            F.lit(MIX_RATE_DEN),
+            F.expr(
+                f"(b * w_e4 * {MIX_RATE_DEN}) div (sw * n_tok)"
+            ),
+        ).alias("k256"),
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "k256")), "source")
+        .filter(F.col("v") < F.col("k256"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+    return (
+        # kept is #sources rows (an agg output Catalyst can't size) —
+        # broadcast it so the tiny final join never sort-merges
+        rates.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tok",
+            "w_e4",
+            F.col("k256").cast("long").alias("k256"),
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.expr("(10000 * coalesce(kept_tokens, 0)) div n_tok")
+            .cast("long")
+            .alias("kept_frac_e4"),
+        )
+        .orderBy("source")
     )

@@ -424,3 +424,55 @@ def test_decontaminate_spans_excises_planted_boilerplate(spark):
         # the doc's own content survives the excision: its last token
         # (untouched by the PREPENDED line) is still the last token
         assert r["clean_text"].split(" ")[-1] == orig[r["doc_id"]].split()[-1]
+
+
+def test_mixture_temperature_sample_flattens_and_accounts(spark):
+    """Temperature-sampling semantics: (a) keep-rates are integer-exact
+    and reproducible from the reported per-source totals (k256 =
+    min(256, B*w/(SW*tok))); (b) the tau=1/2 flattening is real —
+    among uncapped sources, a SMALLER source never gets a lower
+    keep-rate than a larger one; (c) the kept-token total respects the
+    half-corpus budget up to per-source quantization (k is floored to
+    1/256 units, so kept expectation <= budget; the hash realization
+    adds bounded noise); (d) kept_docs/kept_tokens equal an independent
+    recomputation from the md5 rule."""
+    import hashlib
+
+    from log_analysis_bigdata_spark.queries.corpusq import (
+        MIX_RATE_DEN,
+        mixture_temperature_sample,
+    )
+
+    rows = mixture_temperature_sample(spark, SF_SMOKE).collect()
+    assert rows and len({r["source"] for r in rows}) == len(rows)
+    sw = sum(r["w_e4"] for r in rows)
+    budget = sum(r["n_tok"] for r in rows) // 2
+    for r in rows:
+        expect_k = min(
+            MIX_RATE_DEN,
+            (budget * r["w_e4"] * MIX_RATE_DEN) // (sw * r["n_tok"]),
+        )
+        assert r["k256"] == expect_k, (r["source"], r["k256"], expect_k)
+    uncapped = [r for r in rows if r["k256"] < MIX_RATE_DEN]
+    for a in uncapped:
+        for b in uncapped:
+            if a["n_tok"] < b["n_tok"]:
+                assert a["k256"] >= b["k256"], (a, b)
+
+    # (d) independent recomputation of membership from raw docs
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source", F.size(F.split(F.trim("text"), " +"))
+                .cast("long").alias("n_tokens"))
+        .collect()
+    )
+    k_of = {r["source"]: r["k256"] for r in rows}
+    got = {r["source"]: [r["kept_docs"], r["kept_tokens"]] for r in rows}
+    want = {s: [0, 0] for s in k_of}
+    for d in docs:
+        h = hashlib.md5(str(d["doc_id"]).encode()).hexdigest()
+        v = int(h[0], 16) * 16 + int(h[1], 16)
+        if v < k_of[d["source"]]:
+            want[d["source"]][0] += 1
+            want[d["source"]][1] += d["n_tokens"]
+    assert got == want

@@ -55,6 +55,11 @@ BNLJ_ALLOWED = {
         "narrow per-row argmin, no corpus shuffle"
     ),
     "bm25_search_docs": "1-row corpus-stats (N, avgdl) cross join",
+    "mixture_temperature_sample": (
+        "1-row mixture totals (Σw_e4, token budget) cross join into "
+        "the #sources-row rate table; the corpus side is a broadcast "
+        "HASH join on source"
+    ),
     "langid_ngram_predict": (
         "1-row broadcast of the 5 pivoted language-profile trigram "
         "arrays; scoring is a narrow per-row array_intersect, no "
