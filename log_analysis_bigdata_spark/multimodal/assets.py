@@ -618,6 +618,13 @@ def _lzw_compress(indices: bytes, mcs: int) -> bytes:
             emit(clear, width)
             table = {bytes([i]): i for i in range(clear)}
             next_code, width = end + 1, mcs + 1
+            # DELIBERATE simplification (ADVICE r10): the pending
+            # sequence nseq is NOT seeded into the fresh table, which
+            # costs a little compression right after each reset but
+            # changes nothing about correctness — the decoder rebuilds
+            # the identical table from the emitted codes, and the
+            # roundtrip boundary stress tests pin it. This encoder is a
+            # test fixture, not a product path.
         wseq = bytes([b])
     if wseq:
         emit(table[wseq], width)
