@@ -227,6 +227,17 @@ HEAVY_EXCLUDED_OK = {
         "connected-components operator benched inside "
         "dedup_pipeline_docs; no unbenched machinery"
     ),
+    # ~1.0-1.1s single-pass walls that flap across the budget with
+    # ambient load — both literal parameter variants of benched entries:
+    "ivf_topk_nprobe": (
+        "nprobe=2 parameter variant of benched ivf_topk — identical "
+        "centroid/assign machinery plus one tiny probe-list join"
+    ),
+    "simhash_text_docs": (
+        "the signature stage of the simhash family benched via "
+        "simhash_near_components; standalone wall is the full n-row "
+        "signature frame materializing to noop"
+    ),
 }
 
 # Registry entries NOT in HEADLINE are timed only in the parity sweeps

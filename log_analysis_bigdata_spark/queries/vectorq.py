@@ -1485,6 +1485,20 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
+    def d2_fold(a, b) -> Column:
+        # Σ(a_i−b_i)² as a sequential zip_with fold: one ROW per
+        # (vector, candidate) instead of one row per DIMENSION — the
+        # r11 sf10 probe killed the dim-exploded join+agg formulation
+        # (n×64×k rows ≈ 3.3e9 at n=200k, k=256); the fold does the
+        # same arithmetic on n×k rows. Distances feed only argmin /
+        # ordering, so the fold-vs-agg summation-order difference is
+        # covered by the standing no-exact-ties argument.
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
     e0 = emb.select(
         "vec_id", "label", "embedding", sign_str(e, 0, bits).alias("cell")
     )
@@ -1493,121 +1507,105 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cell", "dim", F.col("x").cast("double").alias("x"))
     # centroids feed FOUR consumers (assign, residual, cell ranking,
     # query residual): localCheckpoint trains them exactly once —
-    # at deployment the coarse quantizer is trained once and persisted
+    # at deployment the coarse quantizer is trained once and persisted.
+    # Training itself IS one narrow dim-exploded agg (n×64 rows, no
+    # join); only the train pass pays it.
     cent = (
         dims.groupBy("cell", "dim")
         .agg(F.avg("x").alias("cx"))
         .localCheckpoint(eager=True)
     )
-    adist = (
-        dims.join(
-            F.broadcast(cent.select(F.col("cell").alias("ccell"), "dim", "cx")),
-            "dim",
-        )
-        .groupBy("vec_id", "ccell")
-        .agg(
-            F.sum(
-                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
-            ).alias("d2")
-        )
-    )
-    # nearest-centroid assignment — the checkpointed result is the
-    # production "inverted file" (persisted index at deployment); both
-    # the residual pass and the candidate scan consume it
-    assign = (
-        adist.groupBy("vec_id")
-        .agg(F.min_by("ccell", "d2").alias("cell"))
-        .localCheckpoint(eager=True)
-    )
-    # residual vectors as arrays (zip_with, no per-dim shuffle), PQ seed
-    # codes as sign strings per 4-dim subspace
+    # centroid ARRAYS (k rows) for every distance computation
     cent_arr = cent.groupBy("cell").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "cx"))),
             lambda s: s.cx,
         ).alias("cvec")
     )
+    ev = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # nearest-centroid assignment: n×k rows through a broadcast of the
+    # ≤256-row centroid table, per-row d2 fold, map-side min_by
+    adist = ev.join(
+        F.broadcast(cent_arr.select(F.col("cell").alias("ccell"), "cvec"))
+    ).select("vec_id", "ccell", d2_fold(F.col("v"), F.col("cvec")).alias("d2"))
+    assign = (
+        adist.groupBy("vec_id")
+        .agg(F.min_by("ccell", "d2").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    # residual vectors + per-subspace 4-dim slices and sign-seed codes
     base = (
-        emb.select("vec_id", "embedding")
-        .join(assign, "vec_id")
+        ev.join(assign, "vec_id")
         .join(F.broadcast(cent_arr), "cell")
         .select(
             "vec_id",
             "cell",
-            F.zip_with(
-                "embedding", "cvec", lambda x, c: x.cast("double") - c
-            ).alias("rvec"),
+            F.zip_with("v", "cvec", lambda x, c: x - c).alias("rvec"),
         )
     )
     rv = F.col("rvec")
-    base = base.withColumn(
-        "pseed",
-        F.array(
-            *[sign_str(rv, s * PQ_SUBDIM, PQ_SUBDIM) for s in range(PQ_NSUB)]
-        ),
-    )
-    rsub = base.select(
+    rsv = base.select(
         "vec_id",
         "cell",
-        F.posexplode("rvec").alias("dim", "rx"),
-        "pseed",
-    ).select(
-        "vec_id",
-        "cell",
-        F.expr(f"dim div {PQ_SUBDIM}").alias("sub"),
-        (F.col("dim") % PQ_SUBDIM).alias("subdim"),
-        "rx",
-        F.element_at(
-            "pseed", (F.expr(f"dim div {PQ_SUBDIM}") + 1).cast("int")
-        ).alias(
-            "scode"
-        ),
-    )
-    # residual codebook: ≤ 16 subs × 16 codes × 4 dims = 1 024 rows;
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.slice(rv, s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("rv4"),
+                        sign_str(rv, s * PQ_SUBDIM, PQ_SUBDIM).alias("scode"),
+                    )
+                    for s in range(PQ_NSUB)
+                ]
+            )
+        ).alias("sub", "sc"),
+    ).select("vec_id", "cell", "sub", F.col("sc.rv4").alias("rv4"),
+             F.col("sc.scode").alias("scode"))
+    # residual codebook: ≤ 16 subs × 16 codes × 4 dims = 1 024 values;
+    # trained by ONE narrow agg over the subdim-exploded residuals,
     # checkpointed so encode and ADC train it exactly once
     cb = (
-        rsub.groupBy("sub", F.col("scode").alias("code"), "subdim")
+        rsv.select("sub", "scode", F.posexplode("rv4").alias("subdim", "rx"))
+        .groupBy("sub", F.col("scode").alias("code"), "subdim")
         .agg(F.avg("rx").alias("cx"))
         .localCheckpoint(eager=True)
     )
-    edist = (
-        rsub.join(F.broadcast(cb), ["sub", "subdim"])
-        # cell rides along (functionally dependent on vec_id) so the
-        # candidate scan never joins codes back to the assignment — one
-        # fewer corpus-sized shuffle join
-        .groupBy("vec_id", "cell", "sub", "code")
-        .agg(
-            F.sum(
-                (F.col("rx") - F.col("cx")) * (F.col("rx") - F.col("cx"))
-            ).alias("d2")
-        )
+    cb_arr = cb.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subdim", "cx"))),
+            lambda s: s.cx,
+        ).alias("cvec4")
+    )
+    # encode: n×16 subvectors × 16 codes through a broadcast, d2 fold
+    # per pair (4 mults), map-side min_by — never n×64×16 join rows
+    edist = rsv.join(F.broadcast(cb_arr), "sub").select(
+        "vec_id",
+        "cell",
+        "sub",
+        "code",
+        d2_fold(F.col("rv4"), F.col("cvec4")).alias("d2"),
     )
     codes = edist.groupBy("vec_id", "cell", "sub").agg(
         F.min_by("code", "d2").alias("code")
     )
 
-    # query side: rank cells, probe the nearest nprobe, build the
-    # integer-micro-unit ADC table for those cells only
+    # query side: rank cells by centroid distance, probe the nearest
+    # nprobe, build the integer-micro-unit ADC table for those cells
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
-    )
-    qd2cell = F.aggregate(
-        F.zip_with(
-            "qv", "cvec", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
     )
     probe = (
         cent_arr.join(F.broadcast(q))
-        .select("cell", "cvec", qd2cell.alias("qd2"))
+        .select("cell", "cvec", d2_fold(F.col("qv"), F.col("cvec")).alias("qd2"))
         .orderBy("qd2", "cell")
         .limit(nprobe)
     )
     qr = probe.join(F.broadcast(q)).select(
         "cell",
         F.posexplode(
-            F.zip_with("qv", "cvec", lambda x, c: x.cast("double") - c)
+            F.zip_with("qv", "cvec", lambda x, c: x - c)
         ).alias("dim", "qrx"),
     ).select(
         "cell",
