@@ -63,8 +63,12 @@ _LOADED = False
 #       the r7 minhash/simhash entries in (1) re-verdict the same
 #       change): dedup_exact_docs, ngram_jaccard_pairs (r8),
 #       simhash_dup_groups, crossformat_dedup_docs,
-#       corpus_to_training_set (r9), dedup_pipeline_docs,
-#       grouped_minhash_union, incremental_dedup_newbatch (r10);
+#       corpus_to_training_set, chunk_dedup_retention (r9),
+#       dedup_pipeline_docs, incremental_dedup_newbatch (r10).
+#       (grouped_minhash_union reads plain `documents`, NOT the dup
+#       corpus — the r11 self-review caught it squatting in this
+#       section while chunk_dedup_retention, a real _DUP_CORPUS_SQL
+#       consumer, was missing; its r10 verdict stands unchanged);
 #   (3) re-verdicts for the 5 queries whose CODE changed this round:
 #       heavy_hitters_topk (TakeOrderedAndProject final cut),
 #       ivfpq_topk (IVF cells + residual PQ recomposition),
@@ -106,8 +110,8 @@ _DRIVER_WINDOW = (
     "simhash_dup_groups",
     "crossformat_dedup_docs",
     "corpus_to_training_set",
+    "chunk_dedup_retention",
     "dedup_pipeline_docs",
-    "grouped_minhash_union",
     "incremental_dedup_newbatch",
     # (3) round-11 code-change re-verdicts
     "heavy_hitters_topk",

@@ -1282,9 +1282,12 @@ def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k_s = min(256, (B·w_e4_s·256) // (Σw_e4 · tok_s)) in 1/256 units, and
 # a doc is kept iff its 2-nibble md5 value v ∈ [0,255] < k_s — the
 # hash_split_summary determinism pattern widened to 8 bits. At real
-# scale the int64 product B·w_e4·256 wants DECIMAL/HUGEINT headroom
-# (DuckDB promotes automatically; Spark: cast to decimal(38,0)) — at
-# the test SFs it is ~4e16, well inside int64.
+# scale the int64 product B·w_e4·256 wants explicit DECIMAL/HUGEINT
+# headroom ON BOTH SIDES: DuckDB BIGINT·BIGINT does NOT silently
+# promote — it raises an out-of-range error on overflow (fail-loud,
+# never wrong, but the oracle twin would need CAST(.. AS HUGEINT)),
+# and Spark needs cast to decimal(38,0). At the test SFs the product
+# is ~4e16, well inside int64.
 
 MIX_RATE_DEN = 256   # keep-rate resolution (2 md5 nibbles)
 MIX_BUDGET_DEN = 2   # kept-token budget = total_tokens // 2

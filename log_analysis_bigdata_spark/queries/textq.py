@@ -2036,9 +2036,11 @@ def simhash_near_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collect_list-per-gram: a hot boilerplate gram occurs in millions of
 # docs, so any per-gram row accumulation is the skew trap; count
 # (distinct doc) + equi-join keeps every stage partial-aggregatable and
-# AQE-skew-splittable. At deployment the gram string is xxhash64-ed to
-# an 8-byte key before the shuffle; here it stays a string so the
-# DuckDB oracle is byte-identical.
+# AQE-skew-splittable. Since r11 the gram is xxhash64-ed to an 8-byte
+# key before the checkpoint/shuffle on the Spark side too (the
+# deployment shape); the oracle still groups by the gram STRING, which
+# is equivalent up to 64-bit collisions — see the collision-bound note
+# at the checkpoint site inside repeated_ngram_spans.
 
 SPAN_K = 6  # tokens per window; >= 2 windows overlap per planted line
 _BOILERPLATE = "terms of service apply contact the site admin for details"
