@@ -1281,13 +1281,17 @@ def dedup_survivors_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standing measure-zero argument), the keep rate is the integer
 # k_s = min(256, (B·w_e4_s·256) // (Σw_e4 · tok_s)) in 1/256 units, and
 # a doc is kept iff its 2-nibble md5 value v ∈ [0,255] < k_s — the
-# hash_split_summary determinism pattern widened to 8 bits. At real
-# scale the int64 product B·w_e4·256 wants explicit DECIMAL/HUGEINT
-# headroom ON BOTH SIDES: DuckDB BIGINT·BIGINT does NOT silently
-# promote — it raises an out-of-range error on overflow (fail-loud,
-# never wrong, but the oracle twin would need CAST(.. AS HUGEINT)),
-# and Spark needs cast to decimal(38,0). At the test SFs the product
-# is ~4e16, well inside int64.
+# hash_split_summary determinism pattern widened to 8 bits. The rate
+# numerator B·w_e4·256 crosses int64 around sf30–100 corpora, and the
+# two engines fail DIFFERENTLY there: DuckDB BIGINT·BIGINT raises
+# out-of-range (fail-loud) while non-ANSI Spark silently wraps to a
+# wrong k256 — so both sides carry explicit headroom NOW (ADVICE r11:
+# latent bounds do get hit — the PLANT_SHIFT history): Spark computes
+# the product/quotient in DECIMAL(38,0) (`div` on decimals returns
+# BIGINT) and the oracle in HUGEINT. k256 itself is ≤ 256, so only the
+# intermediates need width; tests/test_operators.py pins the two
+# widened expressions against Python bigint math at an overflow-scale
+# operating point.
 
 MIX_RATE_DEN = 256   # keep-rate resolution (2 md5 nibbles)
 MIX_BUDGET_DEN = 2   # kept-token budget = total_tokens // 2
@@ -1324,7 +1328,8 @@ _MIX_V_SQL = (
     rates AS (
       SELECT p.source, p.n_docs, p.n_tok, p.w_e4,
              least({MIX_RATE_DEN},
-                   (t.b * p.w_e4 * {MIX_RATE_DEN}) // (t.sw * p.n_tok))
+                   CAST((CAST(t.b AS HUGEINT) * p.w_e4 * {MIX_RATE_DEN})
+                        // (CAST(t.sw AS HUGEINT) * p.n_tok) AS BIGINT))
                AS k256
       FROM per_src p, tot t
     ),
@@ -1399,8 +1404,13 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_e4",
         F.least(
             F.lit(MIX_RATE_DEN),
+            # DECIMAL(38,0) intermediates: b*w_e4*256 wraps int64 at
+            # ~sf30-100 token masses and non-ANSI Spark wraps SILENTLY
+            # (the oracle's HUGEINT twin fails loud) — decimal `div`
+            # returns BIGINT, so only the product carries the width
             F.expr(
-                f"(b * w_e4 * {MIX_RATE_DEN}) div (sw * n_tok)"
+                f"(CAST(b AS DECIMAL(38,0)) * w_e4 * {MIX_RATE_DEN})"
+                f" div (CAST(sw AS DECIMAL(38,0)) * n_tok)"
             ),
         ).alias("k256"),
     )

@@ -1830,7 +1830,10 @@ def _near_sig_spark(corpus: DataFrame) -> DataFrame:
 
 
 def _near_cand_pairs(
-    sig: DataFrame, max_hamming: int, band_bits: int | None = None
+    sig: DataFrame,
+    max_hamming: int,
+    band_bits: int | None = None,
+    n_bands: int = NEAR_BANDS,
 ) -> DataFrame:
     """Banded candidate generation + hamming verify: 4 bands whose
     width adapts to the input size (near_band_bits; a fixed 8-bit band
@@ -1840,17 +1843,27 @@ def _near_cand_pairs(
     set is identical either way — filtering first shrinks the
     distinct's shuffle to the true near-pairs instead of every band
     collision). Width never changes RESULTS — pigeonhole recall for
-    hamming <= 3 holds at any width and the verify is exact — so the
-    oracle's static 15-bit split stays equivalent. Returns
+    hamming <= n_bands - 1 holds at any width and the verify is exact —
+    so the oracle's static-width split stays equivalent. ``n_bands``
+    defaults to the 4-band text-simhash split; the image dHash path
+    (round 12) passes 5 bands × 12 bits so hamming <= 4 keeps exact
+    banded recall. Caller must keep n_bands × band_bits <= NEAR_BITS —
+    a band shifted past the top bit reads all-zeros and buckets
+    EVERYTHING together (guarded below). Returns
     (doc_a, doc_b, hamming:int), doc_a < doc_b. ``sig`` should be
     materialized (the count + two join sides read it)."""
     if band_bits is None:
         band_bits = near_band_bits(sig.count())
+    if n_bands * band_bits > NEAR_BITS:
+        raise ValueError(
+            f"{n_bands} bands x {band_bits} bits exceed the "
+            f"{NEAR_BITS}-bit signature"
+        )
     mask = (1 << band_bits) - 1
     bands = sig.select(
         "doc_id",
         "simhash",
-        F.explode(F.array(*[F.lit(b) for b in range(NEAR_BANDS)])).alias("b"),
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("b"),
     ).withColumn(
         "band_val", F.expr(f"shiftright(simhash, b * {band_bits}) & {mask}")
     )
@@ -2046,6 +2059,78 @@ SPAN_K = 6  # tokens per window; >= 2 windows overlap per planted line
 _BOILERPLATE = "terms of service apply contact the site admin for details"
 
 
+def merge_pos_islands(hits: DataFrame, k: int, with_wins: bool = False) -> DataFrame:
+    """Merge k-gram hit POSITIONS into maximal per-doc spans (islands):
+    the ONE implementation of the lag/brk/cumsum island rule shared by
+    repeated_ngram_spans and decontaminate_spans_docs (single-sourced in
+    round 12 — the quadruplicated copies had deliberately different end
+    conventions and a future island-rule fix could have drifted the two
+    dedup regimes apart; VERDICT r11 task 2 / builder handoff r11
+    §10.6).
+
+    ``hits`` is (doc_id, pos) where pos is the START token index of a
+    width-``k`` gram hit. Two hits belong to one island iff their starts
+    are within ``k`` (gap > k breaks — adjacent or overlapping windows
+    chain). Returns (doc_id, island, p0, p1[, wins]) with ONE end
+    convention: p0 = first covered token index, p1 = LAST covered token
+    index (max(pos) + k - 1, inclusive), so covered tokens = p1 - p0 + 1
+    and [p0, p1] is directly usable as an excision range. ``wins`` =
+    window count per island when requested.
+
+    Scale shape: one doc-keyed shuffle (the two window functions share
+    the (doc_id, pos) sort), then a partial-aggregatable groupBy —
+    hit positions only, never the text column. SQL twin:
+    :func:`_island_sql`."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).select("doc_id", "pos", F.sum("brk").over(w).alias("island"))
+    aggs = [
+        F.min("pos").alias("p0"),
+        (F.max("pos") + (k - 1)).alias("p1"),
+    ]
+    if with_wins:
+        aggs.append(F.count(F.lit(1)).alias("wins"))
+    return isl.groupBy("doc_id", "island").agg(*aggs)
+
+
+def _island_sql(k: int, with_wins: bool = False) -> str:
+    """DuckDB twin of :func:`merge_pos_islands`: CTE fragment
+    ``isl, isl2, sp`` consuming a CTE named ``hits(doc_id, pos)`` and
+    producing ``sp(doc_id, island, p0, p1[, wins])`` under the same
+    inclusive token-end convention (p1 = max(pos) + k - 1). Splice as
+    ``WITH ..., hits AS (...), {_island_sql(K)}, ...``."""
+    wins = ",\n             count(*) AS wins" if with_wins else ""
+    return f"""
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > {k}
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    sp AS (
+      SELECT doc_id, island, min(pos) AS p0,
+             max(pos) + {k - 1} AS p1{wins}
+      FROM isl2 GROUP BY 1, 2
+    )"""
+
+
 @register(
     "repeated_ngram_spans",
     oracle=f"""
@@ -2067,26 +2152,10 @@ _BOILERPLATE = "terms of service apply contact the site admin for details"
       HAVING count(DISTINCT doc_id) >= 2
     ),
     hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
-    isl AS (
-      SELECT doc_id, pos,
-             CASE WHEN lag(pos) OVER w IS NULL
-                       OR pos - lag(pos) OVER w > {SPAN_K}
-                  THEN 1 ELSE 0 END AS brk
-      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ),
-    isl2 AS (
-      SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      FROM isl
-    ),
-    sp AS (
-      SELECT doc_id, island, min(pos) AS p0, max(pos) AS p1,
-             count(*) AS wins
-      FROM isl2 GROUP BY 1, 2
-    ),
+    {_island_sql(SPAN_K, with_wins=True)},
     per_doc AS (
       SELECT doc_id, count(*) AS n_spans,
-             sum(p1 - p0 + {SPAN_K}) AS covered,
+             sum(p1 - p0 + 1) AS covered,
              sum(wins) AS dup_windows
       FROM sp GROUP BY 1
     )
@@ -2156,30 +2225,12 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     hits = grams.join(dup, "gram").select("doc_id", "pos")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") - F.lag("pos").over(w) > SPAN_K),
-            1,
-        )
-        .otherwise(0)
-        .alias("brk"),
-    ).select(
-        "doc_id", "pos", F.sum("brk").over(w).alias("island")
-    )
-    sp = isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("p0"),
-        F.max("pos").alias("p1"),
-        F.count(F.lit(1)).alias("wins"),
-    )
+    sp = merge_pos_islands(hits, SPAN_K, with_wins=True)
     per_doc = sp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("p1") - F.col("p0") + SPAN_K).alias("covered"),
+        # inclusive token-end convention: covered = p1 - p0 + 1
+        # (identical value to the pre-r12 max(pos) - p0 + SPAN_K form)
+        F.sum(F.col("p1") - F.col("p0") + 1).alias("covered"),
         F.sum("wins").alias("dup_windows"),
     )
     return (
@@ -2232,23 +2283,7 @@ DECON_K = 5  # word-gram width, matches contamination_check's 5-grams
            unnest(range(0, greatest(len(tok) - {DECON_K - 1}, 0))) AS t(i)
     ),
     hits AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN bench b USING (g)),
-    isl AS (
-      SELECT doc_id, pos,
-             CASE WHEN lag(pos) OVER w IS NULL
-                       OR pos - lag(pos) OVER w > {DECON_K}
-                  THEN 1 ELSE 0 END AS brk
-      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ),
-    isl2 AS (
-      SELECT doc_id, pos,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      FROM isl
-    ),
-    sp AS (
-      SELECT doc_id, island, min(pos) AS p0,
-             max(pos) + {DECON_K - 1} AS p1
-      FROM isl2 GROUP BY 1, 2
-    ),
+    {_island_sql(DECON_K)},
     tokpos AS (
       SELECT doc_id, t.i AS pos, tok[t.i + 1] AS t
       FROM corpus, unnest(range(0, len(tok))) AS t(i)
@@ -2305,8 +2340,6 @@ def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter/transform over the token array, never per-token rows. The
     text column never shuffles by gram.
     """
-    from pyspark.sql.window import Window
-
     from ..functions.text import shingles, tokens
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2336,22 +2369,7 @@ def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(shingles(F.col("toks"), DECON_K)).alias("pos", "g"),
     )
     hits = grams.join(F.broadcast(bench), "g").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") - F.lag("pos").over(w) > DECON_K),
-            1,
-        )
-        .otherwise(0)
-        .alias("brk"),
-    ).select("doc_id", "pos", F.sum("brk").over(w).alias("island"))
-    sp = isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("p0"),
-        (F.max("pos") + (DECON_K - 1)).alias("p1"),
-    )
+    sp = merge_pos_islands(hits, DECON_K)
     doc_sp = sp.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("p0", "p1"))).alias("spans"),
         F.count(F.lit(1)).alias("n_spans"),

@@ -426,6 +426,48 @@ def test_decontaminate_spans_excises_planted_boilerplate(spark):
         assert r["clean_text"].split(" ")[-1] == orig[r["doc_id"]].split()[-1]
 
 
+def test_merge_pos_islands_semantics_and_sql_twin(spark):
+    """The single-sourced island rule (round 12, VERDICT r11 task 2):
+    hits within k chain into one span, gap > k breaks, p1 is the LAST
+    covered token (max(pos) + k - 1, inclusive), wins counts windows.
+    Pin hand-computed islands on the Spark helper AND the DuckDB
+    fragment over the same literal rows so the two can't drift."""
+    import duckdb
+
+    from log_analysis_bigdata_spark.queries.textq import (
+        _island_sql,
+        merge_pos_islands,
+    )
+
+    k = 3
+    rows = [(1, 0), (1, 2), (1, 3), (1, 9), (1, 15), (1, 16), (2, 5)]
+    # doc 1: {0,2,3} (gaps 2,1 <= 3), {9} (gap 6), {15,16}; doc 2: {5}
+    want = {
+        (1, 0, 5, 3),   # p1 = 3 + k - 1
+        (1, 9, 11, 1),
+        (1, 15, 18, 2),
+        (2, 5, 7, 1),
+    }
+    hits = spark.createDataFrame(rows, "doc_id long, pos long")
+    got = {
+        (r["doc_id"], r["p0"], r["p1"], r["wins"])
+        for r in merge_pos_islands(hits, k, with_wins=True).collect()
+    }
+    assert got == want
+
+    vals = ", ".join(f"({d}, {p})" for d, p in rows)
+    sql = f"""
+    WITH hits(doc_id, pos) AS (VALUES {vals}),
+    {_island_sql(k, with_wins=True)}
+    SELECT doc_id, p0, p1, wins FROM sp
+    """
+    assert {tuple(r) for r in duckdb.sql(sql).fetchall()} == want
+
+    # without wins: same spans, no wins column
+    no_wins = merge_pos_islands(hits, k).columns
+    assert no_wins == ["doc_id", "island", "p0", "p1"]
+
+
 def test_mixture_temperature_sample_flattens_and_accounts(spark):
     """Temperature-sampling semantics: (a) keep-rates are integer-exact
     and reproducible from the reported per-source totals (k256 =
@@ -476,3 +518,38 @@ def test_mixture_temperature_sample_flattens_and_accounts(spark):
             want[d["source"]][0] += 1
             want[d["source"]][1] += d["n_tokens"]
     assert got == want
+
+
+def test_mixture_rate_survives_int64_overflow(spark):
+    """ADVICE r11: the keep-rate numerator b*w_e4*256 crosses int64 at
+    ~sf30-100 token masses; non-ANSI Spark int64 multiplication wraps
+    SILENTLY. Pin both engines' widened expressions (DECIMAL(38,0) /
+    HUGEINT) against Python bigint math at an operating point where the
+    un-widened int64 product provably wraps."""
+    import duckdb
+
+    from log_analysis_bigdata_spark.queries.corpusq import MIX_RATE_DEN
+
+    # a sf~100 corpus: ~1e14 tokens, budget b ~ 5e13, w_e4 ~ 1e11
+    b, w_e4, sw, n_tok = 50_000_000_000_000, 99_998_000_000, 100_000_000_000, 99_996_000_028_000
+    assert b * w_e4 * MIX_RATE_DEN > 2**63  # int64 WOULD wrap here
+    expect = min(MIX_RATE_DEN, (b * w_e4 * MIX_RATE_DEN) // (sw * n_tok))
+
+    df = spark.createDataFrame(
+        [(b, w_e4, sw, n_tok)], "b long, w_e4 long, sw long, n_tok long"
+    )
+    got_spark = df.select(
+        F.least(
+            F.lit(MIX_RATE_DEN),
+            F.expr(
+                f"(CAST(b AS DECIMAL(38,0)) * w_e4 * {MIX_RATE_DEN})"
+                f" div (CAST(sw AS DECIMAL(38,0)) * n_tok)"
+            ),
+        ).alias("k256")
+    ).collect()[0]["k256"]
+    got_duck = duckdb.sql(
+        f"SELECT least({MIX_RATE_DEN},"
+        f" CAST((CAST({b} AS HUGEINT) * {w_e4} * {MIX_RATE_DEN})"
+        f" // (CAST({sw} AS HUGEINT) * {n_tok}) AS BIGINT)) AS k"
+    ).fetchone()[0]
+    assert got_spark == got_duck == expect, (got_spark, got_duck, expect)
