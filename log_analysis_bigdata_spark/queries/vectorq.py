@@ -1334,7 +1334,10 @@ _CELL_SIGNS_SQL = (
     "'string_agg', '')"
 )
 
-_IVFPQ_SQL = f"""
+# Index half (bb .. codes): shared verbatim by ivfpq_topk and
+# ivfpq_knn_join — ONE oracle source for the trained index, so a
+# codebook-rule edit cannot drift the single-query and batched twins.
+_IVFPQ_INDEX_SQL = f"""
     bb AS (
       SELECT b, n,
              greatest(1, (3 * (1 << b)) // 4) AS np,
@@ -1388,7 +1391,11 @@ _IVFPQ_SQL = f"""
     ),
     codes AS (
       SELECT vec_id, sub, arg_min(code, d2) AS code FROM edist GROUP BY 1, 2
-    ),
+    )
+"""
+
+# Single-query tail (q .. cand) — ivfpq_topk's probe/ADC/candidate path.
+_IVFPQ_SQL = f"""{_IVFPQ_INDEX_SQL},
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
     qdims AS (
       SELECT t.i - 1 AS dim, CAST(q.qv[t.i] AS DOUBLE) AS qx
@@ -1436,6 +1443,147 @@ _IVFPQ_SQL = f"""
 """
 
 
+def _sign_str(col: Column, start: int, width: int) -> Column:
+    """Sign-orthant string over ``width`` dims from ``start`` — the
+    equality-only cell/code key both engines derive identically."""
+    return F.concat(
+        *[
+            F.when(col.getItem(start + i) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(width)
+        ]
+    )
+
+
+def _d2_fold(a, b) -> Column:
+    # Σ(a_i−b_i)² as a sequential zip_with fold: one ROW per
+    # (vector, candidate) instead of one row per DIMENSION — the
+    # r11 sf10 probe killed the dim-exploded join+agg formulation
+    # (n×64×k rows ≈ 3.3e9 at n=200k, k=256); the fold does the
+    # same arithmetic on n×k rows. Distances feed only argmin /
+    # ordering, so the fold-vs-agg summation-order difference is
+    # covered by the standing no-exact-ties argument.
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _ivfpq_index(
+    emb: DataFrame, bits: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the IVF-PQ index — ONE implementation shared by
+    ivfpq_topk and ivfpq_knn_join (round 12; SQL twin
+    ``_IVFPQ_INDEX_SQL``). Returns (cent_arr, cb, codes):
+
+    - ``cent_arr`` (cell, cvec): coarse centroids as arrays, ≤ 2^bits
+      rows — sign-orthant seeded, one Lloyd half-step;
+    - ``cb`` (sub, code, subdim, cx): the residual PQ codebook,
+      ≤ 16×16×4 values, sign-orthant seeded per subspace;
+    - ``codes`` (vec_id, cell, sub, code): the 8-byte-per-vector code
+      index — at 100 TB this is the PERSISTED artifact, written
+      bucketed by cell so a probe is a partition-pruned scan.
+
+    Training is two narrow dim-exploded aggs (cells, then residual
+    codebook) + two broadcast-assign passes; the raw vectors never
+    shuffle. Both consumers' plans are asserted in test_plans."""
+    e = F.col("embedding")
+    e0 = emb.select("vec_id", "embedding", _sign_str(e, 0, bits).alias("cell"))
+    dims = e0.select(
+        "vec_id", "cell", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "cell", "dim", F.col("x").cast("double").alias("x"))
+    # centroids feed FOUR consumers (assign, residual, cell ranking,
+    # query residual): localCheckpoint trains them exactly once —
+    # at deployment the coarse quantizer is trained once and persisted.
+    # Training itself IS one narrow dim-exploded agg (n×64 rows, no
+    # join); only the train pass pays it.
+    cent = (
+        dims.groupBy("cell", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .localCheckpoint(eager=True)
+    )
+    # centroid ARRAYS (k rows) for every distance computation
+    cent_arr = cent.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+            lambda s: s.cx,
+        ).alias("cvec")
+    )
+    ev = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # nearest-centroid assignment: n×k rows through a broadcast of the
+    # ≤256-row centroid table, per-row d2 fold, map-side min_by
+    adist = ev.join(
+        F.broadcast(cent_arr.select(F.col("cell").alias("ccell"), "cvec"))
+    ).select(
+        "vec_id", "ccell", _d2_fold(F.col("v"), F.col("cvec")).alias("d2")
+    )
+    assign = (
+        adist.groupBy("vec_id")
+        .agg(F.min_by("ccell", "d2").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    # residual vectors + per-subspace 4-dim slices and sign-seed codes
+    base = (
+        ev.join(assign, "vec_id")
+        .join(F.broadcast(cent_arr), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "cvec", lambda x, c: x - c).alias("rvec"),
+        )
+    )
+    rv = F.col("rvec")
+    rsv = base.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.slice(rv, s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("rv4"),
+                        _sign_str(rv, s * PQ_SUBDIM, PQ_SUBDIM).alias("scode"),
+                    )
+                    for s in range(PQ_NSUB)
+                ]
+            )
+        ).alias("sub", "sc"),
+    ).select("vec_id", "cell", "sub", F.col("sc.rv4").alias("rv4"),
+             F.col("sc.scode").alias("scode"))
+    # residual codebook: ≤ 16 subs × 16 codes × 4 dims = 1 024 values;
+    # trained by ONE narrow agg over the subdim-exploded residuals,
+    # checkpointed so encode and ADC train it exactly once
+    cb = (
+        rsv.select("sub", "scode", F.posexplode("rv4").alias("subdim", "rx"))
+        .groupBy("sub", F.col("scode").alias("code"), "subdim")
+        .agg(F.avg("rx").alias("cx"))
+        .localCheckpoint(eager=True)
+    )
+    cb_arr = cb.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subdim", "cx"))),
+            lambda s: s.cx,
+        ).alias("cvec4")
+    )
+    # encode: n×16 subvectors × 16 codes through a broadcast, d2 fold
+    # per pair (4 mults), map-side min_by — never n×64×16 join rows
+    edist = rsv.join(F.broadcast(cb_arr), "sub").select(
+        "vec_id",
+        "cell",
+        "sub",
+        "code",
+        _d2_fold(F.col("rv4"), F.col("cvec4")).alias("d2"),
+    )
+    codes = edist.groupBy("vec_id", "cell", "sub").agg(
+        F.min_by("code", "d2").alias("code")
+    )
+    return cent_arr, cb, codes
+
+
 @register(
     "ivfpq_topk",
     oracle=f"""
@@ -1473,123 +1621,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = ivf_cell_bits(n)
     nprobe = ivf_nprobe(bits)
     cand_c = pq_candidates(n)
-    e = F.col("embedding")
-
-    def sign_str(col: Column, start: int, width: int) -> Column:
-        return F.concat(
-            *[
-                F.when(col.getItem(start + i) >= 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
-                for i in range(width)
-            ]
-        )
-
-    def d2_fold(a, b) -> Column:
-        # Σ(a_i−b_i)² as a sequential zip_with fold: one ROW per
-        # (vector, candidate) instead of one row per DIMENSION — the
-        # r11 sf10 probe killed the dim-exploded join+agg formulation
-        # (n×64×k rows ≈ 3.3e9 at n=200k, k=256); the fold does the
-        # same arithmetic on n×k rows. Distances feed only argmin /
-        # ordering, so the fold-vs-agg summation-order difference is
-        # covered by the standing no-exact-ties argument.
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    e0 = emb.select(
-        "vec_id", "label", "embedding", sign_str(e, 0, bits).alias("cell")
-    )
-    dims = e0.select(
-        "vec_id", "cell", F.posexplode("embedding").alias("dim", "x")
-    ).select("vec_id", "cell", "dim", F.col("x").cast("double").alias("x"))
-    # centroids feed FOUR consumers (assign, residual, cell ranking,
-    # query residual): localCheckpoint trains them exactly once —
-    # at deployment the coarse quantizer is trained once and persisted.
-    # Training itself IS one narrow dim-exploded agg (n×64 rows, no
-    # join); only the train pass pays it.
-    cent = (
-        dims.groupBy("cell", "dim")
-        .agg(F.avg("x").alias("cx"))
-        .localCheckpoint(eager=True)
-    )
-    # centroid ARRAYS (k rows) for every distance computation
-    cent_arr = cent.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
-            lambda s: s.cx,
-        ).alias("cvec")
-    )
-    ev = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    # nearest-centroid assignment: n×k rows through a broadcast of the
-    # ≤256-row centroid table, per-row d2 fold, map-side min_by
-    adist = ev.join(
-        F.broadcast(cent_arr.select(F.col("cell").alias("ccell"), "cvec"))
-    ).select("vec_id", "ccell", d2_fold(F.col("v"), F.col("cvec")).alias("d2"))
-    assign = (
-        adist.groupBy("vec_id")
-        .agg(F.min_by("ccell", "d2").alias("cell"))
-        .localCheckpoint(eager=True)
-    )
-    # residual vectors + per-subspace 4-dim slices and sign-seed codes
-    base = (
-        ev.join(assign, "vec_id")
-        .join(F.broadcast(cent_arr), "cell")
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with("v", "cvec", lambda x, c: x - c).alias("rvec"),
-        )
-    )
-    rv = F.col("rvec")
-    rsv = base.select(
-        "vec_id",
-        "cell",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        F.slice(rv, s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("rv4"),
-                        sign_str(rv, s * PQ_SUBDIM, PQ_SUBDIM).alias("scode"),
-                    )
-                    for s in range(PQ_NSUB)
-                ]
-            )
-        ).alias("sub", "sc"),
-    ).select("vec_id", "cell", "sub", F.col("sc.rv4").alias("rv4"),
-             F.col("sc.scode").alias("scode"))
-    # residual codebook: ≤ 16 subs × 16 codes × 4 dims = 1 024 values;
-    # trained by ONE narrow agg over the subdim-exploded residuals,
-    # checkpointed so encode and ADC train it exactly once
-    cb = (
-        rsv.select("sub", "scode", F.posexplode("rv4").alias("subdim", "rx"))
-        .groupBy("sub", F.col("scode").alias("code"), "subdim")
-        .agg(F.avg("rx").alias("cx"))
-        .localCheckpoint(eager=True)
-    )
-    cb_arr = cb.groupBy("sub", "code").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("subdim", "cx"))),
-            lambda s: s.cx,
-        ).alias("cvec4")
-    )
-    # encode: n×16 subvectors × 16 codes through a broadcast, d2 fold
-    # per pair (4 mults), map-side min_by — never n×64×16 join rows
-    edist = rsv.join(F.broadcast(cb_arr), "sub").select(
-        "vec_id",
-        "cell",
-        "sub",
-        "code",
-        d2_fold(F.col("rv4"), F.col("cvec4")).alias("d2"),
-    )
-    codes = edist.groupBy("vec_id", "cell", "sub").agg(
-        F.min_by("code", "d2").alias("code")
-    )
+    cent_arr, cb, codes = _ivfpq_index(emb, bits)
 
     # query side: rank cells by centroid distance, probe the nearest
     # nprobe, build the integer-micro-unit ADC table for those cells
@@ -1598,7 +1630,9 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = (
         cent_arr.join(F.broadcast(q))
-        .select("cell", "cvec", d2_fold(F.col("qv"), F.col("cvec")).alias("qd2"))
+        .select(
+            "cell", "cvec", _d2_fold(F.col("qv"), F.col("cvec")).alias("qd2")
+        )
         .orderBy("qd2", "cell")
         .limit(nprobe)
     )
@@ -1652,4 +1686,217 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
+    )
+
+
+# --- Batched IVF-PQ k-NN join (round 12, VERDICT r11 task 3) -----------------
+#
+# The production retrieval shape at 100 TB: MANY queries probing the
+# cell-bucketed code index at once — the retrieval side of hard-negative
+# mining, semantic dedup against a seed set, and RAG-style corpus
+# lookup. ivfpq_topk serves one query vector; brute-force knn_join_topk
+# scores every (query, corpus) pair. This operator joins the two: the
+# SAME trained index (_ivfpq_index / _IVFPQ_INDEX_SQL — one source), a
+# per-query probe list, ONE stacked integer ADC table for all (query,
+# cell) pairs, and a single scan of the codes that meets each code row
+# only with the queries probing its cell.
+
+IVFPQ_JOIN_K = 10  # per-query neighbors (recall@10 is the pinned metric)
+
+
+@register(
+    "ivfpq_knn_join",
+    oracle=f"""
+    WITH {_IVFPQ_INDEX_SQL},
+    qs AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 100 = 7
+    ),
+    qdims AS (
+      SELECT q.query_id, t.i - 1 AS dim, CAST(q.qv[t.i] AS DOUBLE) AS qx
+      FROM qs q, unnest(range(1, 65)) AS t(i)
+    ),
+    qcd AS (
+      SELECT qd.query_id, c.cell,
+             sum((qd.qx - c.cx) * (qd.qx - c.cx)) AS qd2
+      FROM qdims qd JOIN cent c ON qd.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell, row_number() OVER (
+          PARTITION BY query_id ORDER BY qd2, cell) AS rn
+        FROM qcd
+      ) t WHERE rn <= (SELECT np FROM bb)
+    ),
+    qr AS (
+      SELECT p.query_id, p.cell, qd.dim // {PQ_SUBDIM} AS sub,
+             qd.dim % {PQ_SUBDIM} AS subdim, qd.qx - c.cx AS qrx
+      FROM probe p
+      JOIN cent c ON c.cell = p.cell
+      JOIN qdims qd ON qd.dim = c.dim AND qd.query_id = p.query_id
+    ),
+    adc AS (
+      SELECT qr.query_id, qr.cell, qr.sub, c.code,
+             CAST(round(sum((qr.qrx - c.cx) * (qr.qrx - c.cx)) * 1000000)
+                  AS BIGINT) AS qd2u
+      FROM qr JOIN cb c ON c.sub = qr.sub AND c.subdim = qr.subdim
+      GROUP BY 1, 2, 3, 4
+    ),
+    approx AS (
+      SELECT a.query_id, k.vec_id, sum(a.qd2u) AS ad2u
+      FROM codes k
+      JOIN assign s ON s.vec_id = k.vec_id
+      JOIN adc a ON a.cell = s.cell AND a.sub = k.sub AND a.code = k.code
+      WHERE k.vec_id % 100 <> 7
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, vec_id, ad2u FROM (
+        SELECT query_id, vec_id, ad2u, row_number() OVER (
+          PARTITION BY query_id ORDER BY ad2u, vec_id) AS rn
+        FROM approx
+      ) t WHERE rn <= (SELECT cc FROM bb)
+    ),
+    rer AS (
+      SELECT c.query_id, c.vec_id, e.label,
+             round(c.ad2u / 1000000.0, 4) AS pq_d2,
+             round({_DOT_SQL.format(a="e.embedding", b="q.qv")}
+                   / ({_NORM_SQL.format(a="e.embedding")}
+                      * {_NORM_SQL.format(a="q.qv")}), 4) AS cosine
+      FROM cand c
+      JOIN embeddings e ON c.vec_id = e.vec_id
+      JOIN qs q ON q.query_id = c.query_id
+    )
+    SELECT query_id, vec_id, label, pq_d2, cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM rer
+    ) t WHERE rank <= {IVFPQ_JOIN_K}
+    """,
+    tags=("vector", "ann", "ivfpq", "knn", "join", "batched", "topk"),
+)
+def ivfpq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF-PQ k-NN JOIN: top-10 approximate cosine
+    neighbors for EVERY query in the block (vec_id % 100 == 7 — the
+    same query set as the exact brute-force knn_join_topk), served from
+    the shared IVF-PQ index instead of an all-pairs scan. Recall@10 vs
+    the exact per-query top-10 is pinned in tests/test_properties.py:
+    mean 0.90 over the 200 queries of the N=20k diffuse fixture (floor
+    0.8), 0.8 on the sf0.01 real corpus (floor 0.7, 5 queries — small-
+    sample variance); misses sit in unprobed cells (measured: raising C
+    does not move recall), i.e. the honest nprobe coverage trade.
+
+    Plan shape (asserted in test_plans): the index is trained once by
+    :func:`_ivfpq_index` (at 100 TB it's the persisted cell-bucketed
+    code table — see that docstring); the Q-row query block cross-joins
+    the BROADCAST ≤2^bits-row centroid table to rank cells (the one
+    allowlisted BroadcastNestedLoopJoin — a Q×cells scalar product),
+    one window cuts per-query probe lists, and ALL (query, cell) ADC
+    entries land in ONE stacked integer table (Q × nprobe × 16 × 16
+    rows) that BROADCASTS into a SINGLE scan of the codes: each 8-byte
+    code row hash-joins only the queries probing its cell — the corpus
+    is never shuffled and never scanned per query. Per-query cuts are
+    windows over (query_id, ad2u|cosine, vec_id) on the candidate set
+    (Q × C rows), so the only q-keyed shuffles carry candidates, not
+    the corpus. Brute-force scoring is O(N·Q·d); this reads N 8-byte
+    code rows once + re-ranks Q·C raw vectors. For very large Q, chunk
+    the stacked ADC table by query block to bound the broadcast.
+
+    Determinism: candidate cuts on integer (ad2u, vec_id), final rank
+    on (round-4 cosine, vec_id) — the knn_join_topk pattern; the ADC
+    integer-micro-unit sum is order-independent (money-sum pattern).
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = ivf_cell_bits(n)
+    nprobe = ivf_nprobe(bits)
+    cand_c = pq_candidates(n)
+    cent_arr, cb, codes = _ivfpq_index(emb, bits)
+
+    qs = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    # per-query cell ranking: Q × ≤2^bits rows through a broadcast
+    qcd = qs.crossJoin(F.broadcast(cent_arr)).select(
+        "query_id",
+        "cell",
+        "cvec",
+        "qv",
+        _d2_fold(F.col("qv"), F.col("cvec")).alias("qd2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("qd2", "cell")
+    probe = (
+        qcd.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell", "qv", "cvec")
+    )
+    # stacked per-(query, cell) residuals -> ONE integer ADC table
+    qr = probe.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.zip_with("qv", "cvec", lambda x, c: x - c)
+        ).alias("dim", "qrx"),
+    ).select(
+        "query_id",
+        "cell",
+        F.expr(f"dim div {PQ_SUBDIM}").alias("sub"),
+        (F.col("dim") % PQ_SUBDIM).alias("subdim"),
+        "qrx",
+    )
+    adc = (
+        qr.join(F.broadcast(cb), ["sub", "subdim"])
+        .groupBy("query_id", "cell", "sub", "code")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("qrx") - F.col("cx")) * (F.col("qrx") - F.col("cx"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("qd2u")
+        )
+    )
+    # ONE pass over the code index: each code row meets only the
+    # queries probing its cell (broadcast hash join on cell/sub/code)
+    approx = (
+        codes.filter(F.col("vec_id") % 100 != 7)
+        .join(F.broadcast(adc), ["cell", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2u").alias("ad2u"))
+    )
+    wc = Window.partitionBy("query_id").orderBy("ad2u", "vec_id")
+    cand = (
+        approx.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= cand_c)
+        .select("query_id", "vec_id", "ad2u")
+    )
+    # exact re-rank: the Q×C candidate set broadcasts into one
+    # hash-probe scan of the raw vectors; norms cost one fold per side
+    qn = qs.select("query_id", "qv", norm(F.col("qv")).alias("nq"))
+    cosine = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (norm(F.col("embedding")) * F.col("nq")),
+        4,
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(F.col("ad2u") / 1_000_000.0, 4).alias("pq_d2"),
+            cosine.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= IVFPQ_JOIN_K)
     )

@@ -108,6 +108,27 @@ def test_ivfpq_codebook_and_adc_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivfpq_knn_join_plan_shape(spark):
+    """The batched retrieval contract (round 12): the code index is
+    scanned once against the BROADCAST stacked ADC table (hash join on
+    cell/sub/code), the Q×C candidate set and query block broadcast
+    into the re-rank, and NOTHING corpus-sized meets a SortMergeJoin
+    or a CartesianProduct. The only nested-loop join is the Q×cells
+    probe-ranking product (allowlisted in tools/plan_audit.py); the
+    per-query cuts are windows over candidates, so the q-keyed
+    shuffles carry Q×C rows, never the corpus."""
+    plan = _plan(spark, "ivfpq_knn_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # Q×cells probe ranking is the one expected BNLJ (count node
+    # headers — formatted explain prints each node in the tree AND in
+    # the detail section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
 def test_cosine_topk_broadcast_and_topk(spark):
     """One-row query side must broadcast (the brute-force scan stays a
     narrow map) and the final ordering is top-k, not a global sort."""

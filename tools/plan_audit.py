@@ -41,6 +41,12 @@ BNLJ_ALLOWED = {
         "itself is a broadcast HASH join on (cell, sub, code)"
     ),
     "ivf_topk_nprobe": "single query-vector broadcast into the probed cells",
+    "ivfpq_knn_join": (
+        "Q-row query block × ≤2^bits-row broadcast centroid table for "
+        "per-query cell ranking — a Q×cells scalar product; every "
+        "corpus-touching join (stacked ADC on (cell, sub, code), "
+        "candidate re-rank on vec_id/query_id) is a broadcast HASH join"
+    ),
     "knn_join_topk": "small query-set broadcast, keyless by design",
     "hard_negatives_per_query": (
         "20-row anchor-set broadcast; the label<>label condition is "
