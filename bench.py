@@ -191,6 +191,14 @@ HEADLINE = [
     # round-11: temperature-flattened mixture resampling — the
     # data-mixing stage, registered this round
     "mixture_temperature_sample",
+    # round-12: the batched IVF-PQ retrieval shape (many queries, one
+    # code-index scan) — a distinct plan family from both ivfpq_topk
+    # (single query) and knn_join_topk (brute-force all-pairs)
+    "ivfpq_knn_join",
+    # round-12: perceptual image dedup — fused decode+dHash mapInPandas
+    # pass + banded pairing + components over the signature quotient;
+    # the only dedup entry whose cost is dominated by DECODE throughput
+    "image_near_dup_components",
 ]
 
 # Heavyweight entries DELIBERATELY excluded from HEADLINE, name →

@@ -849,3 +849,131 @@ def gif_pixel_stats(assets: DataFrame, target: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(stats, PPM_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image signatures (round 12, VERDICT r11 task 4): dHash over
+# the DECODED raster — the dedup regime an LLM image corpus needs first.
+# Byte-level dedup (hashing the payload) misses a re-encoded copy whose
+# file bytes differ but whose pixels are identical, and misses a
+# brightness-adjusted copy entirely; a difference hash over the decoded,
+# grayscale, downsampled image catches both. The signature is 60 bits
+# (DHASH_ROWS × (DHASH_COLS−1) gradient-sign comparisons) so it drops
+# straight into the existing 60-bit simhash machinery — int64-safe,
+# bit_count(XOR) hamming, banded candidate generation, connected
+# components (queries/textq._near_cand_pairs, operators/components).
+
+DHASH_ROWS = 10  # grid rows sampled from the decoded raster
+DHASH_COLS = 7   # grid cols sampled; 6 comparisons/row -> 60 bits
+
+
+def synth_ppm_dup_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): the near-dup image fixture — deterministic
+    P6 PPMs like :func:`synth_ppm_assets`, but with (a) a texture-rich
+    closed form an oracle can replay per pixel AND (b) two planted
+    duplicate classes a byte-hash cannot both catch:
+
+    - base image (default): width 4 + base%5, height 3 + base%4, raster
+      byte i = (base*7 + i*(1 + base%37) + (i%3)*(base%29)) % 256 — the
+      per-doc slope and per-channel phase spread dHash signatures out
+      (a plain gradient family saturates ~256 phases and every corpus
+      pair becomes a near-pair);
+    - doc_id % 10 == 1: RE-ENCODED copy of doc_id−1 — identical raster,
+      different FILE bytes (a header comment), so payload-hash dedup
+      misses it and pixel dHash sees hamming 0;
+    - doc_id % 10 == 6: BRIGHTNESS-LIFTED copy of doc_id−2 — every
+      sample clamped min(v+4, 255), the re-export-with-brightness
+      near-dup; measured dHash hamming ≤ 4 over the full sf1 id range
+      (mostly 0; flips only where the lift saturates near 255), inside
+      the 5-band pigeonhole guarantee.
+
+    Narrow mapInPandas, numpy-vectorized raster build."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 10 == 1:
+                    base, delta, note = d - 1, 0, b"# re-encoded copy\n"
+                elif d % 10 == 6:
+                    base, delta, note = d - 2, 4, b""
+                else:
+                    base, delta, note = d, 0, b""
+                w, h = 4 + base % 5, 3 + base % 4
+                i = np.arange(w * h * 3, dtype=np.int64)
+                raster = (
+                    base * 7 + i * (1 + base % 37) + (i % 3) * (base % 29)
+                ) % 256
+                raster = np.minimum(raster + delta, 255).astype(np.uint8)
+                payloads.append(
+                    b"P6\n" + note + b"%d %d\n255\n" % (w, h)
+                    + raster.tobytes()
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def ppm_dhash(assets: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit dHash per decoded P6 payload. The REAL
+    decode runs here (header parse incl. comments + raster frombuffer —
+    which is exactly what normalizes a re-encoded copy back to its
+    pixels), then pure integer signature math the DuckDB oracle replays
+    from the closed form: integer grayscale g = (r+g+b)//3, nearest-
+    neighbor downsample to a DHASH_ROWS×DHASH_COLS grid (the
+    ppm_pixel_stats index map: src = (dst*src_dim)//grid), and bit
+    j = gy*(DHASH_COLS-1)+gx set iff grid[gy][gx+1] > grid[gy][gx] —
+    the horizontal gradient sign, invariant to global monotone
+    brightness changes except where they saturate.
+
+    Column names match the simhash family contract so the banded
+    machinery applies unchanged. Narrow fused decode+signature
+    mapInPandas pass — zero shuffle, linear scale-out; at 100 TB the
+    signature column is the persisted artifact and pairing runs on it
+    alone (8 bytes/image), never on pixels."""
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gy = np.arange(DHASH_ROWS)
+        gx = np.arange(DHASH_COLS)
+        weights = (
+            1 << np.arange(DHASH_ROWS * (DHASH_COLS - 1), dtype=np.int64)
+        ).reshape(DHASH_ROWS, DHASH_COLS - 1)
+        for pdf in batches:
+            ids, sigs = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = bytes(payload)
+                w, h, off = _ppm_header(buf)
+                px = (
+                    np.frombuffer(
+                        buf, dtype=np.uint8, count=w * h * 3, offset=off
+                    )
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                g = px.sum(axis=2) // 3
+                grid = g[np.ix_((gy * h) // DHASH_ROWS, (gx * w) // DHASH_COLS)]
+                bits = grid[:, 1:] > grid[:, :-1]
+                ids.append(aid)
+                sigs.append(int((weights * bits).sum()))
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    return assets.mapInPandas(
+        sig,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("simhash", LongType()),
+            ]
+        ),
+    )

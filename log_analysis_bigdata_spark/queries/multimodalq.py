@@ -312,3 +312,172 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return gif_pixel_stats(synth_gif_assets(docs), target=2)
+
+
+# --- Perceptual image near-dup dedup (round 12, VERDICT r11 task 4) ---------
+#
+# The repo had four text/embedding dedup regimes but none over the
+# multimodal column itself. This closes it: dHash signatures over the
+# REALLY-DECODED raster (multimodal/assets.ppm_dhash — the fused
+# mapInPandas decode pass), then the existing 60-bit simhash machinery:
+# signature-collapse quotient, banded candidate pairs, exact
+# bit_count(XOR) hamming verify, connected components.
+#
+# Banding: 5 bands × 12 bits (static, covers all 60 bits) so pigeonhole
+# recall is EXACT for hamming <= 4 — which the planted brightness-lift
+# dups stay inside by measurement over the full sf1 id range (the
+# re-encoded copies are hamming 0 by construction: identical pixels).
+# A static width is correct here because pairing runs on the DISTINCT
+# signature quotient, whose size this synthetic family bounds far below
+# the corpus (the engine cost driver is rep count, not N).
+
+IMG_BANDS = 5
+IMG_BAND_BITS = 12       # 5 x 12 = 60 = the full dHash width
+IMG_MAX_HAMMING = 4      # <= IMG_BANDS - 1: exact banded recall
+
+
+def _dhash_sig_sql() -> str:
+    """DuckDB closed-form twin of synth_ppm_dup_assets ∘ ppm_dhash:
+    CTE chain ``dp, gv, sig`` ending in sig(doc_id, simhash). Every
+    decoded SAMPLE is recomputed from the synth rule, so a decode,
+    grayscale, NN-grid or bit-packing bug on the engine side breaks
+    the driver hash."""
+    from ..multimodal.assets import DHASH_COLS, DHASH_ROWS
+
+    # channel k value at pixel p, after the clamped brightness lift:
+    # least((base*7 + (3p+k)*slope + k*chph) % 256 + delta, 255)
+    px = "(((gy.y * h) // {R}) * w + (gx.x * w) // {C})".format(
+        R=DHASH_ROWS, C=DHASH_COLS
+    )
+    chan = (
+        "least((base*7 + (3*{px} + {k})*slope + {k}*chph) % 256"
+        " + delta, 255)"
+    )
+    gsum = " + ".join(chan.format(px=px, k=k) for k in range(3))
+    return f"""
+    dp AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+                  WHEN doc_id % 10 = 6 THEN doc_id - 2
+                  ELSE doc_id END AS base,
+             CASE WHEN doc_id % 10 = 6 THEN 4 ELSE 0 END AS delta
+      FROM documents
+    ),
+    dpp AS (
+      SELECT doc_id, base, delta,
+             4 + base % 5 AS w, 3 + base % 4 AS h,
+             1 + base % 37 AS slope, base % 29 AS chph
+      FROM dp
+    ),
+    gv AS (
+      SELECT doc_id, gy.y AS gy, gx.x AS gx, ({gsum}) // 3 AS g
+      FROM dpp, range({DHASH_ROWS}) gy(y), range({DHASH_COLS}) gx(x)
+    ),
+    sig AS (
+      SELECT a.doc_id,
+             CAST(sum(CASE WHEN b.g > a.g
+                      THEN (CAST(1 AS BIGINT)
+                            << (a.gy * {DHASH_COLS - 1} + a.gx))
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM gv a JOIN gv b
+        ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+      GROUP BY a.doc_id
+    )"""
+
+
+@register(
+    "image_near_dup_components",
+    oracle=f"""
+    WITH RECURSIVE {_dhash_sig_sql()},
+    grp AS (
+      SELECT simhash, min(doc_id) AS rep, count(*) AS n
+      FROM sig GROUP BY 1
+    ),
+    bands AS (
+      SELECT rep, simhash, t.b AS b,
+             (simhash >> (CAST(t.b AS INTEGER) * {IMG_BAND_BITS}))
+               & {(1 << IMG_BAND_BITS) - 1} AS band_val
+      FROM grp, range({IMG_BANDS}) t(b)
+    ),
+    cands AS (
+      SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_val = b.band_val AND a.rep < b.rep
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cands
+      WHERE bit_count(xor(sig_a, sig_b)) <= {IMG_MAX_HAMMING}
+    ),
+    -- MATERIALIZED: keep the recursive reach join off the signature
+    -- pipeline (the simhash_near_components lesson)
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+      UNION SELECT rep, rep FROM grp WHERE n >= 2
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    rlab AS (SELECT src AS rep, min(dst) AS component FROM reach GROUP BY src)
+    SELECT s.doc_id AS node, r.component
+    FROM sig s
+    JOIN grp g ON s.simhash = g.simhash
+    JOIN rlab r ON g.rep = r.rep
+    """,
+    tags=("multimodal", "dedup", "image", "dhash", "lsh", "components"),
+)
+def image_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS over decoded pixels: decode every P6
+    payload of the planted-dup fixture, dHash the raster, collapse
+    identical signatures (the hamming-0 bulk — re-encoded copies land
+    here because decode normalizes them), band the DISTINCT signatures
+    (5×12 bits), verify candidates at hamming <= 4, and
+    label components with the shared operator — each component is one
+    keep-one-image dedup group. Planted recall is pinned in
+    tests/test_multimodal.py: every re-encoded copy (doc%10==1 ↔ doc−1)
+    and every brightness-lifted copy (doc%10==6 ↔ doc−2) must share a
+    component with its source.
+
+    Scale shape: ONE fused decode+signature mapInPandas pass (no
+    shuffle; 8 bytes out per image), then everything downstream runs on
+    the signature quotient — the groupBy is the only corpus-keyed
+    shuffle, banding/verify/components touch rep rows only, and labels
+    re-expand through the signature→rep map exactly as
+    simhash_near_components does. At 100 TB the signature column is a
+    persisted index; pixels are read once, ever."""
+    from ..multimodal.assets import ppm_dhash, synth_ppm_dup_assets
+    from ..operators.components import connected_components
+    from .textq import _near_cand_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = ppm_dhash(synth_ppm_dup_assets(docs)).localCheckpoint(eager=True)
+    groups = (
+        sig.groupBy("simhash")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rep_pairs = _near_cand_pairs(
+        groups.select(F.col("rep").alias("doc_id"), "simhash"),
+        max_hamming=IMG_MAX_HAMMING,
+        band_bits=IMG_BAND_BITS,
+        n_bands=IMG_BANDS,
+    ).select("doc_a", "doc_b")
+    self_loops = groups.filter(F.col("n") >= 2).select(
+        F.col("rep").alias("doc_a"), F.col("rep").alias("doc_b")
+    )
+    rep_labels = connected_components(
+        rep_pairs.unionByName(self_loops),
+        src="doc_a",
+        dst="doc_b",
+        distinct_pairs=True,
+    )
+    return (
+        sig.join(groups.select("simhash", "rep"), "simhash")
+        .join(rep_labels, F.col("rep") == F.col("node"))
+        .select(F.col("doc_id").alias("node"), F.col("component"))
+    )

@@ -350,3 +350,96 @@ def test_synth_gif_decode_matches_formula(spark):
         assert r["r_mean_e4"] == int(10_000 * ch[0]) // 4
         assert r["g_mean_e4"] == int(10_000 * ch[1]) // 4
         assert r["b_mean_e4"] == int(10_000 * ch[2]) // 4
+
+
+def test_ppm_dhash_matches_formula_and_dup_classes(spark):
+    """The dHash signature pass (round 12): decode the planted-dup
+    fixture and check every signature against an independent numpy
+    recomputation from the synth closed form — a decode offset,
+    grayscale, NN-grid or bit-order bug fails here before the oracle.
+    Also pins the two planted duplicate CLASSES at the signature level:
+    re-encoded copies (doc%10==1) hash IDENTICALLY to their source
+    (decode normalizes the file bytes), brightness-lifted copies
+    (doc%10==6) stay within hamming 4 of theirs (the 5-band pigeonhole
+    bound banding relies on)."""
+    import numpy as np
+
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        ppm_dhash,
+        synth_ppm_dup_assets,
+    )
+
+    def expect_sig(doc_id: int) -> int:
+        if doc_id % 10 == 1:
+            base, delta = doc_id - 1, 0
+        elif doc_id % 10 == 6:
+            base, delta = doc_id - 2, 4
+        else:
+            base, delta = doc_id, 0
+        w, h = 4 + base % 5, 3 + base % 4
+        i = np.arange(w * h * 3, dtype=np.int64)
+        raster = (
+            base * 7 + i * (1 + base % 37) + (i % 3) * (base % 29)
+        ) % 256
+        raster = np.minimum(raster + delta, 255)
+        g = raster.reshape(h, w, 3).sum(axis=2) // 3
+        ys = (np.arange(DHASH_ROWS) * h) // DHASH_ROWS
+        xs = (np.arange(DHASH_COLS) * w) // DHASH_COLS
+        grid = g[np.ix_(ys, xs)]
+        bits = grid[:, 1:] > grid[:, :-1]
+        weights = (
+            1 << np.arange(DHASH_ROWS * (DHASH_COLS - 1), dtype=np.int64)
+        ).reshape(DHASH_ROWS, DHASH_COLS - 1)
+        return int((weights * bits).sum())
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in ppm_dhash(synth_ppm_dup_assets(docs)).collect()
+    }
+    assert len(got) == 60
+    for d, s in got.items():
+        assert s == expect_sig(d), d
+    for d in got:
+        if d % 10 == 1 and d - 1 in got:
+            assert got[d] == got[d - 1], ("re-encode", d)
+        if d % 10 == 6 and d - 2 in got:
+            ham = bin(got[d] ^ got[d - 2]).count("1")
+            assert ham <= 4, ("brightness", d, ham)
+
+
+def test_image_near_dup_planted_recall(spark):
+    """END-TO-END planted recall for the perceptual dedup query: every
+    planted pair — re-encoded copy (d, d−1) for d%10==1 and
+    brightness-lifted copy (d, d−2) for d%10==6 — must land in the SAME
+    component. Recall is exactly 1.0 by construction (re-encodes are
+    hamming 0; lifts measured <= 4 = IMG_MAX_HAMMING, and 5-band
+    pigeonhole recall is exact at that bound), so this pins equality,
+    not a floor. Also sanity-checks the component labels are canonical
+    min-ids (label <= every member)."""
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    rows = (
+        all_queries()["image_near_dup_components"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    )
+    comp = {r["node"]: r["component"] for r in rows}
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    missed = []
+    for d in range(n_docs):
+        pairs = []
+        if d % 10 == 1:
+            pairs.append(d - 1)
+        if d % 10 == 6:
+            pairs.append(d - 2)
+        for s in pairs:
+            if s < 0:
+                continue
+            if d not in comp or s not in comp or comp[d] != comp[s]:
+                missed.append((s, d))
+    assert not missed, f"planted pairs not co-clustered: {missed[:10]}"
+    for node, c in comp.items():
+        assert c <= node
