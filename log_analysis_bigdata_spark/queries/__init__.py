@@ -54,92 +54,87 @@ _LOADED = False
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
 # on file; tests/test_driver_session.py CI-enforces the rotation —
-# no latest verdict may age past 4 rounds). Round-11 window (50 slots):
-#   (1) the full round-7-latest cohort — all 21, at the age cap after
-#       r10 (VERDICT r10 task 1: they MUST head this window);
-#   (2) re-verdicts for the 8 queries OUTSIDE that cohort whose
-#       RESULTS changed with the PLANT_SHIFT 10^12 id-shift bump
-#       (textq._dup_corpus / the variant / new-batch / c2t corpora —
-#       the r7 minhash/simhash entries in (1) re-verdict the same
-#       change): dedup_exact_docs, ngram_jaccard_pairs (r8),
-#       simhash_dup_groups, crossformat_dedup_docs,
-#       corpus_to_training_set, chunk_dedup_retention (r9),
-#       dedup_pipeline_docs, incremental_dedup_newbatch (r10).
-#       (grouped_minhash_union reads plain `documents`, NOT the dup
-#       corpus — the r11 self-review caught it squatting in this
-#       section while chunk_dedup_retention, a real _DUP_CORPUS_SQL
-#       consumer, was missing; its r10 verdict stands unchanged);
-#   (3) re-verdicts for the 5 queries whose CODE changed this round:
-#       heavy_hitters_topk (TakeOrderedAndProject final cut),
-#       ivfpq_topk (IVF cells + residual PQ recomposition),
-#       embedding_near_dup + dedup_components (count-derived
-#       threshold ladder), repeated_ngram_spans (8-byte gram keys);
-#   (3b) the two queries REGISTERED this round, never verdicted:
-#       decontaminate_spans_docs (token-level span excision) and
-#       mixture_temperature_sample (tau=1/2 data-mixing resampler);
-#   (4) 14 of the remaining 41 round-8-latest, alphabetical
-#       (ann_bucketed_topk .. grouping_sets_order_stats). The 27 that
-#       do not fit keep their r8 green rows at age 3 — they MUST head
-#       the r12 window (cap 4). 21 + 8 + 5 + 2 + 14 = 50.
+# no latest verdict may age past 4 rounds). Round-12 window (50 slots):
+#   (1) the full round-8-latest cohort — all 27 remaining (the 41-entry
+#       r8 cohort minus the 14 rotated in r11), at the age cap after
+#       r11 (VERDICT r11 task 1: they MUST head this window);
+#   (2) re-verdicts for the 6 queries whose CODE changed this round:
+#       mixture_temperature_sample (DECIMAL/HUGEINT keep-rate headroom,
+#       ADVICE r11), repeated_ngram_spans + decontaminate_spans_docs
+#       (single-sourced island-merge helper, VERDICT r11 task 2 —
+#       values unchanged by proof: covered = p1-p0+1 under the unified
+#       inclusive-end convention equals the old max(pos)-p0+K),
+#       ivfpq_topk (index build extracted to the shared
+#       _ivfpq_index/_IVFPQ_INDEX_SQL), simhash_near_pairs +
+#       simhash_near_components (_near_cand_pairs grew the n_bands
+#       parameter — default path identical, re-verdicted out of
+#       caution);
+#   (3) the two queries REGISTERED this round, never verdicted:
+#       ivfpq_knn_join (batched IVF-PQ retrieval, VERDICT r11 task 3)
+#       and image_near_dup_components (perceptual dHash dedup over
+#       decoded pixels, VERDICT r11 task 4);
+#   (4) 15 of the 44 round-9-latest, alphabetical
+#       (approx_distinct_users .. q13_customer_order_distribution).
+#       The 29 r9 entries that do not fit stay at age 3 after r12 and
+#       MUST head the r13 window (cap 4). 27 + 6 + 2 + 15 = 50.
 _DRIVER_WINDOW = (
-    # (1) round-7-latest cohort, rotated in full (age cap)
-    "kmeans_step_shift",
-    "label_histogram_embeddings",
-    "latest_record_per_key",
-    "minhash_dup_pairs",
-    "minhash_signatures",
-    "ml_score_embeddings",
-    "mode_per_event_type",
-    "multimodal_asset_stats",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
-    "multimodal_ppm_pixel_stats",
-    "multimodal_resize_plan",
-    "per_user_model_fit",
-    "per_user_regression_sql",
-    "percentile_order_value",
-    "simhash_near_components",
-    "simhash_near_pairs",
-    "udtf_chunk_docs",
-    "unpivot_lineitem_metrics",
-    "user_activity_full_join",
-    "window_running_value",
-    # (2) PLANT_SHIFT re-verdicts outside the r7 cohort
-    "dedup_exact_docs",
-    "ngram_jaccard_pairs",
-    "simhash_dup_groups",
-    "crossformat_dedup_docs",
-    "corpus_to_training_set",
-    "chunk_dedup_retention",
-    "dedup_pipeline_docs",
-    "incremental_dedup_newbatch",
-    # (3) round-11 code-change re-verdicts
-    "heavy_hitters_topk",
-    "ivfpq_topk",
-    "embedding_near_dup",
-    "dedup_components",
-    "repeated_ngram_spans",
-    # (3b) new registrations this round (never verdicted)
-    "decontaminate_spans_docs",
+    # (1) round-8-latest cohort, rotated in full (age cap)
+    "interval_overlap_sessions",
+    "ivf_topk",
+    "knn_join_topk",
+    "lang_histogram",
+    "langid_ngram_predict",
+    "mad_outliers_events",
+    "parse_raw_logs",
+    "pivot_daily_event_counts",
+    "profile_documents",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "range_join_hour_activity",
+    "rollup_order_status",
+    "salted_event_type_stats",
+    "scalar_subquery_last_order",
+    "session_window_events",
+    "sliding_window_events",
+    "stats_agg_events",
+    "string_funcs_customer",
+    "template_tag_docs",
+    "topk_orders_by_price",
+    "tumbling_window_events",
+    "window_lag_event_gaps",
+    "window_time_range_sum",
+    "window_topk_orders_per_customer",
+    "word_histogram_docs",
+    # (2) round-12 code-change re-verdicts
     "mixture_temperature_sample",
-    # (4) round-8-latest cohort, 14 alphabetical
-    "ann_bucketed_topk",
-    "anti_join_docs_quarantine",
-    "case_bucket_order_price",
-    "cosine_topk",
-    "cube_order_status",
-    "date_parts_orders",
-    "doc_fingerprint",
-    "embedding_norms",
-    "event_traces_users",
-    "ewma_user_value_stateful",
-    "feature_counts_events",
-    "fuzzy_match_names",
-    "grouped_agg_weighted_mean",
-    "grouping_sets_order_stats",
-    # Past the 50-slot window: everything else keeps its r8–r10 green
+    "repeated_ngram_spans",
+    "decontaminate_spans_docs",
+    "ivfpq_topk",
+    "simhash_near_pairs",
+    "simhash_near_components",
+    # (3) new registrations this round (never verdicted)
+    "ivfpq_knn_join",
+    "image_near_dup_components",
+    # (4) round-9-latest cohort, 15 alphabetical
+    "approx_distinct_users",
+    "arrow_map_embedding_norms",
+    "bpe_token_estimate_docs",
+    "contamination_check",
+    "hash_split_summary",
+    "incremental_agg_merge_events",
+    "integrity_check_report",
+    "mixture_weights_lang",
+    "pagerank_supplier_graph",
+    "pii_redact_docs",
+    "psi_value_drift",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_order_distribution",
+    # Past the 50-slot window: everything else keeps its r9–r11 green
     # verdict; the full local parity sweep for ALL registry entries is
-    # committed per round as EVIDENCE_r11.md.
+    # committed per round as EVIDENCE_r12.md.
 )
 
 
