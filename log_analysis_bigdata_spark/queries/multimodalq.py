@@ -330,10 +330,45 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A static width is correct here because pairing runs on the DISTINCT
 # signature quotient, whose size this synthetic family bounds far below
 # the corpus (the engine cost driver is rep count, not N).
+#
+# Clustering tolerance is COUNT-DERIVED (the embedding_near_dup ladder
+# lesson, measured at the sf1 probe): at 22k distinct signatures the
+# hamming<=4 organic pair graph is 87k edges — past the local
+# union-find cap, into a dense distributed label-propagation that took
+# 285 s — while hamming<=3 is 36k and <=1 is 2.3k. The ladder keeps
+# hamming 4 through IMG_HAM_BASE_N reps (every driver-verdicted SF and
+# the planted-recall pins run there), then tightens one bit per rep
+# doubling (floor 1): pair growth stays ~linear, the solver stays on
+# the local path far longer, and — like the cosine ladder — the trade
+# is explicit: at 100 TB only progressively closer perceptual dups
+# cluster, which is also the better semantic (transitive tolerance
+# compounds; see simhash_near_components).
 
 IMG_BANDS = 5
 IMG_BAND_BITS = 12       # 5 x 12 = 60 = the full dHash width
-IMG_MAX_HAMMING = 4      # <= IMG_BANDS - 1: exact banded recall
+IMG_MAX_HAMMING = 4      # base-tier tolerance; <= IMG_BANDS - 1
+IMG_HAM_BASE_N = 20_000  # reps <= this keep hamming 4
+
+
+def img_max_hamming(n_reps: int) -> int:
+    """Count-derived clustering tolerance: 4 at the base tier, −1 per
+    rep-count doubling past IMG_HAM_BASE_N, floored at 1. SQL twin:
+    ``_IMG_HAM_SQL``."""
+    h, n = IMG_MAX_HAMMING, IMG_HAM_BASE_N
+    while n_reps > n and h > 1:
+        h -= 1
+        n *= 2
+    return h
+
+
+_IMG_HAM_SQL = "(" + " ".join(
+    ["CASE"]
+    + [
+        f"WHEN n <= {IMG_HAM_BASE_N << k} THEN {IMG_MAX_HAMMING - k}"
+        for k in range(IMG_MAX_HAMMING - 1)
+    ]
+    + ["ELSE 1 END"]
+) + ")"
 
 
 def _dhash_sig_sql() -> str:
@@ -393,6 +428,10 @@ def _dhash_sig_sql() -> str:
       SELECT simhash, min(doc_id) AS rep, count(*) AS n
       FROM sig GROUP BY 1
     ),
+    hm AS (
+      SELECT {_IMG_HAM_SQL} AS hmax
+      FROM (SELECT count(*) AS n FROM grp)
+    ),
     bands AS (
       SELECT rep, simhash, t.b AS b,
              (simhash >> (CAST(t.b AS INTEGER) * {IMG_BAND_BITS}))
@@ -407,7 +446,7 @@ def _dhash_sig_sql() -> str:
     ),
     pairs AS (
       SELECT doc_a, doc_b FROM cands
-      WHERE bit_count(xor(sig_a, sig_b)) <= {IMG_MAX_HAMMING}
+      WHERE bit_count(xor(sig_a, sig_b)) <= (SELECT hmax FROM hm)
     ),
     -- MATERIALIZED: keep the recursive reach join off the signature
     -- pipeline (the simhash_near_components lesson)
@@ -436,12 +475,15 @@ def image_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload of the planted-dup fixture, dHash the raster, collapse
     identical signatures (the hamming-0 bulk — re-encoded copies land
     here because decode normalizes them), band the DISTINCT signatures
-    (5×12 bits), verify candidates at hamming <= 4, and
-    label components with the shared operator — each component is one
+    (5×12 bits), verify candidates at the count-derived hamming
+    tolerance (img_max_hamming: 4 through 20k reps, tighter per
+    doubling — see the module comment's sf1 measurement), and label
+    components with the shared operator — each component is one
     keep-one-image dedup group. Planted recall is pinned in
     tests/test_multimodal.py: every re-encoded copy (doc%10==1 ↔ doc−1)
     and every brightness-lifted copy (doc%10==6 ↔ doc−2) must share a
-    component with its source.
+    component with its source (both SFs pinned sit in the hamming-4
+    tier).
 
     Scale shape: ONE fused decode+signature mapInPandas pass (no
     shuffle; 8 bytes out per image), then everything downstream runs on
@@ -463,21 +505,25 @@ def image_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep_pairs = _near_cand_pairs(
         groups.select(F.col("rep").alias("doc_id"), "simhash"),
-        max_hamming=IMG_MAX_HAMMING,
+        max_hamming=img_max_hamming(groups.count()),
         band_bits=IMG_BAND_BITS,
         n_bands=IMG_BANDS,
     ).select("doc_a", "doc_b")
-    self_loops = groups.filter(F.col("n") >= 2).select(
-        F.col("rep").alias("doc_a"), F.col("rep").alias("doc_b")
-    )
+    # the solver sees CROSS-rep edges only: n>=2 exact-dup groups whose
+    # rep has no near neighbor don't need a closure — their component
+    # IS the rep, assigned in the expansion below. (Feeding them as
+    # self-loop edges inflated the sf1 edge set past the local
+    # union-find cap into the distributed loop for zero information —
+    # the 285 s diagnosis above.)
     rep_labels = connected_components(
-        rep_pairs.unionByName(self_loops),
-        src="doc_a",
-        dst="doc_b",
-        distinct_pairs=True,
+        rep_pairs, src="doc_a", dst="doc_b", distinct_pairs=True
     )
     return (
-        sig.join(groups.select("simhash", "rep"), "simhash")
-        .join(rep_labels, F.col("rep") == F.col("node"))
-        .select(F.col("doc_id").alias("node"), F.col("component"))
+        sig.join(groups.select("simhash", "rep", "n"), "simhash")
+        .join(rep_labels, F.col("rep") == F.col("node"), "left")
+        .filter(F.col("component").isNotNull() | (F.col("n") >= 2))
+        .select(
+            F.col("doc_id").alias("node"),
+            F.coalesce("component", F.col("rep")).alias("component"),
+        )
     )
