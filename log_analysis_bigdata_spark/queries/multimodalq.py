@@ -332,21 +332,29 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus (the engine cost driver is rep count, not N).
 #
 # Clustering tolerance is COUNT-DERIVED (the embedding_near_dup ladder
-# lesson, measured at the sf1 probe): at 22k distinct signatures the
-# hamming<=4 organic pair graph is 87k edges — past the local
+# lesson, measured at the sf1/sf10 probes): at 22k distinct signatures
+# the hamming<=4 organic pair graph is 87k edges — past the local
 # union-find cap, into a dense distributed label-propagation that took
 # 285 s — while hamming<=3 is 36k and <=1 is 2.3k. The ladder keeps
 # hamming 4 through IMG_HAM_BASE_N reps (every driver-verdicted SF and
 # the planted-recall pins run there), then tightens one bit per rep
-# doubling (floor 1): pair growth stays ~linear, the solver stays on
-# the local path far longer, and — like the cosine ladder — the trade
-# is explicit: at 100 TB only progressively closer perceptual dups
-# cluster, which is also the better semantic (transitive tolerance
-# compounds; see simhash_near_components).
+# doubling (floor 1): pair growth stays ~linear, and — like the cosine
+# ladder — the trade is explicit: at 100 TB only progressively closer
+# perceptual dups cluster, which is also the better semantic
+# (transitive tolerance compounds; see simhash_near_components).
+#
+# BANDING IS CO-DERIVED FROM THE LADDER: n_bands = hmax + 1 (the
+# pigeonhole minimum) and band width = 60 // n_bands, so tightening
+# the tolerance WIDENS the bands — exponentially more selective
+# buckets exactly when the rep population grows. Measured on this
+# family at sf10 (62k reps, structured gradient signatures): a static
+# 5×12 split generates 142M banded candidates (hot buckets of 4.4k
+# reps — the probe's first sf10 attempt ran past 10 min), while the
+# tier-derived 3×20 split generates 9.5M and 2×30 generates 1.3M.
+# Recall stays EXACT at every tier: hamming <= hmax differs in at most
+# hmax of the hmax+1 bands.
 
-IMG_BANDS = 5
-IMG_BAND_BITS = 12       # 5 x 12 = 60 = the full dHash width
-IMG_MAX_HAMMING = 4      # base-tier tolerance; <= IMG_BANDS - 1
+IMG_MAX_HAMMING = 4      # base-tier tolerance
 IMG_HAM_BASE_N = 20_000  # reps <= this keep hamming 4
 
 
@@ -429,14 +437,20 @@ def _dhash_sig_sql() -> str:
       FROM sig GROUP BY 1
     ),
     hm AS (
-      SELECT {_IMG_HAM_SQL} AS hmax
-      FROM (SELECT count(*) AS n FROM grp)
+      SELECT hmax, hmax + 1 AS nb, 60 // (hmax + 1) AS bb,
+             (CAST(1 AS BIGINT) << (60 // (hmax + 1))) - 1 AS mask
+      FROM (SELECT {_IMG_HAM_SQL} AS hmax
+            FROM (SELECT count(*) AS n FROM grp))
     ),
     bands AS (
+      -- range() takes constants only: generate the max band count and
+      -- keep the tier's first nb (hm is one row; the cross join is a
+      -- scalar broadcast)
       SELECT rep, simhash, t.b AS b,
-             (simhash >> (CAST(t.b AS INTEGER) * {IMG_BAND_BITS}))
-               & {(1 << IMG_BAND_BITS) - 1} AS band_val
-      FROM grp, range({IMG_BANDS}) t(b)
+             (simhash >> (CAST(t.b AS INTEGER) * hm.bb)) & hm.mask
+               AS band_val
+      FROM grp, range({IMG_MAX_HAMMING + 1}) t(b), hm
+      WHERE t.b < hm.nb
     ),
     cands AS (
       SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b,
@@ -475,9 +489,10 @@ def image_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload of the planted-dup fixture, dHash the raster, collapse
     identical signatures (the hamming-0 bulk — re-encoded copies land
     here because decode normalizes them), band the DISTINCT signatures
-    (5×12 bits), verify candidates at the count-derived hamming
-    tolerance (img_max_hamming: 4 through 20k reps, tighter per
-    doubling — see the module comment's sf1 measurement), and label
+    at the tier-derived split (hmax+1 bands × 60//(hmax+1) bits),
+    verify candidates at the count-derived hamming tolerance
+    (img_max_hamming: 4 through 20k reps, tighter per doubling — see
+    the module comment's sf1/sf10 measurements), and label
     components with the shared operator — each component is one
     keep-one-image dedup group. Planted recall is pinned in
     tests/test_multimodal.py: every re-encoded copy (doc%10==1 ↔ doc−1)
@@ -503,11 +518,12 @@ def image_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    hmax = img_max_hamming(groups.count())
     rep_pairs = _near_cand_pairs(
         groups.select(F.col("rep").alias("doc_id"), "simhash"),
-        max_hamming=img_max_hamming(groups.count()),
-        band_bits=IMG_BAND_BITS,
-        n_bands=IMG_BANDS,
+        max_hamming=hmax,
+        band_bits=60 // (hmax + 1),
+        n_bands=hmax + 1,
     ).select("doc_a", "doc_b")
     # the solver sees CROSS-rep edges only: n>=2 exact-dup groups whose
     # rep has no near neighbor don't need a closure — their component

@@ -63,7 +63,22 @@ FAMILIES = [
     # being planted near-dups (see scale_up signflip docstring)
     "embedding_near_dup",
     "ivfpq_topk",
+    # r12: perceptual image dedup — decode-dominated scan + signature
+    # quotient; the sf1 probe of the PRE-ladder version measured the
+    # 285 s dense-components cliff this family now ladders away from
+    "image_near_dup_components",
 ]
+
+# r12: the batched IVF-PQ retrieval join is probed at sf1 ONLY (200
+# queries x 20k vectors; ~30 s): its query block is defined as
+# vec_id % 100 == 7, so the sf10 workload is Q x N = 100x BY
+# CONSTRUCTION — a wall ratio would compare different jobs, not the
+# engine. The deployment shape for growing Q is chunking the stacked
+# ADC table by query block (see the query docstring); per-corpus-decade
+# growth at fixed Q is what the sf1-vs-sf0.1 recall/wall pins in CI
+# cover (test_properties: the N=20k diffuse fixture IS corpus-sf1
+# scale).
+KNN_JOIN_PROBE = "ivfpq_knn_join"
 
 RATIO_BOUND = 30.0  # sub-quadratic gate for one 10x decade, fixed cores
 
@@ -293,6 +308,79 @@ def invariants(spark, registry, sf1: str, sf10: str) -> dict:
         "certificate_passed": cert_pass,
         "check": "equals_exact_top10",
         "ok": got == exact,
+    }
+
+    # r12 — image_near_dup_components at sf10: every RE-ENCODED planted
+    # copy (doc%10==1 vs doc−1, identical pixels ⇒ identical signature)
+    # must co-cluster at ANY ladder tier — same-signature docs share a
+    # rep and therefore a component by construction, so a violation
+    # here means the decode/signature/expansion path broke at scale.
+    # (Brightness-lift pairs at hamming 2–4 are EXPECTED to drop out
+    # once the count-derived ladder tightens past their tier — the
+    # documented trade; the exact-recall pins for them run at the
+    # hamming-4 tier in CI.) Ladder telemetry recorded alongside.
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        ppm_dhash,
+        synth_ppm_dup_assets,
+    )
+    from log_analysis_bigdata_spark.queries.multimodalq import (
+        img_max_hamming,
+    )
+
+    lab = registry["image_near_dup_components"].spark(spark, sf10)
+    a = lab.filter(F.col("node") % 10 == 1).select(
+        F.col("node").alias("d"), F.col("component").alias("ca")
+    )
+    b = lab.select(F.col("node").alias("s"), F.col("component").alias("cb"))
+    j = a.join(b, a["d"] - 1 == b["s"], "left").select("d", "ca", "cb")
+    viol = j.filter(
+        F.col("cb").isNull() | (F.col("ca") != F.col("cb"))
+    ).count()
+    n_reenc = a.count()
+    n_reps = (
+        ppm_dhash(
+            synth_ppm_dup_assets(
+                spark.read.parquet(f"{sf10}/documents.parquet")
+            )
+        )
+        .select("simhash")
+        .distinct()
+        .count()
+    )
+    out["image_near_dup_components"] = {
+        "reencode_pairs_sf10": int(n_reenc),
+        "co_cluster_violations": int(viol),
+        "n_reps_sf10": int(n_reps),
+        "ladder_hamming_sf10": img_max_hamming(n_reps),
+        "check": "all_reencoded_copies_co_clustered",
+        "ok": n_reenc > 0 and viol == 0,
+    }
+
+    # r12 — batched IVF-PQ knn join, sf1 only (see KNN_JOIN_PROBE note):
+    # contract shape — every query serves exactly K rows, ranks are
+    # 1..K, cosines descend within each query.
+    from log_analysis_bigdata_spark.queries.vectorq import IVFPQ_JOIN_K
+
+    t0 = time.perf_counter()
+    rows = registry[KNN_JOIN_PROBE].spark(spark, sf1).collect()
+    knn_wall = round(time.perf_counter() - t0, 1)
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    shape_ok = bool(per_q) and all(
+        sorted(rk for rk, _ in v) == list(range(1, IVFPQ_JOIN_K + 1))
+        and all(
+            x[1] >= y[1]
+            for x, y in zip(sorted(v), sorted(v)[1:])
+        )
+        for v in per_q.values()
+    )
+    out[KNN_JOIN_PROBE] = {
+        "sf1_queries": len(per_q),
+        "sf1_rows": len(rows),
+        "sf1_wall": knn_wall,
+        "check": "every_query_full_topk_descending",
+        "ok": shape_ok and len(rows) == IVFPQ_JOIN_K * len(per_q),
     }
     return out
 
