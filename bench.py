@@ -199,6 +199,11 @@ HEADLINE = [
     # pass + banded pairing + components over the signature quotient;
     # the only dedup entry whose cost is dominated by DECODE throughput
     "image_near_dup_components",
+    # round-14: incremental IVF-PQ index maintenance (frozen
+    # centroids/codebooks, new batch encoded + appended) — the ingest
+    # shape; cost is dominated by the history-side index train, so it
+    # belongs here, not hidden as a sub-1s 'variant'
+    "ivfpq_index_append",
 ]
 
 # Heavyweight entries DELIBERATELY excluded from HEADLINE, name →
@@ -245,6 +250,24 @@ HEAVY_EXCLUDED_OK = {
         "the signature stage of the simhash family benched via "
         "simhash_near_components; standalone wall is the full n-row "
         "signature frame materializing to noop"
+    ),
+    # r13 driver audit flagged this at 1.96s on a run where the WHOLE
+    # suite moved ~1.6x vs the identical r12-committed tree (machine
+    # contention, no code change between the runs); it audits ~0.9-1.0s
+    # on an idle host. The justification, not just the flap: it is a
+    # full-table per-event RANGE-frame window over events (every row
+    # re-aggregates its trailing time interval) + the oracle-determinism
+    # trailing global orderBy — inherently around the budget at sf0.1.
+    # The window-function family's throughput is benched via
+    # window_topk_orders_per_customer and grouped_zscore_window
+    # (HEADLINE); this entry exists for the RANGE-frame oracle contract.
+    "window_time_range_sum": (
+        "full-table per-event RANGE-frame window (trailing time "
+        "interval re-aggregated per event row) + determinism orderBy — "
+        "~1s-class at sf0.1 by construction and flaps over the budget "
+        "under ambient load (r13 driver env ran the identical r12 tree "
+        "~1.6x slower suite-wide); window throughput is benched via "
+        "window_topk_orders_per_customer / grouped_zscore_window"
     ),
 }
 

@@ -54,87 +54,87 @@ _LOADED = False
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
 # on file; tests/test_driver_session.py CI-enforces the rotation —
-# no latest verdict may age past 4 rounds). Round-12 window (50 slots):
-#   (1) the full round-8-latest cohort — all 27 remaining (the 41-entry
-#       r8 cohort minus the 14 rotated in r11), at the age cap after
-#       r11 (VERDICT r11 task 1: they MUST head this window);
-#   (2) re-verdicts for the 6 queries whose CODE changed this round:
-#       mixture_temperature_sample (DECIMAL/HUGEINT keep-rate headroom,
-#       ADVICE r11), repeated_ngram_spans + decontaminate_spans_docs
-#       (single-sourced island-merge helper, VERDICT r11 task 2 —
-#       values unchanged by proof: covered = p1-p0+1 under the unified
-#       inclusive-end convention equals the old max(pos)-p0+K),
-#       ivfpq_topk (index build extracted to the shared
-#       _ivfpq_index/_IVFPQ_INDEX_SQL), simhash_near_pairs +
-#       simhash_near_components (_near_cand_pairs grew the n_bands
-#       parameter — default path identical, re-verdicted out of
-#       caution);
-#   (3) the two queries REGISTERED this round, never verdicted:
-#       ivfpq_knn_join (batched IVF-PQ retrieval, VERDICT r11 task 3)
-#       and image_near_dup_components (perceptual dHash dedup over
-#       decoded pixels, VERDICT r11 task 4);
-#   (4) 15 of the 44 round-9-latest, alphabetical
-#       (approx_distinct_users .. q13_customer_order_distribution).
-#       The 29 r9 entries that do not fit stay at age 3 after r12 and
-#       MUST head the r13 window (cap 4). 27 + 6 + 2 + 15 = 50.
+# no latest verdict may age past 4 rounds). Round-14 window (50 slots).
+# NOTE round 13 was a zero-turn round (no builder commits): the r12
+# window was verdicted as-is by the r13 driver run, so the 29
+# round-9-latest entries the r12 comment said "MUST head the r13
+# window" arrive here at the age cap instead (VERDICT r13 task 1):
+#   (1) the full round-9-latest cohort — all 29 remaining (the 44-entry
+#       r9 cohort minus the 15 rotated in r12), age 4 at the r14 run;
+#       alphabetical;
+#   (2) re-verdicts for the 3 queries whose CODE changed this round —
+#       repeated_ngram_spans (gram keys switched from Spark-only
+#       xxhash64 to the md5-prefix key BOTH engines derive, closing
+#       ADVICE r11 #2's collision-parity risk), ivfpq_knn_join (grew
+#       the adc_chunks parameter for very-large-Q broadcast bounding —
+#       default path identical) and ivfpq_topk (final corpus encode
+#       now routed through the extracted _ivfpq_encode helper — values
+#       identical by construction, re-verdicted out of caution) —
+#       plus the 1 query REGISTERED this round, never verdicted:
+#       ivfpq_index_append (incremental IVF-PQ index maintenance,
+#       VERDICT r13 task 7);
+#   (3) 17 of the 43 round-10-latest, alphabetical
+#       (approx_percentile_value .. grouped_minhash_union).
+#       The 26 r10 entries that do not fit stay at age 4 after r14 and
+#       MUST head the r15 window (cap 4; 26 + r15 re-verdicts ≤ 50
+#       fits). 29 + 4 + 17 = 50.
 _DRIVER_WINDOW = (
-    # (1) round-8-latest cohort, rotated in full (age cap)
-    "interval_overlap_sessions",
-    "ivf_topk",
-    "knn_join_topk",
-    "lang_histogram",
-    "langid_ngram_predict",
-    "mad_outliers_events",
-    "parse_raw_logs",
-    "pivot_daily_event_counts",
-    "profile_documents",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "range_join_hour_activity",
-    "rollup_order_status",
-    "salted_event_type_stats",
-    "scalar_subquery_last_order",
-    "session_window_events",
-    "sliding_window_events",
-    "stats_agg_events",
-    "string_funcs_customer",
-    "template_tag_docs",
-    "topk_orders_by_price",
-    "tumbling_window_events",
-    "window_lag_event_gaps",
-    "window_time_range_sum",
-    "window_topk_orders_per_customer",
-    "word_histogram_docs",
-    # (2) round-12 code-change re-verdicts
-    "mixture_temperature_sample",
+    # (1) round-9-latest cohort, rotated in full (age cap)
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_excess_share_suppliers",
+    "q21_final_shipper",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "quality_filter_docs",
+    "semdedup_embedding_cells",
+    "serving_by_key",
+    "serving_delete",
+    "serving_high_score",
+    "serving_time_range",
+    "session_flow_top_transitions",
+    "sessionize_events",
+    "simhash_buckets",
+    "simhash_text_docs",
+    "stream_dedup_blocks",
+    "text_quality_docs",
+    "token_counts_docs",
+    "variant_props_stats",
+    # (2) round-14 code-change re-verdicts + the new registration
     "repeated_ngram_spans",
-    "decontaminate_spans_docs",
-    "ivfpq_topk",
-    "simhash_near_pairs",
-    "simhash_near_components",
-    # (3) new registrations this round (never verdicted)
     "ivfpq_knn_join",
-    "image_near_dup_components",
-    # (4) round-9-latest cohort, 15 alphabetical
-    "approx_distinct_users",
-    "arrow_map_embedding_norms",
-    "bpe_token_estimate_docs",
-    "contamination_check",
-    "hash_split_summary",
-    "incremental_agg_merge_events",
-    "integrity_check_report",
-    "mixture_weights_lang",
-    "pagerank_supplier_graph",
-    "pii_redact_docs",
-    "psi_value_drift",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_customer_order_distribution",
-    # Past the 50-slot window: everything else keeps its r9–r11 green
+    "ivfpq_topk",
+    "ivfpq_index_append",
+    # (3) round-10-latest cohort, 17 alphabetical
+    "approx_percentile_value",
+    "asof_join_events_orders",
+    "asof_join_tolerance",
+    "bm25_search_docs",
+    "bpe_apply_merges",
+    "bpe_merge_candidates",
+    "bpe_train_merges",
+    "cdc_latest_state",
+    "chunk_documents",
+    "cogroup_user_activity",
+    "constant_columns_detect",
+    "dedup_survivors_by_quality",
+    "distinct_count_segments",
+    "embedding_centroid_drift",
+    "ewma_user_value",
+    "group_having_active_customers",
+    "grouped_minhash_union",
+    # Past the 50-slot window: everything else keeps its r10–r13 green
     # verdict; the full local parity sweep for ALL registry entries is
-    # committed per round as EVIDENCE_r12.md.
+    # committed per round as EVIDENCE_r14.md.
 )
 
 

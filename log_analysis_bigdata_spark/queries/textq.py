@@ -2049,11 +2049,15 @@ def simhash_near_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collect_list-per-gram: a hot boilerplate gram occurs in millions of
 # docs, so any per-gram row accumulation is the skew trap; count
 # (distinct doc) + equi-join keeps every stage partial-aggregatable and
-# AQE-skew-splittable. Since r11 the gram is xxhash64-ed to an 8-byte
-# key before the checkpoint/shuffle on the Spark side too (the
-# deployment shape); the oracle still groups by the gram STRING, which
-# is equivalent up to 64-bit collisions — see the collision-bound note
-# at the checkpoint site inside repeated_ngram_spans.
+# AQE-skew-splittable. Since r11 the gram is collapsed to a fixed-width
+# key before the checkpoint/shuffle (the deployment shape); since r14
+# that key is the 64-bit md5 PREFIX derived IDENTICALLY by both
+# engines (ADVICE r11 #2: the old Spark-only xxhash64 key left the
+# oracle grouping raw strings, so one 64-bit collision could diverge
+# the engines as corpora grow — with a shared key domain a collision
+# perturbs both engines the same way and the gate cannot diverge).
+# See the collision-bound note at the checkpoint site inside
+# repeated_ngram_spans.
 
 SPAN_K = 6  # tokens per window; >= 2 windows overlap per planted line
 _BOILERPLATE = "terms of service apply contact the site admin for details"
@@ -2142,8 +2146,12 @@ def _island_sql(k: int, with_wins: bool = False) -> str:
     ),
     toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs),
     grams AS (
+      -- the SAME 64-bit md5-prefix key the Spark side shuffles on:
+      -- one key domain for both engines, so a collision cannot
+      -- diverge the gate (ADVICE r11 #2)
       SELECT doc_id, t.i AS pos,
-             array_to_string(toks[t.i + 1 : t.i + {SPAN_K}], ' ') AS gram
+             substr(md5(array_to_string(toks[t.i + 1 : t.i + {SPAN_K}], ' ')),
+                    1, 16) AS gram
       FROM toks,
            unnest(range(0, greatest(len(toks) - {SPAN_K - 1}, 0))) AS t(i)
     ),
@@ -2201,20 +2209,24 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without a cut each re-runs tokenize+posexplode over the corpus —
     # the checkpoint trades that second pass for block storage (measured
     # 2.67→1.87 s at sf0.1, 4.49→3.38 s at sf1). Since r11 (ADVICE r10)
-    # the gram STRING is collapsed to an 8-byte xxhash64 key BEFORE the
-    # cut, so the materialization holds corpus tokens × 8 bytes instead
-    # of × ~6-token strings (~5× smaller) and the gram-keyed shuffle
-    # moves fixed-width longs. Dup detection groups by hash: a 64-bit
-    # collision could merge two distinct grams (P ≈ m²/2⁶⁵ ≈ 3e-8 at
-    # the sf1 gram count — negligible, and the span/coverage outputs
-    # aggregate per doc, so a single phantom dup-gram perturbs counts
-    # by at most one window). At 100 TB this materialization moves to
-    # disk-backed persist or a written-out gram-key table for reuse;
-    # recompute is the fallback when storage is the scarcer resource.
+    # the gram STRING is collapsed to a fixed-width 64-bit key BEFORE
+    # the cut, so the materialization holds corpus tokens × 16 bytes
+    # instead of × ~6-token strings (~3× smaller) and the gram-keyed
+    # shuffle moves fixed-width keys. Since r14 the key is the md5
+    # PREFIX — the one function both engines evaluate identically — so
+    # the oracle groups the SAME key domain and a 64-bit collision
+    # perturbs both engines alike instead of diverging the gate
+    # (ADVICE r11 #2; collision P ≈ m²/2⁶⁵ ≈ 3e-8 at the sf1 gram
+    # count, and a phantom dup-gram perturbs per-doc counts by at most
+    # one window). Deployments without the oracle in the loop can swap
+    # xxhash64 back for an 8-byte long key; the topology is identical.
+    # At 100 TB this materialization moves to disk-backed persist or a
+    # written-out gram-key table for reuse; recompute is the fallback
+    # when storage is the scarcer resource.
     grams = toks.select(
         "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
     ).select(
-        "doc_id", "pos", F.xxhash64("gram").alias("gram")
+        "doc_id", "pos", F.substring(F.md5("gram"), 1, 16).alias("gram")
     ).localCheckpoint(eager=True)
     # agg + equi-join (NOT collect_list): hot grams stay partial-agg +
     # AQE-splittable; this is the one gram-keyed shuffle of the plan

@@ -129,6 +129,25 @@ def test_ivfpq_knn_join_plan_shape(spark):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
 
 
+def test_ivfpq_index_append_plan_shape(spark):
+    """The incremental-ingest contract (round 14): appending a batch to
+    the frozen index must be O(batch) — every join broadcasts
+    index-sized tables (centroids, codebook, the per-cell count),
+    nothing corpus-sized meets a SortMergeJoin or CartesianProduct,
+    and the history code table is touched only by a partial-aggregated
+    per-cell count (never joined, never re-encoded). The two expected
+    BroadcastNestedLoopJoins are the keyless vectors×centroid-table
+    assignment products (history train + new-batch assign), allowlisted
+    in tools/plan_audit.py."""
+    plan = _plan(spark, "ivfpq_index_append")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
+
+
 def test_cosine_topk_broadcast_and_topk(spark):
     """One-row query side must broadcast (the brute-force scan stays a
     narrow map) and the final ordering is top-k, not a global sort."""

@@ -48,6 +48,12 @@ BNLJ_ALLOWED = {
         "candidate re-rank on vec_id/query_id) is a broadcast HASH join"
     ),
     "knn_join_topk": "small query-set broadcast, keyless by design",
+    "ivfpq_index_append": (
+        "the two keyless vectors×≤2^bits-centroid-table assignment "
+        "products (history train + frozen-index new-batch assign) — "
+        "constant-time probes per vector row; the history code table "
+        "is only partial-agg counted, never joined"
+    ),
     "hard_negatives_per_query": (
         "20-row anchor-set broadcast; the label<>label condition is "
         "deliberately keyless (every different-label pair scores) — "
