@@ -204,6 +204,27 @@ HEADLINE = [
     # shape; cost is dominated by the history-side index train, so it
     # belongs here, not hidden as a sub-1s 'variant'
     "ivfpq_index_append",
+    # round-14 corpus-QC/curation additions: the bigram rung of the
+    # perplexity-filter ladder (distinct plan family from unigram —
+    # zip_with bigram build + co-keyed probs join), domain balancing
+    # (per-source cap), per-dimension embedding QC, the dedup-cluster
+    # size report (composes the full dedup_components pipeline), and
+    # tokenizer fertility by language
+    "bigram_logprob_docs",
+    "source_cap_sample",
+    "embedding_dimension_stats",
+    "dup_cluster_size_histogram",
+    "tokenizer_fertility_by_lang",
+    # round-14: one-pass Arrow-batched covariance (per-batch d x d
+    # integer outer-product partials; shuffle volume partitions x d^2,
+    # corpus-size-independent) — a distinct plan family from both the
+    # JVM posexplode aggs and the pandas demos
+    "embedding_covariance_topk",
+    # round-14: the two canonical product-analytics shapes over the
+    # event log — ordered first-touch funnel (three co-keyed user_id
+    # step aggs) and the weekly retention cohort matrix
+    "funnel_conversion_steps",
+    "retention_cohort_weeks",
 ]
 
 # Heavyweight entries DELIBERATELY excluded from HEADLINE, name →

@@ -73,11 +73,18 @@ _LOADED = False
 #       plus the 1 query REGISTERED this round, never verdicted:
 #       ivfpq_index_append (incremental IVF-PQ index maintenance,
 #       VERDICT r13 task 7);
-#   (3) 17 of the 43 round-10-latest, alphabetical
-#       (approx_percentile_value .. grouped_minhash_union).
-#       The 26 r10 entries that do not fit stay at age 4 after r14 and
-#       MUST head the r15 window (cap 4; 26 + r15 re-verdicts ≤ 50
-#       fits). 29 + 4 + 17 = 50.
+#   (2b) the 9 queries REGISTERED later in round 14, never verdicted —
+#       bigram_logprob_docs, source_cap_sample, embedding_dimension_stats,
+#       dup_cluster_size_histogram, tokenizer_fertility_by_lang,
+#       embedding_covariance_topk (the corpus-QC/curation batch),
+#       stream_topk_user_event_types (streaming space-saving heavy
+#       hitters), funnel_conversion_steps and retention_cohort_weeks
+#       (the two canonical product-analytics shapes);
+#   (3) 8 of the 43 round-10-latest, alphabetical
+#       (approx_percentile_value .. cdc_latest_state).
+#       The 35 r10 entries that do not fit stay at age 4 after r14 and
+#       MUST head the r15 window (cap 4; 35 + r15 re-verdicts ≤ 50
+#       fits). 29 + 4 + 9 + 8 = 50.
 _DRIVER_WINDOW = (
     # (1) round-9-latest cohort, rotated in full (age cap)
     "q14_promo_revenue",
@@ -114,7 +121,17 @@ _DRIVER_WINDOW = (
     "ivfpq_knn_join",
     "ivfpq_topk",
     "ivfpq_index_append",
-    # (3) round-10-latest cohort, 17 alphabetical
+    # (2b) round-14 late registrations (corpus QC / curation)
+    "bigram_logprob_docs",
+    "source_cap_sample",
+    "embedding_dimension_stats",
+    "dup_cluster_size_histogram",
+    "tokenizer_fertility_by_lang",
+    "embedding_covariance_topk",
+    "stream_topk_user_event_types",
+    "funnel_conversion_steps",
+    "retention_cohort_weeks",
+    # (3) round-10-latest cohort, 8 alphabetical
     "approx_percentile_value",
     "asof_join_events_orders",
     "asof_join_tolerance",
@@ -123,15 +140,6 @@ _DRIVER_WINDOW = (
     "bpe_merge_candidates",
     "bpe_train_merges",
     "cdc_latest_state",
-    "chunk_documents",
-    "cogroup_user_activity",
-    "constant_columns_detect",
-    "dedup_survivors_by_quality",
-    "distinct_count_segments",
-    "embedding_centroid_drift",
-    "ewma_user_value",
-    "group_having_active_customers",
-    "grouped_minhash_union",
     # Past the 50-slot window: everything else keeps its r10–r13 green
     # verdict; the full local parity sweep for ALL registry entries is
     # committed per round as EVIDENCE_r14.md.

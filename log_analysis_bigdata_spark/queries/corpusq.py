@@ -26,6 +26,7 @@ from .textq import (
     _HS_SQL,
     _SHINGLE_SQL,
     _TOK_SQL,
+    BPE_PAT,
     PLANT_SHIFT,
     _band_sql,
     _dup_corpus_spark,
@@ -120,6 +121,168 @@ def reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "n_chars", key.alias("sample_key"))
         .orderBy("sample_key", "doc_id")
         .limit(K_RESERVOIR)
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text,
+               '{BPE_PAT.replace("'", "''")}')) AS BIGINT) AS bpe,
+             CAST(len({_TOK_SQL}) AS BIGINT) AS ws,
+             CAST(n_chars AS BIGINT) AS chars
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           round(sum(bpe) / CAST(sum(ws) AS DOUBLE), 4) AS fertility,
+           round(sum(chars) / CAST(sum(bpe) AS DOUBLE), 4)
+             AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokens", "bpe", "profiling", "training"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens-per-word and
+    chars-per-token, THE metric for judging how well a tokenizer's
+    vocabulary fits each language in the mix (a high-fertility language
+    pays more sequence length per word, trains slower, and effectively
+    sees a smaller context window; the number drives both vocab-size
+    decisions and per-language mixture weights). Uses the same BPE-ish
+    pretokenizer regex as token_counts_docs, aggregated per ``lang``.
+
+    Scale: pure map (two regex counts per row) into one map-side-
+    combinable hash agg onto #langs keys — shuffle volume is
+    executors × languages, independent of corpus size. No UDF: the
+    regex runs JVM-side (Spark) / RE2 (DuckDB) on the ASCII-simplified
+    pattern both engines tokenize identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PAT), 0))
+        .cast("long")
+        .alias("bpe"),
+        F.size(F.split(F.trim(F.col("text")), " +")).cast("long").alias("ws"),
+        F.col("n_chars").cast("long").alias("chars"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("chars").alias("total_chars"),
+            F.round(
+                F.sum("bpe") / F.sum("ws").cast("double"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("chars") / F.sum("bpe").cast("double"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Per-source document cap: half the fair share, count-derived so the
+# cap scales with the corpus instead of being a magic constant. The
+# halving makes the cap BIND on a balanced corpus too (a pure fair
+# share only trims sources above the mean).
+SRC_CAP_DEN = 2
+
+
+@register(
+    "source_cap_sample",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), caps AS (
+      SELECT source, n_docs,
+             (sum(n_docs) OVER () + {SRC_CAP_DEN} * count(*) OVER () - 1)
+               // ({SRC_CAP_DEN} * count(*) OVER ()) AS cap
+      FROM g
+    ), ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    ), kept AS (
+      SELECT r.source, c.n_docs, c.cap, r.n_chars
+      FROM ranked r JOIN caps c USING (source)
+      WHERE r.rk <= c.cap
+    )
+    SELECT source, n_docs, CAST(cap AS BIGINT) AS cap,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           round(1.0 - count(*) / CAST(n_docs AS DOUBLE), 4) AS drop_frac
+    FROM kept GROUP BY source, n_docs, cap
+    ORDER BY source
+    """,
+    tags=("sampling", "curation", "training"),
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the domain-balancing step every
+    web-scale corpus curation runs (no single crawl domain may dominate
+    the training mix): rank each source's documents by a deterministic
+    quality order (longer first, doc_id tiebreak) and keep only the
+    top ``cap`` per source, with ``cap`` count-derived as half the
+    fair share ``ceil(total / (2·n_sources))`` so it scales with the
+    corpus and binds even when sources are balanced.
+
+    Determinism: the rank order (n_chars DESC, doc_id) is total, the
+    cap is integer ceiling division on both engines (``div``/``//``),
+    and the summary sums are integer adds.
+
+    Scale: one vocabulary-of-sources agg (tiny) with a single-partition
+    window over #sources rows for the cap; the per-source rank is ONE
+    window partitioned by source — each partition sorts locally, no
+    global sort. A skewed mega-source makes one fat partition; the
+    standard fix (two-phase: per-partition pre-rank + cap, then exact
+    rank over survivors ≤ 2·cap per source) drops in without changing
+    results. Caps table is broadcast back onto the ranked stream.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    caps = g.select(
+        "source",
+        "n_docs",
+        F.expr(
+            f"(sum(n_docs) OVER () + {SRC_CAP_DEN} * count(*) OVER () - 1) "
+            f"div ({SRC_CAP_DEN} * count(*) OVER ())"
+        ).alias("cap"),
+    )
+    wsrc = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", F.row_number().over(wsrc).alias("rk")
+    )
+    kept = ranked.join(F.broadcast(caps), "source").filter(
+        F.col("rk") <= F.col("cap")
+    )
+    return (
+        kept.groupBy("source", "n_docs", "cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("cap").cast("long").alias("cap"),
+            "n_kept",
+            "kept_chars",
+            F.round(
+                1.0 - F.col("n_kept") / F.col("n_docs").cast("double"), 4
+            ).alias("drop_frac"),
+        )
+        .orderBy("source")
     )
 
 

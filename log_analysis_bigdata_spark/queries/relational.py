@@ -1884,6 +1884,174 @@ def session_flow_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("n"), "src", "dst").limit(20)
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion_steps",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+                           AND epoch_us(e.ts) > t1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+                           AND epoch_us(e.ts) > t2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), s AS (
+      SELECT 1 AS step, 'view' AS event_type,
+             CAST(count(*) AS BIGINT) AS n_users FROM t1
+      UNION ALL
+      SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM t2
+      UNION ALL
+      SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM t3
+    )
+    SELECT step, event_type, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / first_value(n_users) OVER (ORDER BY step), 4)
+             AS conv_from_start,
+           round(CAST(n_users AS DOUBLE)
+                 / lag(n_users) OVER (ORDER BY step), 4)
+             AS conv_from_prev
+    FROM s ORDER BY step
+    """,
+    tags=("funnel", "analytics", "events"),
+)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion — THE product-analytics query over an
+    event log: how many users performed view, then click strictly
+    after their first view, then purchase strictly after that first
+    qualifying click, with per-step conversion rates. Matching is
+    first-touch (min event time per step subject to the previous
+    step's anchor), the standard windowless funnel definition.
+
+    Determinism: anchors compare raw microsecond epochs (identical
+    parquet values on both engines); rates are round(x, 4) doubles
+    derived from identical integer counts.
+
+    Scale: each step is a filter (pushed to the scan) + one hash agg on
+    user_id + a co-keyed join back to the previous step's anchor table
+    — all three shuffles hash on the SAME key, so at 100 TB the steps
+    reuse one partitioning end to end (no broadcast needed, no global
+    sort; AQE coalesces the tiny later steps). The final 3-row
+    rate window is driver-trivial.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+
+    def step_anchor(prev: DataFrame | None, etype: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("us") > F.col("t"))
+        return e.groupBy("user_id").agg(F.min("us").alias("t"))
+
+    t1 = step_anchor(None, FUNNEL_STEPS[0])
+    t2 = step_anchor(t1, FUNNEL_STEPS[1])
+    t3 = step_anchor(t2, FUNNEL_STEPS[2])
+    s = None
+    for i, (name, anchor) in enumerate(
+        zip(FUNNEL_STEPS, (t1, t2, t3)), start=1
+    ):
+        row = anchor.agg(
+            F.lit(i).alias("step"),
+            F.lit(name).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        s = row if s is None else s.unionAll(row)
+    w = W.orderBy("step")
+    return s.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.first("n_users").over(w), 4
+        ).alias("conv_from_start"),
+        F.round(
+            F.col("n_users").cast("double") / F.lag("n_users").over(w), 4
+        ).alias("conv_from_prev"),
+    ).orderBy("step")
+
+
+@register(
+    "retention_cohort_weeks",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS week
+      FROM events
+    ), f AS (
+      SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT f.cohort_week, e.week - f.cohort_week AS week_offset,
+             e.user_id
+      FROM e JOIN f ON e.user_id = f.user_id
+    ), m AS (
+      SELECT cohort_week, week_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM a GROUP BY cohort_week, week_offset
+    )
+    SELECT cohort_week, week_offset, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / first_value(n_users) OVER (
+                     PARTITION BY cohort_week ORDER BY week_offset), 4)
+             AS retention
+    FROM m ORDER BY cohort_week, week_offset
+    """,
+    tags=("retention", "cohort", "analytics", "events"),
+)
+def retention_cohort_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix — the second canonical
+    product-analytics query: bucket users by first-activity week
+    (cohort), count how many are active again k weeks later, and report
+    retention as a fraction of the cohort's week-0 size.
+
+    Weeks are integer ``epoch_days div 7`` on both engines — no
+    date_trunc('week') anchor-day semantics to disagree on.
+
+    Scale: one hash agg on user_id for first-touch, one co-keyed join
+    back (same user_id partitioning — no extra shuffle at scale), a
+    distinct on (cohort, offset, user) that hash-partitions by the
+    grouping key, then a #cohorts×#offsets-row matrix. The retention
+    window runs over that tiny matrix, partitioned by cohort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(to_date(ts), to_date('1970-01-01')) div 7"
+        ).alias("week"),
+    )
+    f = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    a = (
+        e.join(f, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    m = a.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = W.partitionBy("cohort_week").orderBy("week_offset")
+    return m.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.first("n_users").over(w), 4
+        ).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")
+
+
 @register(
     "pivot_daily_event_counts",
     oracle="""

@@ -347,3 +347,79 @@ def stream_static_enrich_segments(
 
     qname = _replay_to_memory(agg, "complete", "ss_enrich")
     return spark.table(qname)
+
+
+@register(
+    "stream_topk_user_event_types",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           CAST(count(*) AS BIGINT) AS est_count,
+           CAST(0 AS BIGINT) AS max_err
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    tags=("streaming", "stateful", "topk", "heavy-hitters",
+          "applyInPandasWithState"),
+)
+def stream_topk_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters — the incremental rendering of
+    heavy_hitters_topk's batch shape: a REAL Structured Streaming query
+    folding each user's event types into a space-saving summary
+    (streaming.stateful.streaming_topk_items, TOPK_M=16 counters per
+    key in the state store), replayed to completion with availableNow.
+    The final snapshot per user is selected by the emitted monotone
+    ``n_seen`` (Σ est_count — the space-saving invariant that the
+    counter total equals the items folded), then the opaque item hash
+    is joined back to its event_type name batch-side.
+
+    Correctness regime: the events table has 5 distinct event types
+    per user ≤ m=16, so the sketch is EXACT (max_err=0 for every row)
+    and the DuckDB oracle is a plain GROUP BY count — the same
+    exact-when-under-m contract test_streaming pins for the operator.
+    Above m the emitted (est_count, max_err) pair stays auditable:
+    est − err ≤ true ≤ est.
+
+    The item column is the 60-bit md5-prefix of event_type (both the
+    stream fold and the name-recovery dim derive it identically, so a
+    collision — P ≈ 10⁻¹⁷ at 5 items — would merge the same counters
+    on both paths rather than diverge engines).
+
+    Scale: state is #users × m (item, count, err) triples, constant in
+    stream length and distinct-item count; each trigger touches only
+    the users present in the batch. The name-recovery join is against
+    a ≤#event_types-row dim — broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table, load_table_stream
+    from ..streaming.stateful import streaming_topk_items
+
+    item_of = lambda c: (  # noqa: E731 — shared stream/dim derivation
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    )
+    ev = load_table_stream(spark, sf_dir, "events").select(
+        "user_id", item_of(F.col("event_type")).alias("item_val")
+    )
+    snap = streaming_topk_items(ev, "user_id", "item_val")
+    qname = _replay_to_memory(snap, "update", "topk_stream")
+
+    final = spark.table(qname)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("group_key")
+    latest = final.withColumn("n_max", F.max("n_seen").over(w)).filter(
+        F.col("n_seen") == F.col("n_max")
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .select("event_type", item_of(F.col("event_type")).alias("item"))
+    )
+    return latest.join(F.broadcast(dim), "item").select(
+        F.col("group_key").cast("long").alias("user_id"),
+        "event_type",
+        "est_count",
+        "max_err",
+    )

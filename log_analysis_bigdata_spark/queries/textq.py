@@ -1227,6 +1227,124 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bigram stream as SQL: adjacent token pairs, 1-indexed; DuckDB
+# range(a, b) is [a, b) so i runs 1..len-1 — exactly the n-1 bigrams.
+_BIGRAM_SQL = (
+    f"(CASE WHEN len({_TOK_SQL}) >= 2 THEN "
+    f"list_transform(range(1, len({_TOK_SQL})), "
+    f"i -> {_TOK_SQL}[i] || ' ' || {_TOK_SQL}[i+1]) "
+    "ELSE CAST([] AS VARCHAR[]) END)"
+)
+
+
+@register(
+    "bigram_logprob_docs",
+    oracle=f"""
+    WITH big AS (
+      SELECT doc_id, unnest({_BIGRAM_SQL}) AS bigram FROM documents
+    ), tfb AS (
+      SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS k
+      FROM big GROUP BY doc_id, bigram
+    ), bc AS (
+      SELECT bigram, CAST(sum(k) AS BIGINT) AS c FROM tfb GROUP BY bigram
+    ), ctx AS (
+      SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS cc
+      FROM bc GROUP BY w1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+      FROM (SELECT unnest({_TOK_SQL}) AS term FROM documents)
+    ), probs AS (
+      SELECT b.bigram,
+             CAST(round(ln((b.c + 1.0) / (x.cc + vocab.v)) * 1000000)
+               AS BIGINT) AS lp_micro
+      FROM bc b
+      JOIN ctx x ON string_split(b.bigram, ' ')[1] = x.w1
+      CROSS JOIN vocab
+    ), scored AS (
+      SELECT t.doc_id, CAST(sum(t.k * p.lp_micro) AS BIGINT) AS lp_micro_sum,
+             CAST(sum(t.k) AS BIGINT) AS n_bigrams
+      FROM tfb t JOIN probs p USING (bigram) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(-lp_micro_sum / 1000000.0 / n_bigrams, 4) AS avg_neg_logprob
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("text", "lm", "quality", "training"),
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score — the next rung above
+    unigram_logprob_docs on the CCNet-style perplexity-filter ladder:
+    train Laplace-smoothed bigram probabilities P(w2|w1) =
+    (c(w1 w2)+1)/(c(w1 ·)+V) on the corpus itself, then score every
+    document by mean negative bigram log-probability. Repetitive
+    machine text scores low (its bigrams dominate the model), fluent
+    but unusual text scores mid, shuffled-word salad scores high even
+    when its unigrams are common — the case the unigram filter misses.
+
+    Determinism across engines (same contract as unigram_logprob_docs):
+    per-bigram logprobs are quantized to integer micro-nats BEFORE the
+    weighted per-doc sum, so aggregation is order-independent integer
+    addition; ``ln`` is evaluated once per distinct bigram.
+
+    Scale: bigrams are built with ``zip_with`` over the token array —
+    a narrow map, no shuffle and no per-token window. Then three
+    map-side-combinable hash aggs (doc×bigram, bigram, context) — the
+    doc×bigram table is the big one and every later step keys on
+    ``bigram``, so the probs→tfb join is a co-keyed shuffle hash join
+    (both sides already partitioned by the same key at 100 TB; the
+    context table is vocabulary-sized and broadcast).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens()
+    bigrams = F.zip_with(
+        F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    big = docs.filter(F.size(tok) >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    tfb = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
+    bc = tfb.groupBy("bigram").agg(F.sum("k").alias("c"))
+    ctx = bc.groupBy(
+        F.split(F.col("bigram"), " ", 2).getItem(0).alias("w1")
+    ).agg(F.sum("c").alias("cc"))
+    vocab = (
+        docs.select(F.explode(tok).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    probs = (
+        bc.withColumn("w1", F.split(F.col("bigram"), " ", 2).getItem(0))
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("cc") + F.col("v")))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        tfb.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k") * F.col("lp_micro")).alias("lp_micro_sum"),
+            F.sum("k").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.col("lp_micro_sum") / 1_000_000.0 / F.col("n_bigrams"), 4
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "stratified_sample_docs",
     oracle=f"""

@@ -70,6 +70,254 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(t.i - 1 AS INTEGER) AS dim,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+               AS BIGINT) AS x_micro
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ), s AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x_micro AS HUGEINT)) AS sx,
+             sum(CAST(x_micro AS HUGEINT) * x_micro) AS sxx,
+             min(x_micro) AS min_micro, max(x_micro) AS max_micro
+      FROM d GROUP BY dim
+    )
+    SELECT dim, n,
+           -- + 0.0 folds IEEE -0.0 to 0.0 (a zero-mean dim that rounds
+           -- to -0.0 reprs differently across engines)
+           round(CAST(sx AS DOUBLE) / n / 1000000.0, 4) + 0.0 AS mean,
+           round(sqrt(greatest(
+             CAST(sxx AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+             0.0)) / 1000000.0, 4) AS std,
+           CAST(min_micro AS BIGINT) AS min_micro,
+           CAST(max_micro AS BIGINT) AS max_micro,
+           CAST(CASE WHEN max_micro = min_micro THEN 1 ELSE 0 END
+             AS INTEGER) AS is_dead
+    FROM s ORDER BY dim
+    """,
+    tags=("vector", "profiling", "quality", "training"),
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QC — the health check an embedding
+    pipeline runs before indexing 100 TB of vectors: mean/std/min/max
+    per coordinate plus a dead-dimension flag (a dim whose value never
+    varies carries zero information and usually means a truncated or
+    mis-sliced model export; a mean far from 0 means the corpus needs
+    centering before inner-product search).
+
+    Determinism: every value is quantized to integer micro-units FIRST;
+    sums and sums-of-squares are then order-independent integer adds in
+    DECIMAL(38,0)/HUGEINT (x²·1e12 per term — a BIGINT sum would
+    overflow near ~9·10^6 rows per dim; decimal holds to 10^26 terms),
+    and both engines derive mean/std from the identical integers.
+
+    Scale: posexplode is a narrow map (rows × dim), the per-dim agg is
+    ONE map-side-combinable hash shuffle onto #dims keys — each
+    partition pre-aggregates to at most #dims rows, so the shuffle
+    volume is executors × dims regardless of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim",
+        F.round(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("x_micro"),
+    )
+    s = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x_micro").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("x_micro").cast("decimal(38,0)") * F.col("x_micro")
+        ).alias("sxx"),
+        F.min("x_micro").alias("min_micro"),
+        F.max("x_micro").alias("max_micro"),
+    )
+    mean_raw = F.col("sx").cast("double") / F.col("n")
+    var_raw = F.col("sxx").cast("double") / F.col("n") - mean_raw * mean_raw
+    return s.select(
+        "dim",
+        "n",
+        # + 0.0 folds IEEE -0.0 to 0.0 (same normalization as pandasq)
+        (F.round(mean_raw / 1_000_000.0, 4) + F.lit(0.0)).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(var_raw, F.lit(0.0))) / 1_000_000.0, 4
+        ).alias("std"),
+        "min_micro",
+        "max_micro",
+        F.when(F.col("max_micro") == F.col("min_micro"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_dead"),
+    ).orderBy("dim")
+
+
+COV_TOPK = 20
+
+
+@register(
+    "embedding_covariance_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+               AS BIGINT) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ), s AS (
+      SELECT i, sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM d GROUP BY i
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    p AS (
+      SELECT a.i AS i, b.i AS j, sum(CAST(a.x AS HUGEINT) * b.x) AS sxy
+      FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY a.i, b.i
+    ), c AS (
+      SELECT p.i, p.j,
+             (CAST(p.sxy AS DOUBLE) / nn.n
+              - (CAST(si.sx AS DOUBLE) / nn.n)
+                * (CAST(sj.sx AS DOUBLE) / nn.n)) / 1000000000000.0
+               AS cov_raw,
+             (CAST(si.sxx AS DOUBLE) / nn.n
+              - (CAST(si.sx AS DOUBLE) / nn.n)
+                * (CAST(si.sx AS DOUBLE) / nn.n)) / 1000000000000.0
+               AS var_i,
+             (CAST(sj.sxx AS DOUBLE) / nn.n
+              - (CAST(sj.sx AS DOUBLE) / nn.n)
+                * (CAST(sj.sx AS DOUBLE) / nn.n)) / 1000000000000.0
+               AS var_j
+      FROM p JOIN s si ON p.i = si.i JOIN s sj ON p.j = sj.i CROSS JOIN nn
+    )
+    SELECT i, j, round(cov_raw * 1000000, 4) AS cov_micro,
+           round(CASE WHEN var_i * var_j > 0
+                      THEN cov_raw / sqrt(var_i * var_j) END, 4) AS corr
+    FROM c
+    ORDER BY abs(cov_raw) DESC, i, j
+    LIMIT {COV_TOPK}
+    """,
+    tags=("vector", "arrow", "profiling", "quality", "training"),
+)
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-covariant embedding dimension pairs — the redundancy
+    QC behind whitening/PCA decisions: strongly co-varying coordinates
+    mean the effective dimensionality is lower than d (wasted index
+    bytes, distorted inner products), and the offending pairs are the
+    first thing to inspect before choosing a decorrelation transform.
+
+    This is the honest 100 TB covariance shape: ONE ``mapInPandas``
+    pass computes each Arrow batch's integer outer-product partials
+    with a single d×d numpy matmul (values micro-quantized first, so
+    the partial is exact int64 — |x_micro| ≤ ~10⁷ keeps a 10k-row
+    batch's products under 2⁶³), and every batch emits the same fixed
+    payload: d(d+1)/2 upper-triangle sums + d per-dim sums + 1 row
+    count. The shuffle is therefore partitions × O(d²) rows —
+    independent of corpus size — and the final Σ is an
+    order-independent decimal add. Means are NEVER subtracted per row
+    (the classic one-pass trick: cov = E[xy] − E[x]E[y] from the same
+    integer sums), so no second corpus pass.
+
+    Determinism: numpy's half-away rounding (floor(|y|+0.5)·sign(y))
+    reproduces the Spark/DuckDB round() exactly on the identical
+    float→double product; both engines then derive cov/corr from the
+    same integers with the same IEEE op sequence, so the
+    ORDER BY |cov| ranking cannot diverge (i, j tiebreak regardless).
+    The oracle replays the pair sums relationally (self-join on
+    vec_id, i<j) — quadratic in d but exact, fine at gate scale.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Y = X * 1_000_000.0
+            Xq = (np.floor(np.abs(Y) + 0.5) * np.sign(Y)).astype(np.int64)
+            dd = Xq.shape[1]
+            P = Xq.T @ Xq
+            iu, ju = np.triu_indices(dd)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu, np.arange(dd), [-1]]
+                    ).astype(np.int32),
+                    "j": np.concatenate(
+                        [ju, np.full(dd, -1), [-1]]
+                    ).astype(np.int32),
+                    "v": np.concatenate(
+                        [P[iu, ju], Xq.sum(axis=0), [Xq.shape[0]]]
+                    ),
+                }
+            )
+
+    parts = emb.mapInPandas(partials, "i int, j int, v long")
+    s = parts.groupBy("i", "j").agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s")
+    )
+    n = s.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").cast("double").alias("n")
+    )
+    sums = s.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("d"), F.col("s").cast("double").alias("sx")
+    )
+    diag = s.filter((F.col("i") == F.col("j")) & (F.col("i") >= 0)).select(
+        F.col("i").alias("d"), F.col("s").cast("double").alias("sxx")
+    )
+    stats = sums.join(diag, "d")
+    pairs = s.filter((F.col("i") >= 0) & (F.col("j") > F.col("i"))).select(
+        "i", "j", F.col("s").cast("double").alias("sxy")
+    )
+    a = stats.select(
+        F.col("d").alias("i"),
+        F.col("sx").alias("sx_i"),
+        F.col("sxx").alias("sxx_i"),
+    )
+    b = stats.select(
+        F.col("d").alias("j"),
+        F.col("sx").alias("sx_j"),
+        F.col("sxx").alias("sxx_j"),
+    )
+    jn = (
+        pairs.join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .crossJoin(F.broadcast(n))
+    )
+    mean = lambda c: F.col(c) / F.col("n")  # noqa: E731
+    cov_raw = (
+        F.col("sxy") / F.col("n") - mean("sx_i") * mean("sx_j")
+    ) / 1e12
+    var_i = (
+        F.col("sxx_i") / F.col("n") - mean("sx_i") * mean("sx_i")
+    ) / 1e12
+    var_j = (
+        F.col("sxx_j") / F.col("n") - mean("sx_j") * mean("sx_j")
+    ) / 1e12
+    return (
+        jn.select(
+            "i",
+            "j",
+            cov_raw.alias("cov_raw"),
+            F.round(cov_raw * 1_000_000, 4).alias("cov_micro"),
+            F.round(
+                F.when(
+                    var_i * var_j > 0, cov_raw / F.sqrt(var_i * var_j)
+                ),
+                4,
+            ).alias("corr"),
+        )
+        .orderBy(F.abs(F.col("cov_raw")).desc(), "i", "j")
+        .limit(COV_TOPK)
+        .drop("cov_raw")
+    )
+
+
+@register(
     "cosine_topk",
     oracle=f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
@@ -542,6 +790,66 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     return connected_components(pairs, src="id_a", dst="id_b")
+
+
+# The histogram oracle replays dedup_components' full recursive-CTE
+# oracle as a subquery — one component-labelling implementation, two
+# registry entries (same single-sourcing rule as _ivfpq_index_sql).
+from . import REGISTRY as _REGISTRY  # noqa: E402
+
+_COMPONENTS_ORACLE = _REGISTRY["dedup_components"].oracle
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    WITH comp AS ({_COMPONENTS_ORACLE}),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    tags=("dedup", "components", "profiling", "quality"),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup QC report a
+    curation run reads before committing a purge: how many near-dup
+    clusters exist at each size, how many documents they cover, and how
+    many rows a keep-one-per-cluster policy would remove
+    (``n_removable = Σ(size−1)``). A fat tail here (one giant cluster)
+    usually means boilerplate or a mirror site, not true duplication —
+    the signal to tighten the similarity threshold before deleting.
+
+    Composition, not re-implementation: the cluster labels come from
+    the registered dedup_components pipeline (embedding_near_dup pairs
+    → connected components); this query adds two count-only hash aggs
+    on top. The oracle replays dedup_components' own recursive-CTE
+    oracle as a subquery, so the two entries can never disagree on what
+    a component is.
+
+    Scale: the aggs shuffle component-count rows (≤ #nodes-in-pairs,
+    already a small fraction of the corpus after LSH banding), then
+    ≤ #distinct-sizes rows — both map-side combinable.
+    """
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            (F.sum("cluster_size") - F.count(F.lit(1))).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
 
 
 IVF_NPROBE = 2

@@ -213,6 +213,11 @@ TOPK_OUTPUT = StructType(
         StructField("item", LongType()),
         StructField("est_count", LongType()),
         StructField("max_err", LongType()),
+        # total items folded into this group so far (Σ est_count — the
+        # space-saving invariant): strictly monotone across emissions,
+        # so an update-mode sink can pick the group's FINAL snapshot as
+        # the rows with max n_seen (queries/streamq.py relies on this)
+        StructField("n_seen", LongType()),
     ]
 )
 
@@ -270,12 +275,14 @@ def _update_topk(
         [c for _, (c, _) in ordered],
         [e for _, (_, e) in ordered],
     ))
+    n_seen = sum(c for _, (c, _) in ordered)  # Σ counts == items folded
     yield pd.DataFrame(
         {
             "group_key": key[0],
             "item": [i for i, _ in ordered],
             "est_count": [c for _, (c, _) in ordered],
             "max_err": [e for _, (_, e) in ordered],
+            "n_seen": n_seen,
         }
     )
 

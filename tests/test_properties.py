@@ -1042,3 +1042,313 @@ def test_near_dup_threshold_ladder_twins_and_shape():
     for k in range(NEAR_DUP_MAX_DOUBLINGS):
         assert f"WHEN n <= {NEAR_DUP_BASE_N << k} THEN {_NEAR_DUP_LADDER[k]!r}" in _NEAR_DUP_THR_SQL
     assert f"ELSE {_NEAR_DUP_LADDER[NEAR_DUP_MAX_DOUBLINGS]!r} END" in _NEAR_DUP_THR_SQL
+
+
+# --- round-14 corpus-QC additions -------------------------------------------
+
+
+def _write_docs(tmp_path, texts):
+    """Minimal documents.parquet the catalog can load."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(
+                    [f"src{i % 2}" for i in range(len(texts))], pa.string()
+                ),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+def test_bigram_flags_word_salad_where_unigram_cannot(spark, tmp_path):
+    """The discriminative claim in bigram_logprob_docs' docstring: a
+    word-salad permutation of a fluent document has the IDENTICAL
+    unigram score (same token multiset → same mean unigram logprob) but
+    a strictly worse bigram score — the case the unigram filter misses
+    by construction."""
+    import random
+
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    sent = "the cat sat on the mat and the dog ran off the rug".split()
+    fluent = " ".join(sent * 20)
+    salad_toks = sent * 20
+    random.Random(7).shuffle(salad_toks)
+    salad = " ".join(salad_toks)
+    assert sorted(fluent.split()) == sorted(salad.split())
+    _write_docs(tmp_path, [fluent, salad])
+
+    uni = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in all_queries()["unigram_logprob_docs"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    big = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in all_queries()["bigram_logprob_docs"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert uni[0] == uni[1], "unigram must be permutation-blind"
+    assert big[1] > big[0] + 0.5, (
+        f"bigram failed to separate word salad ({big[1]}) from fluent "
+        f"text ({big[0]})"
+    )
+
+
+def test_source_cap_keeps_exactly_the_top_cap_by_chars(spark):
+    """source_cap_sample invariants vs a pandas recomputation at
+    sf0.001: the cap is half the fair share (ceil), n_kept =
+    min(n_docs, cap), and kept_chars is the MAXIMUM achievable — the
+    sum of each source's top-cap n_chars (the deterministic quality
+    order actually kept the longest docs, not an arbitrary subset)."""
+    import duckdb
+
+    from log_analysis_bigdata_spark.queries import all_queries
+    from log_analysis_bigdata_spark.queries.corpusq import SRC_CAP_DEN
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT source, doc_id, n_chars FROM '{sf}/documents.parquet'"
+    ).df()
+    total, n_src = len(docs), docs["source"].nunique()
+    cap = -(-total // (SRC_CAP_DEN * n_src))
+    rows = (
+        all_queries()["source_cap_sample"].spark(spark, sf).collect()
+    )
+    assert len(rows) == n_src
+    for r in rows:
+        grp = docs[docs["source"] == r["source"]]
+        assert r["cap"] == cap
+        assert r["n_docs"] == len(grp)
+        assert r["n_kept"] == min(len(grp), cap)
+        top = grp.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(cap)
+        assert r["kept_chars"] == int(top["n_chars"].sum())
+
+
+def test_embedding_dimension_stats_flags_planted_dead_dim(spark, tmp_path):
+    """Plant a constant coordinate: the QC report must flag exactly it
+    as dead, recover its constant as mean with std 0, and flag nothing
+    else on well-spread random dims."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(400, 16)).astype(np.float32)
+    V[:, 7] = 0.5
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in V], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 400, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = (
+        all_queries()["embedding_dimension_stats"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    assert len(rows) == 16
+    by_dim = {r["dim"]: r for r in rows}
+    assert by_dim[7]["is_dead"] == 1
+    assert by_dim[7]["mean"] == 0.5 and by_dim[7]["std"] == 0.0
+    assert all(r["is_dead"] == 0 for d, r in by_dim.items() if d != 7)
+    assert all(r["n"] == 400 for r in rows)
+
+
+def test_dup_cluster_histogram_consistent_with_components(spark):
+    """The histogram is a pure rollup of dedup_components: per-size
+    cluster counts, covered docs, and the keep-one removal count must
+    match a pandas recomputation of the component labels."""
+    from collections import Counter
+
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    comp = all_queries()["dedup_components"].spark(spark, sf).collect()
+    sizes = Counter(Counter(r["component"] for r in comp).values())
+    rows = (
+        all_queries()["dup_cluster_size_histogram"].spark(spark, sf).collect()
+    )
+    got = {r["cluster_size"]: r for r in rows}
+    assert set(got) == set(sizes)
+    for size, n_clusters in sizes.items():
+        r = got[size]
+        assert r["n_clusters"] == n_clusters
+        assert r["n_docs"] == size * n_clusters
+        assert r["n_removable"] == (size - 1) * n_clusters
+
+
+def test_fertility_totals_match_token_counts(spark):
+    """Cross-query consistency: tokenizer_fertility_by_lang's per-lang
+    token totals must equal the per-doc token_counts_docs sums grouped
+    by lang — one tokenizer contract, two registry views of it."""
+    from collections import defaultdict
+
+    from log_analysis_bigdata_spark.catalog import load_table
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    lang_of = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    per_lang = defaultdict(lambda: [0, 0])
+    for r in all_queries()["token_counts_docs"].spark(spark, sf).collect():
+        acc = per_lang[lang_of[r["doc_id"]]]
+        acc[0] += r["bpe_tokens"]
+        acc[1] += r["ws_tokens"]
+    for r in (
+        all_queries()["tokenizer_fertility_by_lang"].spark(spark, sf).collect()
+    ):
+        assert [r["bpe_tokens"], r["ws_tokens"]] == per_lang[r["lang"]]
+        assert r["fertility"] == round(r["bpe_tokens"] / r["ws_tokens"], 4)
+
+
+def test_covariance_topk_recovers_planted_correlated_pair(spark, tmp_path):
+    """Plant dim3 = 2·dim5 + 0.1 (corr +1) and dim9 = −dim11 (corr −1)
+    in otherwise-independent noise: the report must rank the two
+    planted pairs above every noise pair and recover corr = ±1.0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    rng = np.random.default_rng(11)
+    V = rng.normal(0, 0.2, size=(500, 16)).astype(np.float32)
+    V[:, 3] = 2.0 * V[:, 5] + 0.1
+    V[:, 9] = -V[:, 11]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(500), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in V], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 500, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = (
+        all_queries()["embedding_covariance_topk"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    top2 = {(r["i"], r["j"]) for r in rows[:2]}
+    assert top2 == {(3, 5), (9, 11)}, rows[:4]
+    by_pair = {(r["i"], r["j"]): r for r in rows}
+    assert by_pair[(3, 5)]["corr"] == 1.0
+    assert by_pair[(9, 11)]["corr"] == -1.0
+
+
+def _write_events(tmp_path, rows):
+    """Minimal events.parquet: rows = [(event_id, ts_str, user_id,
+    event_type)]."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime([r[1] for r in rows]), pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+
+def test_funnel_matches_ordered_first_touch_semantics(spark, tmp_path):
+    """Planted ordering edge cases: user 1 converts fully; user 2 has a
+    click but BEFORE its first view (must not count at step 2); user 3
+    purchases before its first qualifying click (must not count at
+    step 3); user 4 stops after view."""
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    _write_events(
+        tmp_path,
+        [
+            # user 1: view -> click -> purchase (converts all 3 steps)
+            (1, "2024-01-01 10:00:00", 1, "view"),
+            (2, "2024-01-01 10:01:00", 1, "click"),
+            (3, "2024-01-01 10:02:00", 1, "purchase"),
+            # user 2: click precedes first view -> no qualifying click
+            (4, "2024-01-02 09:00:00", 2, "click"),
+            (5, "2024-01-02 10:00:00", 2, "view"),
+            # user 3: purchase precedes qualifying click -> steps 1-2 only
+            (6, "2024-01-03 08:00:00", 3, "view"),
+            (7, "2024-01-03 08:30:00", 3, "purchase"),
+            (8, "2024-01-03 09:00:00", 3, "click"),
+            # user 4: view only
+            (9, "2024-01-04 07:00:00", 4, "view"),
+        ],
+    )
+    rows = (
+        all_queries()["funnel_conversion_steps"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    got = {r["step"]: r for r in rows}
+    assert got[1]["n_users"] == 4
+    assert got[2]["n_users"] == 2        # users 1 and 3
+    assert got[3]["n_users"] == 1        # user 1 only
+    assert got[1]["conv_from_prev"] is None
+    assert got[2]["conv_from_prev"] == 0.5
+    assert got[3]["conv_from_prev"] == 0.5
+    assert got[3]["conv_from_start"] == 0.25
+
+
+def test_retention_cohort_invariants(spark):
+    """Week-0 retention is 1.0 by definition, every offset's count is
+    bounded by the cohort size, and cohort sizes sum to the distinct
+    user count (each user belongs to exactly one cohort)."""
+    from log_analysis_bigdata_spark.catalog import load_table
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        all_queries()["retention_cohort_weeks"].spark(spark, sf).collect()
+    )
+    assert rows, "no cohorts"
+    size0 = {
+        r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0
+    }
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert r["n_users"] <= size0[r["cohort_week"]]
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
+    n_users = (
+        load_table(spark, sf, "events").select("user_id").distinct().count()
+    )
+    assert sum(size0.values()) == n_users

@@ -582,6 +582,16 @@ def test_streaming_topk_space_saving(spark, tmp_path):
         assert latest[("A", 2)] == (3, 0)
         assert latest[("A", 3)] == (4, 0)   # 1 + 3
         assert len(q.recentProgress) >= 2
+        # n_seen is Σ est_count per emission and strictly monotone across
+        # emissions — the final-snapshot selector stream_topk_user_event_
+        # types relies on: batch-1 rows carry 9, batch-2 rows carry 14,
+        # and filtering to max(n_seen) recovers exactly the final summary
+        n_seens = sorted({r["n_seen"] for r in rows})
+        assert n_seens == [9, 14]
+        finals = [r for r in rows if r["n_seen"] == 14]
+        assert {(r["item"], r["est_count"]) for r in finals} == {
+            (1, 7), (2, 3), (3, 4)
+        }
     finally:
         q.stop()
 

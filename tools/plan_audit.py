@@ -62,6 +62,13 @@ BNLJ_ALLOWED = {
     "ml_lr_train_confusion": "1-row learned-coefficients cross join",
     "constant_columns_detect": "1-row per-column-stats cross join",
     "tfidf_top_terms": "1-row corpus-size (N) cross join for idf",
+    "bigram_logprob_docs": (
+        "1-row vocabulary-size (V) cross join for Laplace smoothing"
+    ),
+    "embedding_covariance_topk": (
+        "1-row corpus-count (n) cross join into the d^2/2-row "
+        "pair-sum table"
+    ),
     "kmeans_step_shift": (
         "1-row broadcast of k pivoted centroid arrays; assignment is a "
         "narrow per-row argmin, no corpus shuffle"

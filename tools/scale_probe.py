@@ -67,6 +67,13 @@ FAMILIES = [
     # quotient; the sf1 probe of the PRE-ladder version measured the
     # 285 s dense-components cliff this family now ladders away from
     "image_near_dup_components",
+    # r14: the bigram LM filter (vocabulary-squared pressure: the
+    # doc-x-bigram table and the probs join both key on bigram) and the
+    # one-pass covariance (shuffle volume partitions x d^2 — the claim
+    # IS corpus-size-independence, so its decade ratio should sit near
+    # the pure scan cost)
+    "bigram_logprob_docs",
+    "embedding_covariance_topk",
 ]
 
 # r12: the batched IVF-PQ retrieval join is probed at sf1 ONLY (200
@@ -354,6 +361,57 @@ def invariants(spark, registry, sf1: str, sf10: str) -> dict:
         "ladder_hamming_sf10": img_max_hamming(n_reps),
         "check": "all_reencoded_copies_co_clustered",
         "ok": n_reenc > 0 and viol == 0,
+    }
+
+    # r14 — bigram LM filter: the tile transform suffixes every word
+    # ("_t{k}"/"u{k}") without touching whitespace, so each sf10 doc
+    # twin has the IDENTICAL bigram count as its sf1 source — rows and
+    # Σ n_bigrams are both exactly 10x. (Scores shift — V and the
+    # per-tile bigram tables differ — so values carry no invariant;
+    # value correctness is the DuckDB oracle's job at the gate SFs.)
+    big1 = (
+        registry["bigram_logprob_docs"]
+        .spark(spark, sf1)
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("n_bigrams").alias("s"))
+        .first()
+    )
+    big10 = (
+        registry["bigram_logprob_docs"]
+        .spark(spark, sf10)
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("n_bigrams").alias("s"))
+        .first()
+    )
+    out["bigram_logprob_docs"] = {
+        "rows_sf1": int(big1["r"]),
+        "rows_sf10": int(big10["r"]),
+        "bigrams_sf1": int(big1["s"]),
+        "bigrams_sf10": int(big10["s"]),
+        "check": "rows_and_bigram_totals_exact_10x",
+        "ok": big10["r"] == 10 * big1["r"] and big10["s"] == 10 * big1["s"],
+    }
+
+    # r14 — one-pass covariance: the output is top-COV_TOPK pairs at
+    # ANY corpus size (the shuffle is partitions x d^2 — corpus-size-
+    # independent by construction; the decade WALL ratio above is the
+    # real claim). Structural check: exactly k rows, every corr in
+    # [-1, 1] (+ rounding slack), i<j canonical pair order.
+    from log_analysis_bigdata_spark.queries.vectorq import COV_TOPK
+
+    cov10 = registry["embedding_covariance_topk"].spark(spark, sf10).collect()
+    out["embedding_covariance_topk"] = {
+        "rows_sf10": len(cov10),
+        "max_abs_corr_sf10": max(
+            (abs(r["corr"]) for r in cov10 if r["corr"] is not None),
+            default=None,
+        ),
+        "check": "topk_rows_corr_bounded_canonical_pairs",
+        "ok": len(cov10) == COV_TOPK
+        and all(r["i"] < r["j"] for r in cov10)
+        and all(
+            abs(r["corr"]) <= 1.0001
+            for r in cov10
+            if r["corr"] is not None
+        ),
     }
 
     # r12 — batched IVF-PQ knn join, sf1 only (see KNN_JOIN_PROBE note):
