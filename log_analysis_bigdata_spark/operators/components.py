@@ -84,7 +84,14 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    # 40, not 25: the sf10 image rep graph (52k nodes, chain-heavy
+    # near-signature structure) needed >25 propagation rounds — path
+    # halving compresses label TREES, but a min label still walks long
+    # chains roughly linearly until the halved paths overlap, so the
+    # round count tracks the longest chain, not log(diameter), on
+    # chain-dominated graphs (round-14 probe finding). The stats
+    # re-base (STATS_RESET_EVERY) keeps deep runs plannable.
+    max_iter: int = 40,
     distinct_pairs: bool = False,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
@@ -141,18 +148,20 @@ def connected_components(
 
 # Runtime strategy threshold, the same idea as Spark's own
 # autoBroadcastJoinThreshold: a dedup graph's VERIFIED edge set is
-# candidate-sized, and below ~100k symmetric pairs an Arrow-collected
-# driver union-find finishes in well under a second where the
-# distributed loop pays 4-6 whole Spark jobs of fixed latency per
-# invocation. Above it, the O(log diameter) label-propagation loop
-# takes over. Sized by MEASUREMENT at sf0.1, not guesswork: the 1.6k-
-# edge minhash graph solves locally in ~0.3 s vs ~2.1 s of loop
-# overhead, while the 3.8M-edge simhash graph collects so slowly
-# (~17 s through the driver) that the loop wins — the crossover sits
-# comfortably between, and the threshold bounds the driver pull so
-# nothing corpus-sized ever funnels through one process. Equality of
-# the two paths is property-tested (tests/test_properties.py).
-LOCAL_SOLVE_MAX_EDGES = 100_000
+# candidate-sized, and below this many symmetric pairs an Arrow-
+# collected driver union-find beats the distributed loop's 4-6 whole
+# Spark jobs of fixed latency per round. Sized by MEASUREMENT, not
+# guesswork: the 1.6k-edge minhash graph solves locally in ~0.3 s vs
+# ~2.1 s of loop overhead; the 195k-edge sf10 image rep graph is a
+# ~3 MB Arrow pull + <1 s of union-find where the loop spent 26 s
+# over 25+ rounds (round-14 probe — its chain-heavy near-sig diameter
+# blew the old 100k gate's loop budget); the 3.8M-edge simhash graph
+# collects so slowly (~17 s through the driver) that the loop wins.
+# 500k (~8 MB pull) sits comfortably between those last two and still
+# bounds the driver so nothing corpus-sized funnels through one
+# process. Equality of the two paths is property-tested
+# (tests/test_properties.py).
+LOCAL_SOLVE_MAX_EDGES = 500_000
 
 
 def _solve_local(sym: DataFrame) -> DataFrame:
@@ -198,6 +207,41 @@ def _solve_local(sym: DataFrame) -> DataFrame:
     return sym.sparkSession.createDataFrame(out, out_schema)
 
 
+# Re-base the label frame's plan STATISTICS every K rounds. Spark's
+# ``localCheckpoint`` truncates lineage but PRESERVES the origin plan's
+# statistics (LogicalRDD originStats), and every propagation round joins
+# the label frame with itself twice (labels ⋈ (sym ⋈ labels), then the
+# pointer-jump stepped ⋈ stepped-as-parent) — so the size-only stats
+# visitor's sizeInBytes estimate SQUARES per round. Measured: bit-length
+# 27 → 13 123 in 10 rounds on a 1 000-node chain. Past 2^31 bits
+# java.math.BigInteger refuses to multiply and PLANNING throws
+# "ArithmeticException: BigInteger would overflow supported range" —
+# which is exactly how the sf10 image-dedup probe failed after ~17
+# rounds on a fat upstream stats base (round-14 finding). A parquet
+# spill-and-reload re-bases the statistics on real file size (labels
+# are 2 longs per node — tiny next to the corpus). K=8 bounds the
+# growth at ~2^8× the re-based bit length, orders of magnitude under
+# the cap, while keeping 7 of 8 rounds purely in memory.
+STATS_RESET_EVERY = 8
+
+
+def _rebase_stats(df: DataFrame, round_no: int) -> DataFrame:
+    """Parquet round-trip that resets compounding plan statistics (see
+    STATS_RESET_EVERY). Uses the context's checkpoint dir when set (the
+    shared-FS requirement on a real cluster); falls back to the local
+    temp dir, which is correct for local[...] where driver == executors.
+    Old reset dirs are bounded: one per STATS_RESET_EVERY rounds, two
+    longs per node, removed with the temp dir by the OS."""
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    base = spark.sparkContext.getCheckpointDir() or tempfile.gettempdir()
+    path = f"{base}/cc_stats_rebase_{round_no}_{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _propagate(
     sym: DataFrame,
     labels: DataFrame,
@@ -209,7 +253,7 @@ def _propagate(
     spark = sym.sparkSession
     if session_default is None:
         session_default = spark.conf.get("spark.sql.shuffle.partitions")
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         guard_parallelism(spark, session_default)
         # candidate label for each node: min over its own and neighbors'
         neighbor_min = (
@@ -264,6 +308,8 @@ def _propagate(
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
+        if (_round + 1) % STATS_RESET_EVERY == 0:
+            labels = _rebase_stats(labels, _round + 1)
     else:
         raise RuntimeError(f"no fixpoint after {max_iter} rounds")
     return labels

@@ -553,3 +553,46 @@ def test_mixture_rate_survives_int64_overflow(spark):
         f" // (CAST({sw} AS HUGEINT) * {n_tok}) AS BIGINT)) AS k"
     ).fetchone()[0]
     assert got_spark == got_duck == expect, (got_spark, got_duck, expect)
+
+
+def test_propagate_stats_rebase_bounds_plan_statistics(spark):
+    """Round-14 sf10 finding: localCheckpoint preserves origin plan
+    STATISTICS, and each propagation round joins the label frame with
+    itself, so the size-only stats estimate SQUARES per round (27 →
+    13k bits in 10 rounds measured) until BigInteger refuses the
+    multiply at 2^31 bits and planning throws. The periodic parquet
+    re-base (components.STATS_RESET_EVERY) must (a) keep the final
+    plan's sizeInBytes bit-length bounded across a ≥8-round run and
+    (b) not perturb the labels across the reset boundary."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_bigdata_spark.operators import components as C
+
+    # chain graph: diameter 4000 → pointer-halving needs ~log2 rounds,
+    # comfortably crossing the STATS_RESET_EVERY=8 boundary
+    n = 4000
+    e = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    out = C._propagate(sym, labels, max_iter=30)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+    bits = int(
+        out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    ).bit_length()
+    # the guarantee is rebased_bits x 2^(STATS_RESET_EVERY-1) — ~35·2^7
+    # ≈ 4.5k bits worst case between re-bases, 6 orders of magnitude
+    # under the 2^31 BigInteger cap. Without the re-base a run this deep
+    # compounds past 10^5 bits and keeps doubling every further round.
+    assert bits < 20_000, f"plan stats compounding again: {bits} bits"
