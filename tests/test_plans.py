@@ -477,3 +477,27 @@ def test_heavy_hitters_final_cut_is_topk_not_window(spark):
 
     final = _plan(spark, "heavy_hitters_topk")
     assert "Window" not in final
+
+
+def test_funnel_pushes_step_filters_to_scan(spark):
+    """Each funnel step's event_type filter must reach the parquet scan
+    (a funnel that scans all events three times unfiltered reads 3x the
+    corpus at 100 TB), and the step joins must be hash joins, not
+    nested loops."""
+    plan = _plan(spark, "funnel_conversion_steps")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_covariance_shuffles_only_partials(spark):
+    """embedding_covariance_topk's only corpus-touching exchange is the
+    d^2-key partial-sum aggregate after the mapInPandas pass — the
+    corpus itself is never joined or re-shuffled, and the final cut is
+    a top-k, not a global sort."""
+    plan = _plan(spark, "embedding_covariance_topk")
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
