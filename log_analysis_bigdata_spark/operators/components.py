@@ -225,21 +225,59 @@ def _solve_local(sym: DataFrame) -> DataFrame:
 STATS_RESET_EVERY = 8
 
 
-def _rebase_stats(df: DataFrame, round_no: int) -> DataFrame:
-    """Parquet round-trip that resets compounding plan statistics (see
-    STATS_RESET_EVERY). Uses the context's checkpoint dir when set (the
-    shared-FS requirement on a real cluster); falls back to the local
-    temp dir, which is correct for local[...] where driver == executors.
-    Old reset dirs are bounded: one per STATS_RESET_EVERY rounds, two
-    longs per node, removed with the temp dir by the OS."""
+def _rebase_base_dir(spark) -> str:
+    """Directory for the stats-rebase parquet round-trips. The context's
+    checkpoint dir when set (the shared-FS requirement on a real
+    cluster). The driver-local temp-dir fallback is ONLY correct when
+    driver == executors — on a multi-node master, executors would write
+    part files to their own local filesystems and the read-back would be
+    partial or fail — so it is gated on a local[...] master and any
+    other master without a checkpoint dir raises loudly (ADVICE r14)."""
     import tempfile
+
+    base = spark.sparkContext.getCheckpointDir()
+    if base:
+        return base
+    master = spark.sparkContext.master or ""
+    if not master.startswith("local"):
+        raise RuntimeError(
+            "connected_components stats re-base needs a shared-FS "
+            "checkpoint dir on a non-local master "
+            f"(master={master!r}): call "
+            "spark.sparkContext.setCheckpointDir('<shared path>')"
+        )
+    return tempfile.gettempdir()
+
+
+def _delete_dir(spark, path: str) -> None:
+    """Best-effort recursive delete through the Hadoop FileSystem API —
+    works for both the local-tempdir fallback and a shared-FS checkpoint
+    dir (where Spark does NOT clean non-RDD-checkpoint files and deep
+    runs would otherwise leak one dir per STATS_RESET_EVERY rounds,
+    ADVICE r14)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        fs.delete(jpath, True)
+    except Exception:  # cleanup must never fail the computation
+        pass
+
+
+def _rebase_stats(df: DataFrame, round_no: int) -> tuple[DataFrame, str]:
+    """Parquet round-trip that resets compounding plan statistics (see
+    STATS_RESET_EVERY); returns (rebased frame, written path) so the
+    caller can delete the path once a later round has re-materialized
+    the labels (the caller owns the lifecycle; one live dir at a time)."""
     import uuid
 
     spark = df.sparkSession
-    base = spark.sparkContext.getCheckpointDir() or tempfile.gettempdir()
+    base = _rebase_base_dir(spark)
     path = f"{base}/cc_stats_rebase_{round_no}_{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return spark.read.parquet(path), path
 
 
 def _propagate(
@@ -253,6 +291,11 @@ def _propagate(
     spark = sym.sparkSession
     if session_default is None:
         session_default = spark.conf.get("spark.sql.shuffle.partitions")
+    # at most one stats-rebase parquet dir is live at a time: a new
+    # rebase (or the fixpoint) deletes the previous one — by then the
+    # labels frame has been eagerly localCheckpoint-ed in a LATER round,
+    # so nothing reads the old files anymore (ADVICE r14 leak fix)
+    live_rebase_path: str | None = None
     for _round in range(max_iter):
         guard_parallelism(spark, session_default)
         # candidate label for each node: min over its own and neighbors'
@@ -309,7 +352,14 @@ def _propagate(
         if changed == 0:
             break
         if (_round + 1) % STATS_RESET_EVERY == 0:
-            labels = _rebase_stats(labels, _round + 1)
+            labels, new_path = _rebase_stats(labels, _round + 1)
+            if live_rebase_path is not None:
+                _delete_dir(spark, live_rebase_path)
+            live_rebase_path = new_path
     else:
         raise RuntimeError(f"no fixpoint after {max_iter} rounds")
+    if live_rebase_path is not None:
+        # the break round eagerly localCheckpoint-ed AFTER the last
+        # rebase's read jobs completed, so the dir is no longer read
+        _delete_dir(spark, live_rebase_path)
     return labels

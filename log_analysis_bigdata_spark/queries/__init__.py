@@ -54,95 +54,85 @@ _LOADED = False
 # round, so ordering is evidence policy: queries that still need a driver
 # verdict go first, already-green ones last (their earlier verdicts stand
 # on file; tests/test_driver_session.py CI-enforces the rotation —
-# no latest verdict may age past 4 rounds). Round-14 window (50 slots).
-# NOTE round 13 was a zero-turn round (no builder commits): the r12
-# window was verdicted as-is by the r13 driver run, so the 29
-# round-9-latest entries the r12 comment said "MUST head the r13
-# window" arrive here at the age cap instead (VERDICT r13 task 1):
-#   (1) the full round-9-latest cohort — all 29 remaining (the 44-entry
-#       r9 cohort minus the 15 rotated in r12), age 4 at the r14 run;
-#       alphabetical;
-#   (2) re-verdicts for the 3 queries whose CODE changed this round —
-#       repeated_ngram_spans (gram keys switched from Spark-only
-#       xxhash64 to the md5-prefix key BOTH engines derive, closing
-#       ADVICE r11 #2's collision-parity risk), ivfpq_knn_join (grew
-#       the adc_chunks parameter for very-large-Q broadcast bounding —
-#       default path identical) and ivfpq_topk (final corpus encode
-#       now routed through the extracted _ivfpq_encode helper — values
-#       identical by construction, re-verdicted out of caution) —
-#       plus the 1 query REGISTERED this round, never verdicted:
-#       ivfpq_index_append (incremental IVF-PQ index maintenance,
-#       VERDICT r13 task 7);
-#   (2b) the 9 queries REGISTERED later in round 14, never verdicted —
-#       bigram_logprob_docs, source_cap_sample, embedding_dimension_stats,
-#       dup_cluster_size_histogram, tokenizer_fertility_by_lang,
-#       embedding_covariance_topk (the corpus-QC/curation batch),
-#       stream_topk_user_event_types (streaming space-saving heavy
-#       hitters), funnel_conversion_steps and retention_cohort_weeks
-#       (the two canonical product-analytics shapes);
-#   (3) 8 of the 43 round-10-latest, alphabetical
-#       (approx_percentile_value .. cdc_latest_state).
-#       The 35 r10 entries that do not fit stay at age 4 after r14 and
-#       MUST head the r15 window (cap 4; 35 + r15 re-verdicts ≤ 50
-#       fits). 29 + 4 + 9 + 8 = 50.
+# no latest verdict may age past 4 rounds). Round-15 window (50 slots),
+# per VERDICT r14 task 1:
+#   (1) the 35 round-10-latest entries at the age cap (the exact list
+#       the r14 rotation guard printed), registry order;
+#   (2) re-verdicts for queries whose CODE changed this round —
+#       embedding_covariance_topk (int64 matmul now chunked to
+#       COV_ROWS_PER_MATMUL rows with an exact rows·m² < 2⁶² guard,
+#       ADVICE r14 — values identical by construction, re-verdicted
+#       out of caution) and the IVF-PQ family ivfpq_topk /
+#       ivfpq_knn_join / ivfpq_index_append (candidate-scan bounding
+#       for the sf10 decade-ratio, VERDICT r14 task 3);
+#   (3) queries REGISTERED this round, never verdicted —
+#       multimodal_wav_pcm_stats (from-scratch RIFF/PCM audio decode,
+#       VERDICT r14 task 4) and attribution_revenue_touch (first/
+#       last-touch revenue attribution, VERDICT r14 task 5);
+#   (4) 9 of the 44 round-11-latest (age cap at r16), alphabetical —
+#       pre-rotating them lightens the forced r16 head to 35.
+#       35 + 4 + 2 + 9 = 50.
 _DRIVER_WINDOW = (
-    # (1) round-9-latest cohort, rotated in full (age cap)
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_excess_share_suppliers",
-    "q21_final_shipper",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "quality_filter_docs",
-    "semdedup_embedding_cells",
-    "serving_by_key",
-    "serving_delete",
-    "serving_high_score",
-    "serving_time_range",
-    "session_flow_top_transitions",
-    "sessionize_events",
-    "simhash_buckets",
-    "simhash_text_docs",
-    "stream_dedup_blocks",
-    "text_quality_docs",
-    "token_counts_docs",
-    "variant_props_stats",
-    # (2) round-14 code-change re-verdicts + the new registration
-    "repeated_ngram_spans",
-    "ivfpq_knn_join",
-    "ivfpq_topk",
-    "ivfpq_index_append",
-    # (2b) round-14 late registrations (corpus QC / curation)
-    "bigram_logprob_docs",
-    "source_cap_sample",
-    "embedding_dimension_stats",
-    "dup_cluster_size_histogram",
-    "tokenizer_fertility_by_lang",
+    # (1) round-10-latest cohort at the age cap — all 35
+    "repetition_metrics_docs",
+    "sequence_pack_docs",
+    "chunk_documents",
+    "tfidf_top_terms",
+    "unigram_logprob_docs",
+    "stratified_sample_docs",
+    "quality_decile_stats",
+    "grouped_minhash_union",
+    "reservoir_sample_docs",
+    "dedup_survivors_by_quality",
+    "zorder_locality_events",
+    "ml_lr_train_confusion",
+    "constant_columns_detect",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_gif_pixel_stats",
+    "grouped_zscore_events",
+    "grouped_zscore_window",
+    "cogroup_user_activity",
+    "group_having_active_customers",
+    "distinct_count_segments",
+    "join_left_customer_orders",
+    "join_anti_customers_no_orders",
+    "join_semi_customers_with_orders",
+    "setops_nations",
+    "json_extract_events",
+    "skew_report_events",
+    "ewma_user_value",
+    "serving_latest_n",
+    "serving_stats",
+    "serving_compound_filter",
+    "stream_stream_join_attribution",
+    "stream_static_enrich_segments",
+    "ivf_topk_nprobe",
+    "embedding_centroid_drift",
+    "hard_negatives_per_query",
+    # (2) round-15 code-change re-verdicts
     "embedding_covariance_topk",
-    "stream_topk_user_event_types",
-    "funnel_conversion_steps",
-    "retention_cohort_weeks",
-    # (3) round-10-latest cohort, 8 alphabetical
-    "approx_percentile_value",
-    "asof_join_events_orders",
-    "asof_join_tolerance",
-    "bm25_search_docs",
-    "bpe_apply_merges",
-    "bpe_merge_candidates",
-    "bpe_train_merges",
-    "cdc_latest_state",
-    # Past the 50-slot window: everything else keeps its r10–r13 green
+    "ivfpq_topk",
+    "ivfpq_knn_join",
+    "ivfpq_index_append",
+    # (3) round-15 new registrations (slots held by r11 fills until
+    # the queries land in this same round)
+    "dedup_components",
+    "dedup_exact_docs",
+    # (4) round-11-latest cohort, 9 alphabetical
+    "ann_bucketed_topk",
+    "anti_join_docs_quarantine",
+    "case_bucket_order_price",
+    "chunk_dedup_retention",
+    "corpus_to_training_set",
+    "cosine_topk",
+    "crossformat_dedup_docs",
+    "cube_order_status",
+    "date_parts_orders",
+    # Past the 50-slot window: everything else keeps its r11–r14 green
     # verdict; the full local parity sweep for ALL registry entries is
-    # committed per round as EVIDENCE_r14.md.
+    # re-run per round (tests/test_oracle_parity.py, 177 = 176 registry
+    # entries + the flagship entry() — the "177/177" in EVIDENCE_r14
+    # was that parity count, not a registry miscount).
 )
 
 

@@ -155,6 +155,11 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COV_TOPK = 20
+# rows per integer matmul inside embedding_covariance_topk — fixed here
+# so raising spark.sql.execution.arrow.maxRecordsPerBatch cannot widen
+# the exact-int64 window (ADVICE r14); 4096 rows × (2e7 micro)² ≈
+# 1.6e18 < 2⁶² even for |x| ≤ 20 unnormalized embeddings
+COV_ROWS_PER_MATMUL = 4096
 
 
 @register(
@@ -207,16 +212,22 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     first thing to inspect before choosing a decorrelation transform.
 
     This is the honest 100 TB covariance shape: ONE ``mapInPandas``
-    pass computes each Arrow batch's integer outer-product partials
-    with a single d×d numpy matmul (values micro-quantized first, so
-    the partial is exact int64 — |x_micro| ≤ ~10⁷ keeps a 10k-row
-    batch's products under 2⁶³), and every batch emits the same fixed
-    payload: d(d+1)/2 upper-triangle sums + d per-dim sums + 1 row
-    count. The shuffle is therefore partitions × O(d²) rows —
-    independent of corpus size — and the final Σ is an
-    order-independent decimal add. Means are NEVER subtracted per row
-    (the classic one-pass trick: cov = E[xy] − E[x]E[y] from the same
-    integer sums), so no second corpus pass.
+    pass computes integer outer-product partials with d×d numpy
+    matmuls (values micro-quantized first, so each partial is exact
+    int64), and every chunk emits the same fixed payload: d(d+1)/2
+    upper-triangle sums + d per-dim sums + 1 row count. Overflow is
+    guarded EXACTLY, not by assumption (ADVICE r14): each Arrow batch
+    is sliced into ≤ ROWS_PER_MATMUL-row chunks regardless of
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, and a chunk
+    whose max |x_micro| = m could exceed 2⁶² (rows·m² bound) is
+    further shortened to ⌊2⁶²/m²⌋ rows — so unnormalized embeddings
+    can never wrap silently; a single value with m² ≥ 2⁶² raises.
+    The per-chunk rows are collapsed by the groupBy's map-side
+    partial aggregation before the shuffle, so wire volume stays
+    partitions × O(d²) — independent of corpus size — and the final
+    Σ is an order-independent decimal add. Means are NEVER subtracted
+    per row (the classic one-pass trick: cov = E[xy] − E[x]E[y] from
+    the same integer sums), so no second corpus pass.
 
     Determinism: numpy's half-away rounding (floor(|y|+0.5)·sign(y))
     reproduces the Spark/DuckDB round() exactly on the identical
@@ -229,6 +240,9 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    # captured as a local so the executor-side closure carries the value
+    # by construction (not a worker re-import of this module's global)
+    rows_per_matmul = COV_ROWS_PER_MATMUL
 
     def partials(batches):
         import pandas as pd
@@ -240,21 +254,37 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             Y = X * 1_000_000.0
             Xq = (np.floor(np.abs(Y) + 0.5) * np.sign(Y)).astype(np.int64)
             dd = Xq.shape[1]
-            P = Xq.T @ Xq
             iu, ju = np.triu_indices(dd)
-            yield pd.DataFrame(
-                {
-                    "i": np.concatenate(
-                        [iu, np.arange(dd), [-1]]
-                    ).astype(np.int32),
-                    "j": np.concatenate(
-                        [ju, np.full(dd, -1), [-1]]
-                    ).astype(np.int32),
-                    "v": np.concatenate(
-                        [P[iu, ju], Xq.sum(axis=0), [Xq.shape[0]]]
-                    ),
-                }
-            )
+            start, nrows = 0, Xq.shape[0]
+            while start < nrows:
+                C = Xq[start : start + rows_per_matmul]
+                m = int(np.abs(C).max(initial=0))
+                if m:
+                    # rows·m² < 2⁶² keeps every int64 partial exact
+                    safe = (1 << 62) // (m * m)
+                    if safe == 0:
+                        raise ValueError(
+                            f"embedding micro value |{m}| overflows an "
+                            "int64 product on its own — quantization "
+                            "scale must be reduced for this corpus"
+                        )
+                    if safe < len(C):
+                        C = C[:safe]
+                start += len(C)
+                P = C.T @ C
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate(
+                            [iu, np.arange(dd), [-1]]
+                        ).astype(np.int32),
+                        "j": np.concatenate(
+                            [ju, np.full(dd, -1), [-1]]
+                        ).astype(np.int32),
+                        "v": np.concatenate(
+                            [P[iu, ju], C.sum(axis=0), [C.shape[0]]]
+                        ),
+                    }
+                )
 
     parts = emb.mapInPandas(partials, "i int, j int, v long")
     s = parts.groupBy("i", "j").agg(

@@ -596,3 +596,78 @@ def test_propagate_stats_rebase_bounds_plan_statistics(spark):
     # under the 2^31 BigInteger cap. Without the re-base a run this deep
     # compounds past 10^5 bits and keeps doubling every further round.
     assert bits < 20_000, f"plan stats compounding again: {bits} bits"
+
+
+def test_rebase_base_dir_guards_non_local_master():
+    """ADVICE r14 (medium): the driver-local tempdir fallback is only
+    correct when driver == executors. A non-local master without a
+    checkpoint dir must raise with actionable guidance, never silently
+    write executor-local part files."""
+    import pytest
+
+    from log_analysis_bigdata_spark.operators import components as C
+
+    class _Ctx:
+        master = "spark://cluster:7077"
+
+        def getCheckpointDir(self):
+            return None
+
+    class _Spark:
+        sparkContext = _Ctx()
+
+    with pytest.raises(RuntimeError, match="setCheckpointDir"):
+        C._rebase_base_dir(_Spark())
+
+    class _LocalCtx(_Ctx):
+        master = "local[4]"
+
+    class _LocalSpark:
+        sparkContext = _LocalCtx()
+
+    assert C._rebase_base_dir(_LocalSpark())  # tempdir fallback allowed
+
+    class _CkptCtx(_Ctx):
+        def getCheckpointDir(self):
+            return "/shared/ckpt"
+
+    class _CkptSpark:
+        sparkContext = _CkptCtx()
+
+    assert C._rebase_base_dir(_CkptSpark()) == "/shared/ckpt"
+
+
+def test_rebase_dirs_are_deleted_after_use(spark, tmp_path, monkeypatch):
+    """ADVICE r14 (low): when a checkpoint dir IS set, Spark never
+    cleans the non-RDD-checkpoint rebase parquet dirs, so deep runs
+    would leak one dir per STATS_RESET_EVERY rounds. The loop must
+    leave ZERO cc_stats_rebase_* dirs behind (each is deleted once a
+    later round has re-materialized the labels) while still producing
+    correct components."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from log_analysis_bigdata_spark.operators import components as C
+
+    # force frequent rebases on a chain deep enough for several resets
+    monkeypatch.setattr(C, "STATS_RESET_EVERY", 2)
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    n = 1000
+    e = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    out = C._propagate(sym, labels, max_iter=30)
+    rows = out.collect()
+    assert len(rows) == n and all(r["component"] == 0 for r in rows)
+    leaked = list(tmp_path.glob("cc_stats_rebase_*"))
+    assert not leaked, f"rebase dirs leaked: {leaked}"

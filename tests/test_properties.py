@@ -1264,6 +1264,43 @@ def test_covariance_topk_recovers_planted_correlated_pair(spark, tmp_path):
     assert by_pair[(9, 11)]["corr"] == -1.0
 
 
+def test_covariance_chunking_is_exact_under_any_chunk_size(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14: the int64 outer-product window must be bounded by
+    the operator, not by the Arrow batch conf. The chunked partials are
+    exact integer sums, so shrinking COV_ROWS_PER_MATMUL to a
+    pathological 7 rows (forcing many ragged chunks per batch) must
+    reproduce the default run bit-for-bit — including unnormalized
+    embeddings (|x| up to ~12, micro ~1.2e7) that would overflow a
+    10k-row un-chunked matmul's worst-case bound."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_analysis_bigdata_spark.queries import all_queries, vectorq
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(0, 4.0, size=(300, 12)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in V], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 300, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    q = all_queries()["embedding_covariance_topk"]
+    base = [tuple(r) for r in q.spark(spark, str(tmp_path)).collect()]
+    monkeypatch.setattr(vectorq, "COV_ROWS_PER_MATMUL", 7)
+    tiny = [tuple(r) for r in q.spark(spark, str(tmp_path)).collect()]
+    assert base == tiny
+
+
 def _write_events(tmp_path, rows):
     """Minimal events.parquet: rows = [(event_id, ts_str, user_id,
     event_type)]."""
