@@ -1829,6 +1829,42 @@ def _cb_arr(cb: DataFrame) -> DataFrame:
     )
 
 
+def _cents_row(cent_arr: DataFrame) -> DataFrame:
+    """The whole coarse-centroid table packed into ONE row of ≤ 2^bits
+    (cell, cvec) structs — the shape the per-row argmin assignment scans
+    (array_sort makes the packed order deterministic; the argmin itself
+    is order-independent)."""
+    return cent_arr.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cents")
+    )
+
+
+def _assign_cells(ev: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as ONE narrow projection: the ≤ 2^bits
+    centroid structs ride a broadcast 1-row frame and each vector row
+    computes ``array_min(transform(cents, c → struct(d2, cell))).cell``
+    in place. Same n·k·d multiply-adds as the exploded formulation, but
+    ZERO extra rows — the r14 sf10 probe showed the old n×k join +
+    groupBy(vec_id) min_by materializing 51M rows and shuffling them at
+    n=200k/k=256 (the family's 10.0 decade ratio); this keeps the whole
+    argmin inside the row, so assignment scales with the scan.
+    Tie semantics: struct comparison takes min d2 then min cell — a
+    deterministic refinement of min_by under the standing no-exact-ties
+    argument (oracle: arg_min(cell, d2))."""
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                _d2_fold(F.col("v"), c["cvec"]).alias("d2"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    return ev.crossJoin(F.broadcast(_cents_row(cent_arr))).select(
+        "vec_id", best["cell"].alias("cell")
+    )
+
+
 def _ivfpq_encode(
     ev: DataFrame,
     cent_arr: DataFrame,
@@ -1847,19 +1883,14 @@ def _ivfpq_encode(
 
     Every join here broadcasts index-sized tables (≤2^bits centroids,
     ≤256 codebook rows) into narrow scans of ``ev``: encoding N new
-    vectors never shuffles them and never touches previously encoded
-    codes at all."""
+    vectors never shuffles them, never inflates the row count beyond
+    the n×16 subvector explode, and never touches previously encoded
+    codes at all. Both argmins (cell assign, code pick) run INSIDE the
+    row via array_min over a broadcast packed table — the r15 rewrite
+    that removed the family's n×k and n×256 join+shuffle stages (sf10
+    decade ratio 10.0 → see BENCH_SF10_LOCAL)."""
     if assign is None:
-        # nearest-centroid assignment: n×k rows through a broadcast of
-        # the ≤256-row centroid table, per-row d2 fold, map-side min_by
-        adist = ev.join(
-            F.broadcast(cent_arr.select(F.col("cell").alias("ccell"), "cvec"))
-        ).select(
-            "vec_id", "ccell", _d2_fold(F.col("v"), F.col("cvec")).alias("d2")
-        )
-        assign = adist.groupBy("vec_id").agg(
-            F.min_by("ccell", "d2").alias("cell")
-        )
+        assign = _assign_cells(ev, cent_arr)
     rv = F.col("rvec")
     rsv = (
         ev.join(assign, "vec_id")
@@ -1882,17 +1913,26 @@ def _ivfpq_encode(
             ).alias("sub", "rv4"),
         )
     )
-    # encode: n×16 subvectors × ≤16 codes through a broadcast, d2 fold
-    # per pair (4 mults), map-side min_by — never n×64×16 join rows
-    edist = rsv.join(F.broadcast(cb_arr), "sub").select(
-        "vec_id",
-        "cell",
-        "sub",
-        "code",
-        _d2_fold(F.col("rv4"), F.col("cvec4")).alias("d2"),
+    # encode: the ≤16 codes of each subspace packed into ONE row per
+    # sub (16 rows total, broadcast); each of the n×16 subvector rows
+    # picks its code with an in-row array_min over ≤16 4-dim d2 folds
+    # — same arithmetic as the old join + min_by, no n×256 rows and
+    # no groupBy shuffle (tie order: min d2 then min code, no-exact-
+    # ties argument as everywhere)
+    cbk = cb_arr.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cvec4"))).alias("cbk")
     )
-    return edist.groupBy("vec_id", "cell", "sub").agg(
-        F.min_by("code", "d2").alias("code")
+    pick = F.array_min(
+        F.transform(
+            "cbk",
+            lambda c: F.struct(
+                _d2_fold(F.col("rv4"), c["cvec4"]).alias("d2"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+    return rsv.join(F.broadcast(cbk), "sub").select(
+        "vec_id", "cell", "sub", pick["code"].alias("code")
     )
 
 
@@ -1940,18 +1980,9 @@ def _ivfpq_index(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # nearest-centroid assignment: n×k rows through a broadcast of the
-    # ≤256-row centroid table, per-row d2 fold, map-side min_by
-    adist = ev.join(
-        F.broadcast(cent_arr.select(F.col("cell").alias("ccell"), "cvec"))
-    ).select(
-        "vec_id", "ccell", _d2_fold(F.col("v"), F.col("cvec")).alias("d2")
-    )
-    assign = (
-        adist.groupBy("vec_id")
-        .agg(F.min_by("ccell", "d2").alias("cell"))
-        .localCheckpoint(eager=True)
-    )
+    # nearest-centroid assignment: in-row argmin against the broadcast
+    # packed centroid table (_assign_cells) — no n×k rows, no shuffle
+    assign = _assign_cells(ev, cent_arr).localCheckpoint(eager=True)
     # residual vectors + per-subspace 4-dim slices and sign-seed codes
     base = (
         ev.join(assign, "vec_id")
