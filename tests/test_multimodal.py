@@ -443,3 +443,89 @@ def test_image_near_dup_planted_recall(spark):
     assert not missed, f"planted pairs not co-clustered: {missed[:10]}"
     for node, c in comp.items():
         assert c <= node
+
+
+def test_wav_build_parse_roundtrip_all_variants():
+    """The synthesizer and parser must agree for every parameter cell:
+    mono/stereo x 8/16-bit x junk-chunk placements x odd/even data
+    sizes. Doc ids 0..29 cover all residues mod 2/3/5/7 combinations
+    that control the layout."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_wav,
+        _parse_wav,
+        _wav_params,
+        _wav_samples,
+    )
+
+    for d in range(30):
+        nch, rate, nf, bits = _wav_params(d)
+        pnch, prate, pbits, vals = _parse_wav(_build_wav(d))
+        assert (pnch, prate, pbits) == (nch, rate, bits), d
+        assert len(vals) == nf * nch, d
+        assert np.array_equal(vals, _wav_samples(d, nf * nch, bits)), d
+
+
+def test_wav_parse_walks_junk_and_pad_chunks():
+    """d=7 plants the odd-size JUNK after WAVE (pad byte), d=12 is
+    8-bit (unsigned bias + d%5==2 mid-file JUNK); both must decode;
+    data is never at a fixed offset."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_wav,
+        _parse_wav,
+    )
+
+    buf7 = _build_wav(7)
+    assert b"JUNK" in buf7 and buf7.index(b"JUNK") < buf7.index(b"fmt ")
+    _parse_wav(buf7)
+    buf12 = _build_wav(12)
+    assert buf12.index(b"fmt ") < buf12.index(b"JUNK") < buf12.index(b"data")
+    _parse_wav(buf12)
+
+
+def test_wav_parse_rejects_garbage():
+    import struct as _s
+
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_wav,
+        _parse_wav,
+    )
+
+    good = _build_wav(1)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        _parse_wav(b"XXXX" + good[4:])
+    bad_tag = bytearray(good)
+    off = good.index(b"fmt ") + 8
+    _s.pack_into("<H", bad_tag, off, 85)  # claim MP3 (format tag 0x55)
+    with pytest.raises(ValueError, match="only uncompressed"):
+        _parse_wav(bytes(bad_tag))
+    # truncate inside the data chunk raster
+    with pytest.raises(ValueError, match="truncated data"):
+        _parse_wav(good[: good.index(b"data") + 10])
+
+
+def test_synth_wav_stats_match_formula(spark):
+    """End-to-end through Spark: the decoded integer stats must equal
+    a direct numpy recomputation of the closed form."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _wav_params,
+        _wav_samples,
+        synth_wav_assets,
+        wav_pcm_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(14)
+    rows = wav_pcm_stats(synth_wav_assets(docs)).collect()
+    assert rows
+    for r in rows:
+        d = r["asset_id"]
+        nch, rate, nf, bits = _wav_params(d)
+        vals = _wav_samples(d, nf * nch, bits)
+        ch = np.arange(len(vals)) % nch
+        assert r["n_channels"] == nch and r["sample_rate"] == rate
+        assert r["n_frames"] == nf
+        assert r["duration_ms"] == nf * 1000 // rate
+        assert r["sum_val"] == int(vals.sum())
+        assert r["sum_sq"] == int((vals * vals).sum())
+        assert r["peak_abs"] == int(np.abs(vals).max())
+        assert r["ch0_sum"] == int(vals[ch == 0].sum())
+        assert r["ch1_sum"] == int(vals[ch == 1].sum())
