@@ -225,6 +225,13 @@ HEADLINE = [
     # step aggs) and the weekly retention cohort matrix
     "funnel_conversion_steps",
     "retention_cohort_weeks",
+    # round-15: the third product-analytics shape (first/last-touch
+    # revenue attribution — one user_id window shuffle over the
+    # unioned touch+order stream) and the audio decode family
+    # (RIFF/PCM chunk walker, fused narrow mapInPandas like the
+    # PPM/BMP/GIF image twins)
+    "attribution_revenue_touch",
+    "multimodal_wav_pcm_stats",
 ]
 
 # Heavyweight entries DELIBERATELY excluded from HEADLINE, name →
@@ -289,6 +296,29 @@ HEAVY_EXCLUDED_OK = {
         "under ambient load (r13 driver env ran the identical r12 tree "
         "~1.6x slower suite-wide); window throughput is benched via "
         "window_topk_orders_per_customer / grouped_zscore_window"
+    ),
+    # r15 (VERDICT r14 task 2): the two sketch aggregations the r14
+    # driver session flagged at 1.183/1.099 s on a run whose own
+    # warm_spread_rel was 0.31 (ambient contention). Idle-host walls
+    # measured r15: approx_distinct 0.88-1.18 s, approx_percentile
+    # 0.68-0.81 s — boundary flappers, not heavyweights. The
+    # justification beyond the flap: each is a FULL-TABLE single-pass
+    # sketch (every events row updates the HLL/KLL state), so ~1s at
+    # sf0.1 is the construction cost; the same whole-scan + one-agg
+    # machinery is benched via stats_agg_events (HEADLINE), and the
+    # sketches' accuracy contracts are tested in test_operators, not
+    # by wall time.
+    "approx_distinct_users": (
+        "full-table single-pass HLL sketch over events (~0.9-1.2 s at "
+        "sf0.1 by construction, flaps across the 1 s budget under "
+        "ambient load); scan+agg throughput benched via "
+        "stats_agg_events (HEADLINE)"
+    ),
+    "approx_percentile_value": (
+        "full-table single-pass percentile sketch over events "
+        "(~0.7-1.1 s at sf0.1, flaps across the 1 s budget under "
+        "ambient load); scan+agg throughput benched via "
+        "stats_agg_events (HEADLINE)"
     ),
 }
 

@@ -116,7 +116,7 @@ _DRIVER_WINDOW = (
     "ivfpq_index_append",
     # (3) round-15 new registrations
     "multimodal_wav_pcm_stats",
-    "dedup_exact_docs",
+    "attribution_revenue_touch",
     # (4) round-11-latest cohort, 9 alphabetical
     "ann_bucketed_topk",
     "anti_join_docs_quarantine",

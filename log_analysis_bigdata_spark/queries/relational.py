@@ -2052,6 +2052,129 @@ def retention_cohort_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort_week", "week_offset")
 
 
+# marketing touch channels for attribution (purchase is the conversion
+# proxy inside events; orders are the REVENUE conversions attributed here)
+ATTRIB_TOUCH_TYPES = ("view", "click", "signup")
+
+
+@register(
+    "attribution_revenue_touch",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS us, 0 AS kind,
+             event_type AS channel, event_id AS tie,
+             CAST(NULL AS BIGINT) AS cents
+      FROM events
+      WHERE event_type IN {str(ATTRIB_TOUCH_TYPES)}
+      UNION ALL
+      SELECT o_custkey, epoch_us(o_orderdate), 1, NULL, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+      FROM orders
+    ), wnd AS (
+      SELECT kind, cents,
+             first_value(channel IGNORE NULLS) OVER w AS ft,
+             last_value(channel IGNORE NULLS) OVER w AS lt
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, kind, tie
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), o AS (
+      SELECT coalesce(ft, 'direct') AS ft, coalesce(lt, 'direct') AS lt,
+             cents
+      FROM wnd WHERE kind = 1
+    )
+    SELECT model, channel, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM (
+      SELECT 'first_touch' AS model, ft AS channel, cents FROM o
+      UNION ALL
+      SELECT 'last_touch', lt, cents FROM o
+    )
+    GROUP BY model, channel
+    ORDER BY model, channel
+    """,
+    tags=("attribution", "analytics", "events", "orders", "asof"),
+)
+def attribution_revenue_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch revenue attribution (round 15, VERDICT r14
+    task 5 — the third canonical product-analytics shape after funnel
+    and retention): every order's revenue is credited to the marketing
+    touch (view/click/signup event) that the model picks among the
+    user's touches AT OR BEFORE the order time — first-touch credits
+    the earliest causal touch, last-touch the latest; orders with no
+    prior touch are 'direct'. Output: (model, channel) × order count ×
+    integer-cents revenue.
+
+    Implementation is the AS-OF pattern, not a per-user product: the
+    touch stream and the order stream UNION into one per-user
+    time-ordered stream and the two models are running
+    ``first/last_value(channel, ignorenulls)`` over the SAME window —
+    so each order row reads its answer in place. Ties are total-ordered
+    by (us, kind, unique id): a touch at exactly the order timestamp
+    sorts before the order (kind 0 < 1, i.e. `<=` causality), and
+    equal-time touches resolve to the max event_id for last-touch /
+    min for first-touch, identically in both engines.
+
+    Scale: two narrow projected scans, ONE shuffle on user_id (the
+    window sort), and a #models×#channels-row aggregate — the running
+    frame is computed incrementally, so a heavy user costs O(rows),
+    not O(rows²). Revenue is the money-sum pattern (per-order integer
+    cents; order-independent addition).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    od = load_table(spark, sf_dir, "orders")
+    touches = ev.filter(
+        F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(0).alias("kind"),
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("tie"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    orders = od.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros("o_orderdate").alias("us"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("channel"),
+        F.col("o_orderkey").alias("tie"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "kind", "tie")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wnd = touches.unionByName(orders).select(
+        "kind",
+        "cents",
+        F.first("channel", ignorenulls=True).over(w).alias("ft"),
+        F.last("channel", ignorenulls=True).over(w).alias("lt"),
+    )
+    o = wnd.filter(F.col("kind") == 1).select(
+        F.coalesce("ft", F.lit("direct")).alias("ft"),
+        F.coalesce("lt", F.lit("direct")).alias("lt"),
+        "cents",
+    )
+    return (
+        o.select(
+            F.expr(
+                "stack(2, 'first_touch', ft, 'last_touch', lt) "
+                "AS (model, channel)"
+            ),
+            "cents",
+        )
+        .groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("model", "channel")
+    )
+
+
 @register(
     "pivot_daily_event_counts",
     oracle="""

@@ -501,3 +501,24 @@ def test_covariance_shuffles_only_partials(spark):
     assert "MapInPandas" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_attribution_single_user_shuffle_and_pushed_touch_filter(spark):
+    """attribution_revenue_touch's contract: the touch-type IN filter
+    reaches the events scan (no full-log read), the union's only
+    corpus-touching exchange is the ONE hashpartitioning(user_id)
+    window sort, and nothing joins — no SMJ/BNLJ/Cartesian anywhere."""
+    plan = _plan(spark, "attribution_revenue_touch")
+    assert "In(event_type" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    user_exchanges = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) >= 1
+    # the stream is shuffled on user_id exactly once (plus the tiny
+    # model×channel agg exchange) — count all Exchange nodes in the
+    # main tree section to pin that shape
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 3, f"unexpected extra shuffles: {n_ex}"
