@@ -101,6 +101,18 @@ def test_bare_session_subprocess_runs_events_query():
 MAX_VERDICT_AGE = 4
 DRIVER_WINDOW_SLOTS = 50
 
+# Names that once had registry entries and still appear in committed
+# CORRECTNESS_r*.json history but were RETIRED (r8: the three per-op
+# set-operation queries merged into the single tagged-branch
+# ``setops_nations``). Explicit so a recomputation of the verdict
+# union resolves every historical name to exactly registry ∪ RETIRED
+# (VERDICT r14 task 7).
+RETIRED_QUERY_NAMES = {
+    "setop_union_nations",
+    "setop_intersect_nations",
+    "setop_except_nations",
+}
+
 
 def _verdict_history():
     """name -> latest round with a PASSING driver verdict. Only passes
@@ -144,6 +156,21 @@ def test_no_registry_verdict_older_than_max_age():
         f"registry entries with driver verdicts older than "
         f"{MAX_VERDICT_AGE} rounds (current=r{cur}): {stale} — rotate "
         "them into the _DRIVER_WINDOW head"
+    )
+
+
+def test_verdict_history_names_resolve_to_registry_or_retired():
+    """Every name in the committed verdict history must be either a
+    live registry entry or an explicitly documented retirement — a
+    rename that silently orphans its history would otherwise read as
+    a registry entry with no verdict (and its old name as noise in
+    any recomputation of the union)."""
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    latest, _ = _verdict_history()
+    unexplained = set(latest) - set(all_queries()) - RETIRED_QUERY_NAMES
+    assert not unexplained, (
+        f"verdict-history names neither live nor retired: {unexplained}"
     )
 
 

@@ -74,6 +74,17 @@ FAMILIES = [
     # the pure scan cost)
     "bigram_logprob_docs",
     "embedding_covariance_topk",
+    # r15 (VERDICT r14 task 6): the product-analytics trio — funnel
+    # (three co-keyed user_id step aggs), retention (first-touch agg +
+    # co-keyed join + distinct), attribution (ONE user_id window sort
+    # over the unioned touch+order stream) — and the streaming
+    # space-saving top-k (state #users x m, replayed availableNow;
+    # its wall is state-store lifecycle + per-batch overhead, the
+    # scale claim is that it stays bounded, not that it is cheap)
+    "funnel_conversion_steps",
+    "retention_cohort_weeks",
+    "attribution_revenue_touch",
+    "stream_topk_user_event_types",
 ]
 
 # r12: the batched IVF-PQ retrieval join is probed at sf1 ONLY (200
@@ -412,6 +423,95 @@ def invariants(spark, registry, sf1: str, sf10: str) -> dict:
             for r in cov10
             if r["corr"] is not None
         ),
+    }
+
+    # r15 — the product-analytics trio: tiles copy each user's event
+    # stream onto disjoint user ids with IDENTICAL timestamps, and
+    # orders tile o_custkey by the same customer stride, so every
+    # per-user computation lands 10 independent copies — funnel step
+    # counts, retention matrix cells, and attribution (model, channel)
+    # order counts/revenues are all EXACTLY 10x with identical derived
+    # rates (round(10n/10N) == round(n/N): same rational, same double).
+    fun1 = {
+        r["step"]: (r["n_users"], r["conv_from_start"], r["conv_from_prev"])
+        for r in registry["funnel_conversion_steps"].spark(spark, sf1).collect()
+    }
+    fun10 = {
+        r["step"]: (r["n_users"], r["conv_from_start"], r["conv_from_prev"])
+        for r in registry["funnel_conversion_steps"].spark(spark, sf10).collect()
+    }
+    out["funnel_conversion_steps"] = {
+        "steps_sf1": fun1,
+        "steps_sf10": fun10,
+        "check": "counts_exact_10x_rates_equal",
+        "ok": set(fun1) == set(fun10)
+        and all(
+            fun10[s][0] == 10 * fun1[s][0] and fun10[s][1:] == fun1[s][1:]
+            for s in fun1
+        ),
+    }
+
+    ret1 = {
+        (r["cohort_week"], r["week_offset"]): (r["n_users"], r["retention"])
+        for r in registry["retention_cohort_weeks"].spark(spark, sf1).collect()
+    }
+    ret10 = {
+        (r["cohort_week"], r["week_offset"]): (r["n_users"], r["retention"])
+        for r in registry["retention_cohort_weeks"].spark(spark, sf10).collect()
+    }
+    out["retention_cohort_weeks"] = {
+        "cells_sf1": len(ret1),
+        "cells_sf10": len(ret10),
+        "check": "matrix_counts_exact_10x_retention_equal",
+        "ok": set(ret1) == set(ret10)
+        and all(
+            ret10[k] == (10 * ret1[k][0], ret1[k][1]) for k in ret1
+        ),
+    }
+
+    att1 = {
+        (r["model"], r["channel"]): (r["n_orders"], r["revenue_cents"])
+        for r in registry["attribution_revenue_touch"]
+        .spark(spark, sf1).collect()
+    }
+    att10 = {
+        (r["model"], r["channel"]): (r["n_orders"], r["revenue_cents"])
+        for r in registry["attribution_revenue_touch"]
+        .spark(spark, sf10).collect()
+    }
+    out["attribution_revenue_touch"] = {
+        "cells_sf1": {f"{m}/{c}": v for (m, c), v in att1.items()},
+        "cells_sf10": {f"{m}/{c}": v for (m, c), v in att10.items()},
+        "check": "orders_and_revenue_exact_10x",
+        "ok": set(att1) == set(att10)
+        and all(
+            att10[k] == (10 * att1[k][0], 10 * att1[k][1]) for k in att1
+        ),
+    }
+
+    # r15 — streaming space-saving top-k at sf10: 5 event types per
+    # user <= m=16, so the sketch must be EXACT — every emitted
+    # (user, type) count equals the batch groupBy and max_err == 0.
+    # Compared distributed (150k users x 5 types — no driver collect).
+    got = registry["stream_topk_user_event_types"].spark(spark, sf10)
+    exact_counts = (
+        load_table(spark, sf10, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    jj = got.join(exact_counts, ["user_id", "event_type"], "full")
+    bad = jj.filter(
+        F.col("est_count").isNull()
+        | F.col("n").isNull()
+        | (F.col("est_count") != F.col("n"))
+        | (F.col("max_err") != 0)
+    ).count()
+    n_groups = exact_counts.count()
+    out["stream_topk_user_event_types"] = {
+        "groups_sf10": int(n_groups),
+        "mismatches": int(bad),
+        "check": "sketch_exact_under_m_vs_batch_groupby",
+        "ok": n_groups > 0 and bad == 0,
     }
 
     # r12 — batched IVF-PQ knn join, sf1 only (see KNN_JOIN_PROBE note):
