@@ -69,9 +69,9 @@ _LOADED = False
 #       multimodal_wav_pcm_stats (from-scratch RIFF/PCM audio decode,
 #       VERDICT r14 task 4) and attribution_revenue_touch (first/
 #       last-touch revenue attribution, VERDICT r14 task 5);
-#   (4) 9 of the 44 round-11-latest (age cap at r16), alphabetical —
-#       pre-rotating them lightens the forced r16 head to 35.
-#       35 + 4 + 2 + 9 = 50.
+#   (4) 8 of the 44 round-11-latest (age cap at r16), alphabetical —
+#       pre-rotating them lightens the forced r16 head to 36.
+#       35 + 5 + 2 + 8 = 50.
 _DRIVER_WINDOW = (
     # (1) round-10-latest cohort at the age cap — all 35
     "repetition_metrics_docs",
@@ -109,11 +109,14 @@ _DRIVER_WINDOW = (
     "ivf_topk_nprobe",
     "embedding_centroid_drift",
     "hard_negatives_per_query",
-    # (2) round-15 code-change re-verdicts
+    # (2) round-15 code-change re-verdicts (ivf_topk joined late in the
+    # round when the in-row assign was extended to the plain-IVF pair;
+    # its nprobe twin is already in cohort (1))
     "embedding_covariance_topk",
     "ivfpq_topk",
     "ivfpq_knn_join",
     "ivfpq_index_append",
+    "ivf_topk",
     # (3) round-15 new registrations
     "multimodal_wav_pcm_stats",
     "attribution_revenue_touch",
@@ -126,7 +129,6 @@ _DRIVER_WINDOW = (
     "cosine_topk",
     "crossformat_dedup_docs",
     "cube_order_status",
-    "date_parts_orders",
     # Past the 50-slot window: everything else keeps its r11–r14 green
     # verdict; the full local parity sweep for ALL registry entries is
     # re-run per round (tests/test_oracle_parity.py, 177 = 176 registry

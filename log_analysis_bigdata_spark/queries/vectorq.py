@@ -729,11 +729,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid is the per-dimension mean of a seeded subset (vec_id mod k),
     which is exactly one Lloyd half-step and keeps the whole flow
     SQL-replayable for the oracle. Plan shape at scale: centroids are
-    k×d doubles → broadcast; assignment is one narrow pass over the
-    corpus (posexplode + broadcast join + min_by); the probe reads ~1/k
-    of the rows. On a real deployment the assignment is written back
-    partitioned by cell so probes are partition-pruned scans, and k
-    grows to √N cells with an nprobe>1 multi-cell probe for recall.
+    k×d doubles → broadcast packed into ONE row; assignment is an
+    IN-ROW array_min argmin over the corpus scan (_assign_cells — the
+    r15 rewrite; the old dim-keyed join exploded n×d×k rows before its
+    two groupBy shuffles); the probe reads ~1/k of the rows. On a real
+    deployment the assignment is written back partitioned by cell so
+    probes are partition-pruned scans, and k grows to √N cells with an
+    nprobe>1 multi-cell probe for recall.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(
@@ -744,12 +746,17 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = dims.groupBy(
         F.col("seed_cell").alias("c"), "dim"
     ).agg(F.avg("x").alias("cx"))
-    dist = (
-        dims.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "c")
-        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d2"))
+    cent_arr = cent.groupBy(F.col("c").alias("cell")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+            lambda s: s.cx,
+        ).alias("cvec")
     )
-    assign = dist.groupBy("vec_id").agg(F.min_by("c", "d2").alias("cell"))
+    ev = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    assign = _assign_cells(ev, cent_arr)
     e = assign.join(emb, "vec_id").select("vec_id", "cell", "label", "embedding")
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"), F.col("cell").alias("qcell")
@@ -939,12 +946,19 @@ def ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = dims.groupBy(
         F.col("seed_cell").alias("c"), "dim"
     ).agg(F.avg("x").alias("cx"))
-    dist = (
-        dims.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "c")
-        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d2"))
+    # in-row argmin assignment over the packed broadcast centroid
+    # table (r15 — see ivf_topk; identical arithmetic, no n×d×k rows)
+    cent_arr = cent.groupBy(F.col("c").alias("cell")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+            lambda s: s.cx,
+        ).alias("cvec")
     )
-    assign = dist.groupBy("vec_id").agg(F.min_by("c", "d2").alias("cell"))
+    ev = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    assign = _assign_cells(ev, cent_arr)
     e = assign.join(emb, "vec_id").select("vec_id", "cell", "label", "embedding")
 
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
