@@ -40,7 +40,15 @@ BNLJ_ALLOWED = {
         "count-derived top-C re-rank set; the ADC candidate scan "
         "itself is a broadcast HASH join on (cell, sub, code)"
     ),
-    "ivf_topk_nprobe": "single query-vector broadcast into the probed cells",
+    "ivf_topk": (
+        "1-row packed-centroid-table broadcast (in-row argmin "
+        "assignment, r15) + single query-vector broadcast"
+    ),
+    "ivf_topk_nprobe": (
+        "1-row packed-centroid-table broadcast (in-row argmin "
+        "assignment, r15) + single query-vector broadcast into the "
+        "probed cells"
+    ),
     "ivfpq_knn_join": (
         "Q-row query block × ≤2^bits-row broadcast centroid table for "
         "per-query cell ranking — a Q×cells scalar product; every "
