@@ -232,6 +232,7 @@ HEADLINE = [
     # PPM/BMP/GIF image twins)
     "attribution_revenue_touch",
     "multimodal_wav_pcm_stats",
+    "multimodal_avi_frame_stats",
 ]
 
 # Heavyweight entries DELIBERATELY excluded from HEADLINE, name →

@@ -59,6 +59,10 @@ _LOADED = False
 #   (1) the 35 round-10-latest entries at the age cap (the exact list
 #       the r14 rotation guard printed), registry order;
 #   (2) re-verdicts for queries whose CODE changed this round —
+#       (6 total incl. pagerank_supplier_graph: edge build now dedups
+#       the undirected pair set BEFORE mirroring — the doubled
+#       distinct OOM'd the sf10 probe graph on an 8 GiB heap; edge
+#       set and values identical by construction) —
 #       embedding_covariance_topk (int64 matmul now chunked to
 #       COV_ROWS_PER_MATMUL rows with an exact rows·m² < 2⁶² guard,
 #       ADVICE r14 — values identical by construction, re-verdicted
@@ -67,11 +71,13 @@ _LOADED = False
 #       for the sf10 decade-ratio, VERDICT r14 task 3);
 #   (3) queries REGISTERED this round, never verdicted —
 #       multimodal_wav_pcm_stats (from-scratch RIFF/PCM audio decode,
-#       VERDICT r14 task 4) and attribution_revenue_touch (first/
-#       last-touch revenue attribution, VERDICT r14 task 5);
-#   (4) 8 of the 44 round-11-latest (age cap at r16), alphabetical —
-#       pre-rotating them lightens the forced r16 head to 36.
-#       35 + 5 + 2 + 8 = 50.
+#       VERDICT r14 task 4), attribution_revenue_touch (first/
+#       last-touch revenue attribution, VERDICT r14 task 5), and
+#       multimodal_avi_frame_stats (RIFF/AVI video decode — the
+#       multimodal triad's third modality);
+#   (4) 6 of the 44 round-11-latest (age cap at r16), alphabetical —
+#       pre-rotating them lightens the forced r16 head to 38.
+#       35 + 6 + 3 + 6 = 50.
 _DRIVER_WINDOW = (
     # (1) round-10-latest cohort at the age cap — all 35
     "repetition_metrics_docs",
@@ -117,23 +123,24 @@ _DRIVER_WINDOW = (
     "ivfpq_knn_join",
     "ivfpq_index_append",
     "ivf_topk",
+    "pagerank_supplier_graph",
     # (3) round-15 new registrations
     "multimodal_wav_pcm_stats",
     "attribution_revenue_touch",
-    # (4) round-11-latest cohort, 9 alphabetical
+    "multimodal_avi_frame_stats",
+    # (4) round-11-latest cohort, 6 alphabetical
     "ann_bucketed_topk",
     "anti_join_docs_quarantine",
     "case_bucket_order_price",
     "chunk_dedup_retention",
     "corpus_to_training_set",
     "cosine_topk",
-    "crossformat_dedup_docs",
-    "cube_order_status",
     # Past the 50-slot window: everything else keeps its r11–r14 green
     # verdict; the full local parity sweep for ALL registry entries is
-    # re-run per round (tests/test_oracle_parity.py, 177 = 176 registry
-    # entries + the flagship entry() — the "177/177" in EVIDENCE_r14
-    # was that parity count, not a registry miscount).
+    # re-run per round (tests/test_oracle_parity.py — N_registry + 1
+    # cases: every registry entry plus the flagship entry(); the
+    # "177/177" in EVIDENCE_r14 was that parity count over the then-176
+    # registry, not a registry miscount).
 )
 
 

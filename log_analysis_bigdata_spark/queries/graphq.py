@@ -101,14 +101,25 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    cs = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.col("o_custkey").alias("c"),
-        (F.col("l_suppkey") + SUPP_OFFSET).alias("s"),
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + SUPP_OFFSET).alias("s"),
+        )
+        # dedup the UNDIRECTED pair set FIRST (r15): customer and
+        # supplier ids live in disjoint ranges (SUPP_OFFSET), so the
+        # two directed copies below are distinct-by-construction and
+        # disjoint from each other — the old `union(...).distinct()`
+        # hash-aggregated 2× the rows for the identical edge set
+        # (the probe's sf10 graph OOM'd exactly in that doubled
+        # distinct on an 8g heap; halving its input is the fix that
+        # scales rather than a bigger heap)
+        .distinct()
     )
     edges = (
         cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .distinct()
+        .unionAll(cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         .localCheckpoint(eager=True)
     )
     deg = (

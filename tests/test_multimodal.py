@@ -529,3 +529,75 @@ def test_synth_wav_stats_match_formula(spark):
         assert r["peak_abs"] == int(np.abs(vals).max())
         assert r["ch0_sum"] == int(vals[ch == 0].sum())
         assert r["ch1_sum"] == int(vals[ch == 1].sum())
+
+
+def test_avi_build_parse_roundtrip_all_variants():
+    """Synthesizer/parser agreement across every layout residue
+    (w/h/nf mod cycles, all three fps values): geometry, fps, and
+    every decoded frame's pixels must equal the closed form."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _avi_frame_px,
+        _avi_params,
+        _build_avi,
+        _parse_avi,
+    )
+
+    for d in range(36):
+        w, h, nf, fps = _avi_params(d)
+        pw, ph, pnf, pfps, frames = _parse_avi(_build_avi(d))
+        assert (pw, ph, pnf, pfps) == (w, h, nf, fps), d
+        assert len(frames) == nf, d
+        for f, fr in enumerate(frames):
+            assert np.array_equal(fr, _avi_frame_px(d, f, w, h)), (d, f)
+
+
+def test_avi_parse_rejects_garbage():
+    import struct as _s
+
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_avi,
+        _parse_avi,
+    )
+
+    good = _build_avi(1)
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        _parse_avi(b"XXXX" + good[4:])
+    # claim a compressed stream: rename the first 00db chunk to 00dc
+    bad = bytearray(good)
+    off = good.index(b"00db")
+    bad[off : off + 4] = b"00dc"
+    with pytest.raises(ValueError, match="only uncompressed"):
+        _parse_avi(bytes(bad))
+    # corrupt avih's frame count -> loud mismatch, not silent truncation
+    bad2 = bytearray(good)
+    avih_at = good.index(b"avih") + 8
+    _s.pack_into("<I", bad2, avih_at + 16, 99)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        _parse_avi(bytes(bad2))
+
+
+def test_synth_avi_stats_match_formula(spark):
+    """End-to-end through Spark: decoded frame stats equal a direct
+    numpy recomputation of the closed form."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _avi_frame_px,
+        _avi_params,
+        avi_frame_stats,
+        synth_avi_assets,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(12)
+    rows = avi_frame_stats(synth_avi_assets(docs)).collect()
+    assert rows
+    for r in rows:
+        d = r["asset_id"]
+        w, h, nf, fps = _avi_params(d)
+        sums = [int(_avi_frame_px(d, f, w, h).sum()) for f in range(nf)]
+        assert (r["width"], r["height"], r["n_frames"], r["fps"]) == (
+            w, h, nf, fps,
+        )
+        assert r["duration_ms"] == nf * 1000 // fps
+        assert r["sum_px"] == sum(sums)
+        assert r["first_frame_sum"] == sums[0]
+        assert r["last_frame_sum"] == sums[-1]
+        assert r["max_frame_sum"] == max(sums)
