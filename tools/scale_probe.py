@@ -582,13 +582,31 @@ def main() -> int:
             "sub_quadratic": ratio <= RATIO_BOUND,
         }
 
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, "BENCH_SF10_LOCAL.json")
+    # crash-safe: persist the (expensive) timing phase immediately —
+    # the r15 run lost ~50 min of timings when the invariants phase
+    # later exhausted a 6-pass-old heap
+    with open(out_path, "w") as fh:
+        json.dump({**res, "invariants": "PENDING", "all_ok": False}, fh,
+                  indent=1)
+        fh.write("\n")
+
+    # recycle the session between phases: 6 interleaved passes × 19
+    # families leave a long-lived driver heap (result buffers, block
+    # metadata, state-store providers) that the invariants phase then
+    # OOMs on — a fresh JVM-side session resets it. getOrCreate() would
+    # return the stopped session's builder config but a NEW context.
+    spark.stop()
+    spark = get_spark(app_name="scale_probe_invariants")
+    spark.range(1000).count()
+
     res["invariants"] = invariants(spark, registry, sf1, sf10)
     res["all_ok"] = all(
         f["sub_quadratic"] for f in res["families"].values()
     ) and all(i["ok"] for i in res["invariants"].values())
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "BENCH_SF10_LOCAL.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(res, fh, indent=1)
         fh.write("\n")
     print(json.dumps(
