@@ -549,6 +549,13 @@ def main() -> int:
     sf1 = argv[0] if len(argv) > 0 else "/tmp/sf1"
     sf10 = argv[1] if len(argv) > 1 else "/tmp/sf10"
 
+    # the probe's sf10 workload needs heap headroom the 8g default
+    # doesn't give a 1 000+-stage session (r15: pagerank/invariants
+    # OOM'd nondeterministically at 8g even post-fix); a probe is a
+    # scale experiment, not the driver gate, so it gets 16g unless the
+    # caller overrides (the 128 GiB host has ample room)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     from log_analysis_bigdata_spark.queries import all_queries
     from log_analysis_bigdata_spark.session import get_spark
 
@@ -570,6 +577,15 @@ def main() -> int:
 
     res = {"sf1_dir": sf1, "sf10_dir": sf10, "families": {}}
     t_sf1 = timed_passes(spark, registry, sf1)
+    # fresh session for the sf10 decade: ~1 400 stages of sf1 passes
+    # leave enough driver-heap residue (result buffers, block/broadcast
+    # metadata, streaming state providers) that the sf10 heavyweights
+    # OOM nondeterministically on an old heap. Warm/cold semantics are
+    # PER-SF (pass 1 cold, 2-3 warm within one session), so recycling
+    # between the decades changes no measurement.
+    spark.stop()
+    spark = get_spark(app_name="scale_probe_sf10")
+    spark.range(1000).count()
     t_sf10 = timed_passes(spark, registry, sf10)
     for name in FAMILIES:
         ratio = round(
