@@ -117,16 +117,24 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scales rather than a bigger heap)
         .distinct()
     )
-    edges = (
-        cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    # Materialize the UNDIRECTED pair set ONCE as a serialized columnar
+    # cache (r15): the old localCheckpoint of the mirrored 2E edge list
+    # stored every row as a deserialized JVM object — 32 concurrent
+    # tasks each buffering a full partition block put ~2E × ~100 B of
+    # raw objects on the heap at materialization (the sf10 probe's
+    # 120M-edge graph OOM'd an 8–16 GiB driver exactly there).
+    # A DataFrame persist is compressed columnar batches (~16 B/row
+    # here) and the mirror is a zero-cost narrow view on top of it.
+    cs = cs.persist()
+    n_undirected = cs.count()
+    edges = cs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # node-sized: cheap, truncates
     )
     ranks = deg.select(
         "node", F.lit(PR_INIT).cast("bigint").alias("rank")
@@ -138,7 +146,7 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-scale default — shared helper with connected_components
     from ..operators.components import loop_parallelism
 
-    with loop_parallelism(spark, edges.count()) as session_default:
+    with loop_parallelism(spark, 2 * n_undirected) as session_default:
         # Pre-partition the loop-invariant edge frame ON THE JOIN KEY
         # and persist it (r9): persist — unlike localCheckpoint —
         # preserves outputPartitioning, so every round's shuffle-hash
@@ -156,6 +164,7 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks, _rounds = _pr_loop(contrib_src, ranks, session_default)
         finally:
             contrib_src.unpersist(blocking=False)
+            cs.unpersist(blocking=False)  # contrib_src is materialized
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
 
 
