@@ -2063,15 +2063,15 @@ ATTRIB_TOUCH_TYPES = ("view", "click", "signup")
     WITH t AS (
       SELECT user_id, epoch_us(ts) AS us, 0 AS kind,
              event_type AS channel, event_id AS tie,
-             CAST(NULL AS BIGINT) AS cents
+             CAST(NULL AS BIGINT) AS rev
       FROM events
       WHERE event_type IN {str(ATTRIB_TOUCH_TYPES)}
       UNION ALL
-      SELECT o_custkey, epoch_us(o_orderdate), 1, NULL, o_orderkey,
-             CAST(round(o_totalprice * 100) AS BIGINT)
-      FROM orders
+      SELECT user_id, epoch_us(ts), 1, NULL, event_id,
+             CAST(round(value * 1000000) AS BIGINT)
+      FROM events WHERE event_type = 'purchase'
     ), wnd AS (
-      SELECT kind, cents,
+      SELECT kind, rev,
              first_value(channel IGNORE NULLS) OVER w AS ft,
              last_value(channel IGNORE NULLS) OVER w AS lt
       FROM t
@@ -2079,49 +2079,55 @@ ATTRIB_TOUCH_TYPES = ("view", "click", "signup")
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), o AS (
       SELECT coalesce(ft, 'direct') AS ft, coalesce(lt, 'direct') AS lt,
-             cents
+             rev
       FROM wnd WHERE kind = 1
     )
-    SELECT model, channel, CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(rev) AS BIGINT) AS revenue_micro
     FROM (
-      SELECT 'first_touch' AS model, ft AS channel, cents FROM o
+      SELECT 'first_touch' AS model, ft AS channel, rev FROM o
       UNION ALL
-      SELECT 'last_touch', lt, cents FROM o
+      SELECT 'last_touch', lt, rev FROM o
     )
     GROUP BY model, channel
     ORDER BY model, channel
     """,
-    tags=("attribution", "analytics", "events", "orders", "asof"),
+    tags=("attribution", "analytics", "events", "asof"),
 )
 def attribution_revenue_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First/last-touch revenue attribution (round 15, VERDICT r14
     task 5 — the third canonical product-analytics shape after funnel
-    and retention): every order's revenue is credited to the marketing
-    touch (view/click/signup event) that the model picks among the
-    user's touches AT OR BEFORE the order time — first-touch credits
-    the earliest causal touch, last-touch the latest; orders with no
-    prior touch are 'direct'. Output: (model, channel) × order count ×
-    integer-cents revenue.
+    and retention): every conversion's revenue is credited to the
+    marketing touch (view/click/signup event) the model picks among
+    the user's touches AT OR BEFORE the conversion — first-touch
+    credits the earliest causal touch, last-touch the latest;
+    conversions with no prior touch are 'direct'. Conversions are the
+    user's ``purchase`` events with ``value`` as revenue (exact integer
+    micro-units) — the event-log-native shape where touches and
+    conversions genuinely interleave. (The first cut keyed conversions
+    to the ORDERS table; the sf10 probe's exact-10× invariant exposed
+    that as vacuous — TPC-H order dates all precede the event era, so
+    every order attributed 'direct' and the window path was never
+    exercised. The probe check now pins non-degenerate channels.)
+    Output: (model, channel) × conversion count × revenue.
 
     Implementation is the AS-OF pattern, not a per-user product: the
-    touch stream and the order stream UNION into one per-user
+    touch stream and the conversion stream UNION into one per-user
     time-ordered stream and the two models are running
     ``first/last_value(channel, ignorenulls)`` over the SAME window —
-    so each order row reads its answer in place. Ties are total-ordered
-    by (us, kind, unique id): a touch at exactly the order timestamp
-    sorts before the order (kind 0 < 1, i.e. `<=` causality), and
-    equal-time touches resolve to the max event_id for last-touch /
-    min for first-touch, identically in both engines.
+    so each conversion row reads its answer in place. Ties are
+    total-ordered by (us, kind, event_id): a touch at exactly the
+    conversion timestamp sorts before it (kind 0 < 1, i.e. `<=`
+    causality), and equal-time touches resolve to the max event_id for
+    last-touch / min for first-touch, identically in both engines.
 
-    Scale: two narrow projected scans, ONE shuffle on user_id (the
-    window sort), and a #models×#channels-row aggregate — the running
-    frame is computed incrementally, so a heavy user costs O(rows),
-    not O(rows²). Revenue is the money-sum pattern (per-order integer
-    cents; order-independent addition).
+    Scale: two narrow pushed-filter scans of one table, ONE shuffle on
+    user_id (the window sort), and a #models×#channels-row aggregate —
+    the running frame is computed incrementally, so a heavy user costs
+    O(rows), not O(rows²). Revenue is the money-sum pattern
+    (per-conversion integer micro-units; order-independent addition).
     """
     ev = load_table(spark, sf_dir, "events")
-    od = load_table(spark, sf_dir, "orders")
     touches = ev.filter(
         F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)
     ).select(
@@ -2130,33 +2136,31 @@ def attribution_revenue_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("kind"),
         F.col("event_type").alias("channel"),
         F.col("event_id").alias("tie"),
-        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("long").alias("rev"),
     )
-    orders = od.select(
-        F.col("o_custkey").alias("user_id"),
-        F.unix_micros("o_orderdate").alias("us"),
+    conversions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
         F.lit(1).alias("kind"),
         F.lit(None).cast("string").alias("channel"),
-        F.col("o_orderkey").alias("tie"),
-        F.round(F.col("o_totalprice") * 100)
-        .cast("long")
-        .alias("cents"),
+        F.col("event_id").alias("tie"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("rev"),
     )
     w = (
         W.partitionBy("user_id")
         .orderBy("us", "kind", "tie")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    wnd = touches.unionByName(orders).select(
+    wnd = touches.unionByName(conversions).select(
         "kind",
-        "cents",
+        "rev",
         F.first("channel", ignorenulls=True).over(w).alias("ft"),
         F.last("channel", ignorenulls=True).over(w).alias("lt"),
     )
     o = wnd.filter(F.col("kind") == 1).select(
         F.coalesce("ft", F.lit("direct")).alias("ft"),
         F.coalesce("lt", F.lit("direct")).alias("lt"),
-        "cents",
+        "rev",
     )
     return (
         o.select(
@@ -2164,12 +2168,12 @@ def attribution_revenue_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stack(2, 'first_touch', ft, 'last_touch', lt) "
                 "AS (model, channel)"
             ),
-            "cents",
+            "rev",
         )
         .groupBy("model", "channel")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("rev").alias("revenue_micro"),
         )
         .orderBy("model", "channel")
     )

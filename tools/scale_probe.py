@@ -470,23 +470,29 @@ def invariants(spark, registry, sf1: str, sf10: str) -> dict:
     }
 
     att1 = {
-        (r["model"], r["channel"]): (r["n_orders"], r["revenue_cents"])
+        (r["model"], r["channel"]): (r["n_conversions"], r["revenue_micro"])
         for r in registry["attribution_revenue_touch"]
         .spark(spark, sf1).collect()
     }
     att10 = {
-        (r["model"], r["channel"]): (r["n_orders"], r["revenue_cents"])
+        (r["model"], r["channel"]): (r["n_conversions"], r["revenue_micro"])
         for r in registry["attribution_revenue_touch"]
         .spark(spark, sf10).collect()
     }
+    # non-degeneracy: the FIRST cut keyed conversions to orders, whose
+    # TPC-H dates all precede the event era — every conversion read
+    # 'direct' and the window path was green-but-vacuous. Real touch
+    # channels must appear in both models at both decades.
+    channels = {c for (_m, c) in att10}
     out["attribution_revenue_touch"] = {
         "cells_sf1": {f"{m}/{c}": v for (m, c), v in att1.items()},
         "cells_sf10": {f"{m}/{c}": v for (m, c), v in att10.items()},
-        "check": "orders_and_revenue_exact_10x",
+        "check": "conversions_and_revenue_exact_10x_and_nondegenerate",
         "ok": set(att1) == set(att10)
         and all(
             att10[k] == (10 * att1[k][0], 10 * att1[k][1]) for k in att1
-        ),
+        )
+        and len(channels - {"direct"}) >= 2,
     }
 
     # r15 — streaming space-saving top-k at sf10: 5 event types per
