@@ -68,16 +68,20 @@ _LOADED = False
 #       ADVICE r14 — values identical by construction, re-verdicted
 #       out of caution) and the IVF-PQ family ivfpq_topk /
 #       ivfpq_knn_join / ivfpq_index_append (candidate-scan bounding
-#       for the sf10 decade-ratio, VERDICT r14 task 3);
+#       for the sf10 decade-ratio, VERDICT r14 task 3), plus
+#       semdedup_embedding_cells (assignment argmin moved to an
+#       Arrow-batched BLAS matmul — k grows with N, so the per-row
+#       interpreted fold was the probe's worst ratio; identical
+#       argmin rule, no-exact-ties);
 #   (3) queries REGISTERED this round, never verdicted —
 #       multimodal_wav_pcm_stats (from-scratch RIFF/PCM audio decode,
 #       VERDICT r14 task 4), attribution_revenue_touch (first/
 #       last-touch revenue attribution, VERDICT r14 task 5), and
 #       multimodal_avi_frame_stats (RIFF/AVI video decode — the
 #       multimodal triad's third modality);
-#   (4) 6 of the 44 round-11-latest (age cap at r16), alphabetical —
-#       pre-rotating them lightens the forced r16 head to 38.
-#       35 + 6 + 3 + 6 = 50.
+#   (4) 5 of the 44 round-11-latest (age cap at r16), alphabetical —
+#       pre-rotating them lightens the forced r16 head to 39.
+#       35 + 7 + 3 + 5 = 50.
 _DRIVER_WINDOW = (
     # (1) round-10-latest cohort at the age cap — all 35
     "repetition_metrics_docs",
@@ -124,17 +128,17 @@ _DRIVER_WINDOW = (
     "ivfpq_index_append",
     "ivf_topk",
     "pagerank_supplier_graph",
+    "semdedup_embedding_cells",
     # (3) round-15 new registrations
     "multimodal_wav_pcm_stats",
     "attribution_revenue_touch",
     "multimodal_avi_frame_stats",
-    # (4) round-11-latest cohort, 6 alphabetical
+    # (4) round-11-latest cohort, 5 alphabetical
     "ann_bucketed_topk",
     "anti_join_docs_quarantine",
     "case_bucket_order_price",
     "chunk_dedup_retention",
     "corpus_to_training_set",
-    "cosine_topk",
     # Past the 50-slot window: everything else keeps its r11–r14 green
     # verdict; the full local parity sweep for ALL registry entries is
     # re-run per round (tests/test_oracle_parity.py — N_registry + 1

@@ -1402,6 +1402,7 @@ def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
       rank-contiguous sub-cells (see the constant's comment) so one
       skewed cell can no longer go quadratic.
     """
+    import numpy as np
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1422,34 +1423,52 @@ def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = dims.groupBy(F.col("seed_cell").alias("c"), "dim").agg(
         F.avg("x").alias("cx")
     )
-    # k rows → 1 row of k (cell, centroid-array) structs; the crossJoin
-    # is the allowlisted broadcast-1-row pattern (PLAN_AUDIT.md).
     cent_arrays = cent.groupBy("c").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "cx"))),
             lambda s: s["cx"],
         ).alias("cvec")
     )
-    cents_one = cent_arrays.agg(
-        F.array_sort(F.collect_list(F.struct("c", "cvec"))).alias("cents")
-    )
+    # Assignment is an Arrow-batched BLAS matmul (r15): k grows with N
+    # here (semdedup_k), so the per-row interpreted argmin — k structs
+    # × a 64-dim fold each — was N·k·d scalar ops through the
+    # expression interpreter and drove the family's sf10 decade ratio
+    # to ~11 (the probe's worst). One B×d @ d×k matmul per Arrow batch
+    # does the identical argmin in vectorized BLAS: ‖v‖² is constant
+    # per row, so ranking by −2·v·C + ‖c‖² equals ranking by d2, and
+    # np.argmin's first-minimum rule over index-sorted cells IS the
+    # (d2, lowest cell) tie-break; the BLAS-vs-fold summation-order
+    # difference is the standing no-exact-ties argument (same class as
+    # the oracle's own sum order). The k×d centroid matrix rides a
+    # broadcast (dim-table-sized: k ≤ N/1250 → ~3 MB at sf100; at
+    # billions of rows the production path is hierarchical/ANN
+    # assignment, as the SemDeDup paper itself uses faiss k-means).
+    cent_rows = sorted(cent_arrays.collect(), key=lambda r: r["c"])
+    C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    cell_ids = np.array([r["c"] for r in cent_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((C, cell_ids))
 
-    def d2_to(s):
-        return F.aggregate(
-            F.zip_with("v", s["cvec"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        )
+    def assign_blas(batches):
+        import pandas as pd
 
-    assign = vecs.crossJoin(F.broadcast(cents_one)).select(
-        "vec_id",
-        "v",
-        F.array_sort(
-            F.transform(
-                "cents",
-                lambda s: F.struct(d2_to(s).alias("d2"), s["c"].alias("c")),
+        Cm, ids = bc.value
+        cn = (Cm * Cm).sum(axis=1)  # ‖c‖² per centroid
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            S = -2.0 * (V @ Cm.T) + cn  # rank-equal to d2 per row
+            idx = S.argmin(axis=1)  # first min = lowest cell id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cell": ids[idx],
+                }
             )
-        )[0]["c"].alias("cell"),
+
+    assign = vecs.mapInPandas(
+        assign_blas, "vec_id long, v array<double>, cell long"
     )
     sub = F.expr(f"(rn - 1) div {SEMDEDUP_SPLIT_WIDTH}")
     # materialize ONCE: e feeds both sides of the pair self-join AND the
