@@ -72,7 +72,11 @@ def model_scorer_udf(
         udf = model_scorer_udf(spark, clf, ["E1", ..., "E29"])
         df = df.withColumn("score", udf(F.array(*feature_cols)))
     """
-    bc = spark.sparkContext.broadcast(model)
+    from ..session import bounded_broadcast
+
+    # one live artifact block per site across repeated invocations
+    # (previous unpersisted, never destroyed — re-execution re-ships)
+    bc = bounded_broadcast(spark, "ml.model_scorer_udf.model", model)
     idx = int(proba_index)
 
     @pandas_udf("double")

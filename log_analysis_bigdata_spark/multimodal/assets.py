@@ -1083,6 +1083,10 @@ def _parse_wav(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("short fmt chunk")
+            if payload_at + 16 > len(buf):
+                # declared size lies past the buffer: keep the module's
+                # fail-loudly contract instead of a struct.error
+                raise ValueError("truncated chunk")
             tag, nch, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", buf, payload_at
             )
@@ -1281,8 +1285,14 @@ def _parse_avi(buf: bytes) -> tuple[int, int, int, int, list[np.ndarray]]:
             size = struct.unpack_from("<I", buf, pos + 4)[0]
             at = pos + 8
             if cid == b"LIST":
-                walk(at + 4, at + size)  # skip the 4-byte list type
+                # clamp the child range like the top-level walk: a
+                # truncated or hostile LIST size must fail loudly (via
+                # the frame/header bounds checks below), not crash in
+                # struct/numpy past the buffer (ADVICE r15)
+                walk(at + 4, min(at + size, len(buf)))
             elif cid == b"avih":
+                if size < 40 or at + 40 > len(buf):
+                    raise ValueError("truncated chunk")
                 us_per_frame, *_rest = struct.unpack_from("<I", buf, at)
                 nf = struct.unpack_from("<I", buf, at + 16)[0]
                 w = struct.unpack_from("<I", buf, at + 32)[0]
@@ -1295,7 +1305,7 @@ def _parse_avi(buf: bytes) -> tuple[int, int, int, int, list[np.ndarray]]:
                     raise ValueError("frame before avih header")
                 w, h, _nf, _fps = geom
                 stride = ((w * 3 + 3) // 4) * 4
-                if size < stride * h:
+                if size < stride * h or at + stride * h > len(buf):
                     raise ValueError("truncated DIB frame")
                 rows = np.frombuffer(
                     buf, dtype=np.uint8, count=stride * h, offset=at

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..session import bounded_broadcast
 from . import register
 
 QUERY_VEC_ID = 0
@@ -252,6 +253,19 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Y = X * 1_000_000.0
+            # pre-CAST guard (ADVICE r15): a float micro value at or
+            # beyond 2⁶² would wrap in the int64 cast below (undefined,
+            # typically INT64_MIN whose np.abs is negative) BEFORE the
+            # per-chunk m·m guard could see it — raise on the float64
+            # magnitude first so 'can never wrap silently' holds with
+            # no bypass
+            fmax = float(np.abs(Y).max(initial=0.0))
+            if fmax >= float(1 << 62):
+                raise ValueError(
+                    f"embedding micro value |{fmax:.3g}| overflows an "
+                    "int64 product on its own — quantization scale "
+                    "must be reduced for this corpus"
+                )
             Xq = (np.floor(np.abs(Y) + 0.5) * np.sign(Y)).astype(np.int64)
             dd = Xq.shape[1]
             iu, ju = np.triu_indices(dd)
@@ -1443,10 +1457,17 @@ def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast (dim-table-sized: k ≤ N/1250 → ~3 MB at sf100; at
     # billions of rows the production path is hierarchical/ANN
     # assignment, as the SemDeDup paper itself uses faiss k-means).
+    # EAGER by design: this collect() runs at plan-BUILD time (the k
+    # centroid rows, k ≤ N/1250 — a dim-table pull, not corpus data),
+    # because the BLAS kernel needs the matrix as a contiguous ndarray,
+    # not a per-row struct column. Callers that only want the plan
+    # (.explain, plan audit) pay one small job. The broadcast residue
+    # is bounded by bounded_broadcast: one live block for this site,
+    # the previous invocation's unpersisted (ADVICE r15).
     cent_rows = sorted(cent_arrays.collect(), key=lambda r: r["c"])
     C = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
     cell_ids = np.array([r["c"] for r in cent_rows], dtype=np.int64)
-    bc = spark.sparkContext.broadcast((C, cell_ids))
+    bc = bounded_broadcast(spark, "semdedup_embedding_cells.centroids", (C, cell_ids))
 
     def assign_blas(batches):
         import pandas as pd

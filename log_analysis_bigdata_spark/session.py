@@ -67,3 +67,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# --- bounded pickled-broadcast lifecycle -----------------------------
+# ``sc.broadcast`` blocks live in the executors' block managers until
+# unpersisted/GC'd; a query function that broadcasts at plan-build time
+# (e.g. semdedup's centroid matrix, ml scoring's model artifact) would
+# otherwise leak one block per invocation across repeated bench/parity
+# passes (ADVICE r15). Per call SITE we keep exactly one live broadcast:
+# the previous invocation's is unpersisted (non-blocking, executors
+# reclaim now) — never destroyed, so if an old plan re-executes Spark
+# transparently re-ships the value from the driver; the driver-side
+# object itself is reclaimed by the ContextCleaner once unreferenced.
+_LIVE_BROADCASTS: dict[str, object] = {}
+
+
+def bounded_broadcast(spark: SparkSession, site: str, value):
+    """Broadcast ``value``, unpersisting the broadcast the same ``site``
+    made on its previous invocation. Residue is bounded at one live
+    block per site instead of one per call."""
+    prev = _LIVE_BROADCASTS.get(site)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # a torn-down context must not fail the new plan
+    bc = spark.sparkContext.broadcast(value)
+    _LIVE_BROADCASTS[site] = bc
+    return bc

@@ -576,6 +576,50 @@ def test_avi_parse_rejects_garbage():
         _parse_avi(bytes(bad2))
 
 
+def test_parsers_fail_loudly_on_truncated_and_hostile_sizes():
+    """ADVICE r15: a declared chunk size that lies past the buffer must
+    raise the module's documented ValueError, never a struct.error or a
+    numpy buffer/reshape error — on WAV's fmt chunk, AVI's avih header,
+    AVI's DIB frame, and a hostile nested-LIST size."""
+    import struct as _s
+
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_avi,
+        _build_wav,
+        _parse_avi,
+        _parse_wav,
+    )
+
+    wav = _build_wav(3)
+    # cut mid-fmt: declared size 16, buffer ends after 4 payload bytes
+    cut = wav.index(b"fmt ") + 8 + 4
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _parse_wav(wav[:cut] + b"")
+    # RIFF size field still claims the full length — patch it down so
+    # the walk believes the buffer, then hits the short fmt payload
+    short = bytearray(wav[:cut])
+    _s.pack_into("<I", short, 4, len(short) - 8 + 64)  # hostile RIFF size
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _parse_wav(bytes(short))
+
+    avi = _build_avi(2)
+    # cut inside the avih payload
+    cut = avi.index(b"avih") + 8 + 12
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _parse_avi(avi[:cut])
+    # hostile nested-LIST size: blow the movi LIST's declared size far
+    # past the buffer; the clamped child walk must end at the real
+    # buffer edge (frames all present -> still parses green)
+    movi_at = avi.index(b"movi") - 8
+    hostile = bytearray(avi)
+    _s.pack_into("<I", hostile, movi_at + 4, len(avi) * 4)
+    _parse_avi(bytes(hostile))
+    # truncate inside the first DIB frame raster
+    frame_at = avi.index(b"00db")
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_avi(avi[: frame_at + 8 + 5])
+
+
 def test_synth_avi_stats_match_formula(spark):
     """End-to-end through Spark: decoded frame stats equal a direct
     numpy recomputation of the closed form."""

@@ -671,3 +671,28 @@ def test_rebase_dirs_are_deleted_after_use(spark, tmp_path, monkeypatch):
     assert len(rows) == n and all(r["component"] == 0 for r in rows)
     leaked = list(tmp_path.glob("cc_stats_rebase_*"))
     assert not leaked, f"rebase dirs leaked: {leaked}"
+
+
+def test_bounded_broadcast_keeps_one_live_block_per_site(spark):
+    """ADVICE r15: plan-build-time sc.broadcast calls must not
+    accumulate executor blocks across repeated invocations — each call
+    site unpersists its previous broadcast (non-blocking; Spark
+    re-ships transparently if the old plan re-executes)."""
+    from log_analysis_bigdata_spark import session as las_session
+    from log_analysis_bigdata_spark.session import bounded_broadcast
+
+    site = "test.bounded_broadcast.site"
+    b1 = bounded_broadcast(spark, site, {"v": 1})
+    calls = []
+    orig = b1.unpersist
+    b1.unpersist = lambda blocking=False: calls.append(blocking) or orig(
+        blocking=blocking
+    )
+    b2 = bounded_broadcast(spark, site, {"v": 2})
+    assert calls == [False], "previous broadcast was not unpersisted"
+    assert las_session._LIVE_BROADCASTS[site] is b2
+    assert b2.value == {"v": 2}
+    # unpersist (not destroy): the old value must still be readable
+    # driver-side, so a lingering plan that references it re-ships
+    assert b1.value == {"v": 1}
+    del las_session._LIVE_BROADCASTS[site]

@@ -1301,6 +1301,39 @@ def test_covariance_chunking_is_exact_under_any_chunk_size(
     assert base == tiny
 
 
+def test_covariance_overflow_guard_fires_before_int64_cast(spark, tmp_path):
+    """ADVICE r15: a micro value with |Y| ≥ 2⁶² must raise on the
+    float64 magnitude BEFORE the int64 cast — the cast itself wraps
+    (typically to INT64_MIN, whose np.abs is negative), which would
+    slip past the post-cast m·m guard and wrap silently."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from log_analysis_bigdata_spark.queries import all_queries
+
+    V = np.zeros((8, 4), dtype=np.float64)
+    V[3, 2] = 2.0**63  # micro = 2^63 * 1e6: wraps int64 if cast first
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(8), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in V], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 8, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    q = all_queries()["embedding_covariance_topk"]
+    # surfaces as PythonException or (under AQE multi-stage failure)
+    # raw Py4JJavaError — pin the message, not the wrapper type
+    with pytest.raises(Exception, match="overflows an int64 product"):
+        q.spark(spark, str(tmp_path)).collect()
+
+
 def _write_events(tmp_path, rows):
     """Minimal events.parquet: rows = [(event_id, ts_str, user_id,
     event_type)]."""
