@@ -79,19 +79,36 @@ def get_spark(
 # reclaim now) — never destroyed, so if an old plan re-executes Spark
 # transparently re-ships the value from the driver; the driver-side
 # object itself is reclaimed by the ContextCleaner once unreferenced.
-_LIVE_BROADCASTS: dict[str, object] = {}
+_LIVE_RESOURCES: dict[str, object] = {}
 
 
 def bounded_broadcast(spark: SparkSession, site: str, value):
     """Broadcast ``value``, unpersisting the broadcast the same ``site``
     made on its previous invocation. Residue is bounded at one live
     block per site instead of one per call."""
-    prev = _LIVE_BROADCASTS.get(site)
+    prev = _LIVE_RESOURCES.get(site)
     if prev is not None:
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass  # a torn-down context must not fail the new plan
     bc = spark.sparkContext.broadcast(value)
-    _LIVE_BROADCASTS[site] = bc
+    _LIVE_RESOURCES[site] = bc
     return bc
+
+
+def bounded_persist(site: str, df):
+    """Columnar-cache ``df``, unpersisting the DataFrame the same
+    ``site`` cached on its previous invocation — the persist twin of
+    :func:`bounded_broadcast` (same bounded-residue policy: at most one
+    live cached relation per site across repeated bench/parity passes;
+    an old plan that re-executes just recomputes its lineage)."""
+    prev = _LIVE_RESOURCES.get(site)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+    out = df.persist()
+    _LIVE_RESOURCES[site] = out
+    return out

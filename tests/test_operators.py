@@ -690,9 +690,9 @@ def test_bounded_broadcast_keeps_one_live_block_per_site(spark):
     )
     b2 = bounded_broadcast(spark, site, {"v": 2})
     assert calls == [False], "previous broadcast was not unpersisted"
-    assert las_session._LIVE_BROADCASTS[site] is b2
+    assert las_session._LIVE_RESOURCES[site] is b2
     assert b2.value == {"v": 2}
     # unpersist (not destroy): the old value must still be readable
     # driver-side, so a lingering plan that references it re-ships
     assert b1.value == {"v": 1}
-    del las_session._LIVE_BROADCASTS[site]
+    del las_session._LIVE_RESOURCES[site]
