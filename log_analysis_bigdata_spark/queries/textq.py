@@ -1286,14 +1286,22 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted per-doc sum, so aggregation is order-independent integer
     addition; ``ln`` is evaluated once per distinct bigram.
 
-    Scale: bigrams are built with ``zip_with`` over the token array —
-    a narrow map, no shuffle and no per-token window. Then three
-    map-side-combinable hash aggs (doc×bigram, bigram, context) — the
-    doc×bigram table is the big one and every later step keys on
-    ``bigram``, so the probs→tfb join is a co-keyed shuffle hash join
-    (both sides already partitioned by the same key at 100 TB; the
-    context table is vocabulary-sized and broadcast).
+    Scale (r16 rework — the r14 plan recomputed the explode+agg chain
+    THREE times and let the optimizer BROADCAST the corpus-sized
+    doc×bigram table, the probe's worst decade ratio at 8.46): the
+    exploded bigram stream is shuffled ONCE — ``repartition(bigram)``
+    — and every later step lives on that partitioning: the
+    (doc_id, bigram) agg (bigram ⊂ keys, no exchange), the global
+    bigram counts, and the probs→tfb join (both sides co-partitioned,
+    hinted shuffle_hash so the planner can never elect to broadcast
+    the big side). The materialized tfb is columnar-cached via
+    bounded_persist (one live relation per site, previous invocation's
+    unpersisted) so the bc/probs branch and the final join read it
+    instead of re-running the corpus scan; only vocabulary-sized
+    tables (context counts, V) are broadcast.
     """
+    from ..session import bounded_persist
+
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens()
     bigrams = F.zip_with(
@@ -1304,7 +1312,12 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = docs.filter(F.size(tok) >= 2).select(
         "doc_id", F.explode(bigrams).alias("bigram")
     )
-    tfb = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
+    tfb = bounded_persist(
+        "bigram_logprob_docs.tfb",
+        big.repartition("bigram")
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("k")),
+    )
     bc = tfb.groupBy("bigram").agg(F.sum("k").alias("c"))
     ctx = bc.groupBy(
         F.split(F.col("bigram"), " ", 2).getItem(0).alias("w1")
@@ -1328,7 +1341,7 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tfb.join(probs, "bigram")
+        tfb.join(probs.hint("shuffle_hash"), "bigram")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("k") * F.col("lp_micro")).alias("lp_micro_sum"),
