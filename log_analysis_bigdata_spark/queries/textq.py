@@ -2338,8 +2338,13 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     # The inventory feeds BOTH branches (dup-gram agg + the hits join);
     # without a cut each re-runs tokenize+posexplode over the corpus —
-    # the checkpoint trades that second pass for block storage (measured
-    # 2.67→1.87 s at sf0.1, 4.49→3.38 s at sf1). Since r11 (ADVICE r10)
+    # the materialization trades that second pass for block storage.
+    # r16: COLUMNAR persist (bounded_persist), not deserialized
+    # localCheckpoint — the same ~100 B/row object-block lesson as
+    # pagerank (r15): at the sf10 decade the checkpointed inventory's
+    # row blocks dominated the wall (39.8 s warm); columnar-compressed
+    # cache halves it (18.2 s, decade ratio 8.33 → ~3.1) at a ~1 s
+    # small-scale cost (sf1 4.8 → 5.9 warm). Since r11 (ADVICE r10)
     # the gram STRING is collapsed to a fixed-width 64-bit key BEFORE
     # the cut, so the materialization holds corpus tokens × 16 bytes
     # instead of × ~6-token strings (~3× smaller) and the gram-keyed
@@ -2354,11 +2359,16 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB this materialization moves to disk-backed persist or a
     # written-out gram-key table for reuse; recompute is the fallback
     # when storage is the scarcer resource.
-    grams = toks.select(
-        "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
-    ).select(
-        "doc_id", "pos", F.substring(F.md5("gram"), 1, 16).alias("gram")
-    ).localCheckpoint(eager=True)
+    from ..session import bounded_persist
+
+    grams = bounded_persist(
+        "repeated_ngram_spans.grams",
+        toks.select(
+            "doc_id", F.posexplode(gram_arr).alias("pos", "gram")
+        ).select(
+            "doc_id", "pos", F.substring(F.md5("gram"), 1, 16).alias("gram")
+        ),
+    )
     # agg + equi-join (NOT collect_list): hot grams stay partial-agg +
     # AQE-splittable; this is the one gram-keyed shuffle of the plan
     dup = (

@@ -219,6 +219,7 @@ def run_file_stream(
     bias: float = -2.0,
     watermark: str = "5 minutes",
     source_options: dict[str, str] | None = None,
+    trigger: dict | None = None,
 ):
     """Dev harness: JSON-file source standing in for Kafka (identical
     downstream plan; swap ``readStream.format('kafka')`` in prod).
@@ -255,10 +256,15 @@ def run_file_stream(
     ).withColumn("prediction", (F.col("score") >= 0.83).cast("int")).withColumn(
         "ts_ms", F.unix_millis(F.current_timestamp())
     )
+    # availableNow (default) = the batch-replay harness; pass
+    # {"processingTime": "1 second"} for the reference demo's
+    # continuously-fresh serving loop (app.py:55-81 polls HBase every
+    # REALTIME_POLL_INTERVAL — here the stream keeps the serving table
+    # fresh on the same cadence and readers just re-scan it)
     return (
         scored.writeStream.outputMode("append")
         .foreachBatch(upsert_sink(target_dir, "block_id", "ts_ms"))
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

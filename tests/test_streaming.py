@@ -1015,3 +1015,76 @@ def test_stream_stream_join_state_shrinks_after_watermark(spark, tmp_path):
         assert s2 <= 4  # only the two 120-min rows (+ margin rows)
     finally:
         q.stop()
+
+
+def test_serving_freshness_under_processing_time_trigger(spark, tmp_path):
+    """T7 freshness (VERDICT r15 task 8): the reference demo keeps its
+    dashboard fresh by polling HBase every REALTIME_POLL_INTERVAL=1 s
+    (app.py:55-81) while the Kafka job upserts continuously. The Spark
+    mapping is a processingTime-triggered stream keeping the serving
+    table fresh while readers re-scan it: an event file landing in the
+    source must become visible to the ServingAPI read path within a
+    bounded latency — and an UPDATE for the same key must replace it
+    (last-write-wins freshness), all while the query stays up."""
+    import time as _time
+
+    from log_analysis_bigdata_spark.serving import ServingAPI
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "detections")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # budget: generous vs the ~1 s cadence to absorb shared-host noise;
+    # the point is "seconds, continuously", not a microbenchmark
+    budget_s = 60.0
+
+    q = run_file_stream(
+        spark, src, tgt, ckpt, TEMPLATES, EVENT_IDS,
+        trigger={"processingTime": "500 milliseconds"},
+    )
+    try:
+        def visible(pred, deadline):
+            while _time.time() < deadline:
+                if os.path.isdir(tgt):
+                    try:
+                        rows = {
+                            r["block_id"]: r.asDict()
+                            for r in ServingAPI(
+                                spark.read.parquet(tgt),
+                                key_col="block_id",
+                            ).latest(limit=10).collect()
+                        }
+                    except Exception:
+                        rows = {}  # sink mid-rewrite: retry next poll
+                    if pred(rows):
+                        return _time.time()
+                _time.sleep(0.25)
+            return None
+
+        t0 = _time.time()
+        with open(os.path.join(src, "f0.json"), "w") as f:
+            f.write(json.dumps(_msg("blk_-41", 2, 1)) + "\n")
+        seen = visible(
+            lambda r: "blk_-41" in r and r["blk_-41"]["E1"] == 2,
+            t0 + budget_s,
+        )
+        assert seen is not None, "event never became serving-visible"
+        first_latency = seen - t0
+
+        t1 = _time.time()
+        with open(os.path.join(src, "f1.json"), "w") as f:
+            f.write(json.dumps(_msg("blk_-41", 6, 3)) + "\n")
+        seen2 = visible(
+            lambda r: r.get("blk_-41", {}).get("E1") == 6
+            and r["blk_-41"]["E2"] == 3,
+            t1 + budget_s,
+        )
+        assert seen2 is not None, "update never became serving-visible"
+        update_latency = seen2 - t1
+        # record the measured freshness in the assertion surface
+        assert first_latency <= budget_s and update_latency <= budget_s, (
+            first_latency, update_latency,
+        )
+        assert q.isActive  # continuous trigger: still up after both
+    finally:
+        q.stop()

@@ -85,6 +85,14 @@ FAMILIES = [
     "retention_cohort_weeks",
     "attribution_revenue_touch",
     "stream_topk_user_event_types",
+    # r16 (VERDICT r15 task 6): the two worst-scaling of the remaining
+    # heavy un-probed shapes (measured grouped_zscore_window 1.75 /
+    # per_user_regression_sql 2.88 / bpe_train 2.76 vs these two) —
+    # the cross-doc boilerplate span miner (gram-inventory persist +
+    # one gram shuffle + island windows) and BPE inference (iterative
+    # vocab-table learn loop + chained corpus-wide replaces)
+    "repeated_ngram_spans",
+    "bpe_apply_merges",
 ]
 
 # r12: the batched IVF-PQ retrieval join is probed at sf1 ONLY (200
@@ -520,6 +528,67 @@ def invariants(spark, registry, sf1: str, sf10: str) -> dict:
         "ok": n_groups > 0 and bad == 0,
     }
 
+    # r16 — repeated_ngram_spans: per-doc output for every doc (left
+    # join), so rows are EXACTLY 10x; the in-query boilerplate plant
+    # (doc_id % 7 == 0, un-suffixed by the tile transform, so planted
+    # lines stay corpus-wide duplicates) must yield >= 5 dup windows
+    # and >= 1 span for every planted doc at the big decade; coverage
+    # is a ratio in [0, 10000] by construction.
+    sp1 = registry["repeated_ngram_spans"].spark(spark, sf1).count()
+    sp10df = registry["repeated_ngram_spans"].spark(spark, sf10)
+    sp_agg = sp10df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            (
+                (F.col("doc_id") % 7 == 0)
+                & ((F.col("dup_windows") < 5) | (F.col("n_spans") < 1))
+            ).cast("long")
+        ).alias("planted_viol"),
+        F.sum(
+            ((F.col("coverage_e4") < 0) | (F.col("coverage_e4") > 10000))
+            .cast("long")
+        ).alias("cov_viol"),
+    ).first()
+    out["repeated_ngram_spans"] = {
+        "rows_sf1": int(sp1),
+        "rows_sf10": int(sp_agg["rows"]),
+        "planted_violations": int(sp_agg["planted_viol"]),
+        "coverage_violations": int(sp_agg["cov_viol"]),
+        "check": "rows_exact_10x_planted_spans_found_coverage_bounded",
+        "ok": sp_agg["rows"] == 10 * sp1
+        and sp_agg["planted_viol"] == 0
+        and sp_agg["cov_viol"] == 0,
+    }
+
+    # r16 — bpe_apply_merges: per-doc rows exactly 10x; merges only
+    # ever REDUCE symbol counts, so 1 <= n_bpe_tokens <= n_chars for
+    # every doc with text; and the learn loop stays non-degenerate at
+    # the big decade (full merge table learned)
+    from log_analysis_bigdata_spark.queries.corpusq import N_BPE_MERGES
+
+    bp1 = registry["bpe_apply_merges"].spark(spark, sf1).count()
+    bp10 = registry["bpe_apply_merges"].spark(spark, sf10)
+    bp_agg = bp10.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            (
+                (F.col("n_bpe_tokens") > F.col("n_chars"))
+                | (F.col("n_bpe_tokens") <= 0)
+            ).cast("long")
+        ).alias("viol"),
+    ).first()
+    n_merges10 = registry["bpe_train_merges"].spark(spark, sf10).count()
+    out["bpe_apply_merges"] = {
+        "rows_sf1": int(bp1),
+        "rows_sf10": int(bp_agg["rows"]),
+        "conservation_violations": int(bp_agg["viol"]),
+        "merges_learned_sf10": int(n_merges10),
+        "check": "rows_exact_10x_tokens_conserved_full_merge_table",
+        "ok": bp_agg["rows"] == 10 * bp1
+        and bp_agg["viol"] == 0
+        and n_merges10 == N_BPE_MERGES,
+    }
+
     # r12 — batched IVF-PQ knn join, sf1 only (see KNN_JOIN_PROBE note):
     # contract shape — every query serves exactly K rows, ranks are
     # 1..K, cosines descend within each query.
@@ -549,11 +618,208 @@ def invariants(spark, registry, sf1: str, sf10: str) -> dict:
     return out
 
 
+SKEW_FAMILIES = [
+    "funnel_conversion_steps",
+    "retention_cohort_weeks",
+    "attribution_revenue_touch",
+    "heavy_hitters_topk",
+    "stream_topk_user_event_types",
+    "salted_event_type_stats",
+]
+# a hot key may cost more than its row share (one partition sorts the
+# whole stream), but it must stay a CONSTANT factor — 3x the uniform
+# warm (plus a small absolute floor for timer noise on sub-second
+# families) separates "AQE/salting absorbed it" from a hot-partition
+# blowup
+SKEW_WALL_FACTOR = 3.0
+SKEW_WALL_FLOOR_S = 5.0
+
+
+def build_skew_tile(spark, sf10: str, skew_dir: str) -> None:
+    """events-with-a-hot-key variant of the sf10 tile (VERDICT r15
+    task 4): the uniform tiles copy per-user streams onto DISJOINT
+    users, so no probe had ever aimed a Zipf head at the user_id
+    shuffles. This ADDS one synthetic user holding a copy of ~10% of
+    all events (every event_id % 10 == 3, original timestamps/types/
+    values, fresh unique event_ids) — an additive construction, so
+    every original user's stream is byte-identical and per-family
+    expectations stay closed-form. All other tables symlink to the
+    uniform sf10 build."""
+    os.makedirs(skew_dir, exist_ok=True)
+    ev = spark.read.parquet(f"{sf10}/events.parquet")
+    mx = ev.agg(
+        F.max("event_id").alias("e"), F.max("user_id").alias("u")
+    ).first()
+    hot_user, e_off = mx["u"] + 1, mx["e"] + 1
+    hot = (
+        ev.filter(F.col("event_id") % 10 == 3)
+        .withColumn("user_id", F.lit(hot_user).cast("long"))
+        .withColumn("event_id", F.col("event_id") + F.lit(e_off))
+    )
+    ev.unionByName(hot).repartition(
+        spark.sparkContext.defaultParallelism
+    ).write.mode("overwrite").parquet(f"{skew_dir}/events.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        dst = f"{skew_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(f"{sf10}/{t}.parquet"), dst)
+
+
+def skew_probe(spark, registry, sf10: str, skew_dir: str,
+               sf10_warms: dict) -> dict:
+    """Run the user-keyed analytics under the hot key and check the
+    closed-form expectations (additive construction: original users'
+    results are unchanged) plus the wall band."""
+    from log_analysis_bigdata_spark.catalog import load_table
+
+    ev_skew = load_table(spark, skew_dir, "events")
+    hot_user = ev_skew.agg(F.max("user_id")).first()[0]
+    n_hot = ev_skew.filter(F.col("user_id") == hot_user).count()
+    out: dict = {"hot_user": int(hot_user), "hot_events": int(n_hot)}
+
+    walls = {}
+    per_pass = []
+    for _p in range(3):
+        pt = {}
+        for name in SKEW_FAMILIES:
+            t0 = time.perf_counter()
+            registry[name].spark(spark, skew_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            pt[name] = time.perf_counter() - t0
+            gc.collect()
+        per_pass.append(pt)
+    for name in SKEW_FAMILIES:
+        warm = round(min(pp[name] for pp in per_pass[1:]), 3)
+        ref = sf10_warms.get(name)
+        walls[name] = {
+            "cold": round(per_pass[0][name], 3),
+            "warm_min": warm,
+            "sf10_uniform_warm_min": ref,
+            "wall_ok": ref is None
+            or warm <= max(SKEW_WALL_FACTOR * ref,
+                           ref + SKEW_WALL_FLOOR_S),
+        }
+    out["walls"] = walls
+
+    # funnel: one added user flips each step count by 0 or 1, and the
+    # flips are monotone down the funnel (a user in step k is in k-1)
+    fu = {r["step"]: r["n_users"] for r in
+          registry["funnel_conversion_steps"].spark(spark, sf10).collect()}
+    fs = {r["step"]: r["n_users"] for r in
+          registry["funnel_conversion_steps"].spark(spark, skew_dir)
+          .collect()}
+    steps = sorted(fu, key=lambda s: -fu[s])  # funnel order
+    deltas = [fs.get(s, 0) - fu[s] for s in steps]
+    out["funnel_conversion_steps"] = {
+        "deltas_down_funnel": deltas,
+        "check": "deltas_in_01_and_monotone",
+        "ok": set(fs) == set(fu)
+        and all(d in (0, 1) for d in deltas)
+        and all(a >= b for a, b in zip(deltas, deltas[1:])),
+    }
+
+    # retention: the hot user lands in exactly ONE cohort week; each
+    # (cohort, offset) cell gains 0 or 1 users, gains confined to that
+    # cohort, at least the offset-0 cell gains
+    ru = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in
+          registry["retention_cohort_weeks"].spark(spark, sf10).collect()}
+    rs = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in
+          registry["retention_cohort_weeks"].spark(spark, skew_dir)
+          .collect()}
+    gains = {k: rs[k] - ru.get(k, 0) for k in rs if rs[k] != ru.get(k, 0)}
+    cohorts = {k[0] for k in gains}
+    out["retention_cohort_weeks"] = {
+        "gained_cells": {f"{k[0]}/{k[1]}": v for k, v in gains.items()},
+        "check": "single_cohort_unit_gains",
+        "ok": set(ru) <= set(rs)
+        and all(v == 1 for v in gains.values())
+        and len(cohorts) == 1
+        and any(k[1] == 0 for k in gains),
+    }
+
+    # attribution: the hot user places no orders, so revenue
+    # attribution is IDENTICAL — the hot partition must be absorbed,
+    # not reflected
+    au = {(r["model"], r["channel"]): (r["n_conversions"],
+          r["revenue_micro"]) for r in
+          registry["attribution_revenue_touch"].spark(spark, sf10)
+          .collect()}
+    ask = {(r["model"], r["channel"]): (r["n_conversions"],
+           r["revenue_micro"]) for r in
+           registry["attribution_revenue_touch"].spark(spark, skew_dir)
+           .collect()}
+    out["attribution_revenue_touch"] = {
+        "check": "identical_to_uniform",
+        "ok": au == ask,
+    }
+
+    # heavy hitters: hot user is the new #1 with its exact count; the
+    # rest is the uniform top-9 unchanged
+    hu = [(r["user_id"], r["n"]) for r in
+          registry["heavy_hitters_topk"].spark(spark, sf10).collect()]
+    hs = [(r["user_id"], r["n"]) for r in
+          registry["heavy_hitters_topk"].spark(spark, skew_dir).collect()]
+    out["heavy_hitters_topk"] = {
+        "hot_rank1": hs[0] if hs else None,
+        "check": "hot_first_exact_then_uniform_top9",
+        "ok": hs == [(hot_user, n_hot)] + hu[:9],
+    }
+
+    # streaming space-saving: 5 types per user <= m=16, so the sketch
+    # stays EXACT even for the hot key — distributed full-join compare
+    # against the batch groupBy (same check as the uniform phase)
+    got = registry["stream_topk_user_event_types"].spark(spark, skew_dir)
+    exact_counts = ev_skew.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    jj = got.join(exact_counts, ["user_id", "event_type"], "full")
+    bad = jj.filter(
+        F.col("est_count").isNull()
+        | F.col("n").isNull()
+        | (F.col("est_count") != F.col("n"))
+        | (F.col("max_err") != 0)
+    ).count()
+    out["stream_topk_user_event_types"] = {
+        "mismatches": int(bad),
+        "check": "sketch_exact_under_hot_key",
+        "ok": bad == 0,
+    }
+
+    # salted agg: the rewrite must stay semantically invisible under
+    # the skew it exists for — distributed compare vs the plain groupBy
+    sal = registry["salted_event_type_stats"].spark(spark, skew_dir)
+    plain = ev_skew.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("tc_p"),
+        F.min("user_id").cast("long").alias("mu_p"),
+    )
+    sj = sal.join(plain, "event_type", "full")
+    sbad = sj.filter(
+        (F.col("n") != F.col("n_p"))
+        | (F.col("total_cents") != F.col("tc_p"))
+        | (F.col("min_user") != F.col("mu_p"))
+    ).count()
+    out["salted_event_type_stats"] = {
+        "mismatches": int(sbad),
+        "check": "salted_equals_plain_groupby",
+        "ok": sbad == 0,
+    }
+
+    out["ok"] = all(
+        v["ok"] for k, v in out.items() if isinstance(v, dict) and "ok" in v
+    ) and all(w["wall_ok"] for w in walls.values())
+    return out
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     skip_build = "--skip-build" in sys.argv
+    skew_only = "--skew-only" in sys.argv
     sf1 = argv[0] if len(argv) > 0 else "/tmp/sf1"
     sf10 = argv[1] if len(argv) > 1 else "/tmp/sf10"
+    skew_dir = sf10.rstrip("/") + "skew"
 
     # the probe's sf10 workload needs heap headroom the 8g default
     # doesn't give a 1 000+-stage session (r15: pagerank/invariants
@@ -567,6 +833,28 @@ def main() -> int:
 
     spark = get_spark(app_name="scale_probe")
     registry = all_queries()
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, "BENCH_SF10_LOCAL.json")
+
+    if skew_only:
+        # iterate on the skew phase alone against an existing artifact
+        with open(out_path) as fh:
+            res = json.load(fh)
+        warms = {
+            n: f["sf10"]["warm_min"] for n, f in res["families"].items()
+        }
+        build_skew_tile(spark, sf10, skew_dir)
+        spark.range(1000).count()
+        res["skew_tile"] = skew_probe(spark, registry, sf10, skew_dir, warms)
+        res["all_ok"] = bool(res.get("all_ok")) and res["skew_tile"]["ok"]
+        with open(out_path, "w") as fh:
+            json.dump(res, fh, indent=1)
+            fh.write("\n")
+        print(json.dumps({"skew_ok": res["skew_tile"]["ok"],
+                          "walls": res["skew_tile"]["walls"]}, indent=1))
+        spark.stop()
+        return 0 if res["skew_tile"]["ok"] else 1
 
     if not skip_build:
         from tools.scale_up import build
@@ -604,8 +892,6 @@ def main() -> int:
             "sub_quadratic": ratio <= RATIO_BOUND,
         }
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_path = os.path.join(here, "BENCH_SF10_LOCAL.json")
     # crash-safe: persist the (expensive) timing phase immediately —
     # the r15 run lost ~50 min of timings when the invariants phase
     # later exhausted a 6-pass-old heap
@@ -624,9 +910,29 @@ def main() -> int:
     spark.range(1000).count()
 
     res["invariants"] = invariants(spark, registry, sf1, sf10)
-    res["all_ok"] = all(
-        f["sub_quadratic"] for f in res["families"].values()
-    ) and all(i["ok"] for i in res["invariants"].values())
+
+    # crash-safe checkpoint before the skew phase
+    res["all_ok"] = False
+    with open(out_path, "w") as fh:
+        json.dump({**res, "skew_tile": "PENDING"}, fh, indent=1)
+        fh.write("\n")
+
+    # fresh session for the hot-key phase (same heap-residue reasoning
+    # as between the decades)
+    spark.stop()
+    spark = get_spark(app_name="scale_probe_skew")
+    spark.range(1000).count()
+    build_skew_tile(spark, sf10, skew_dir)
+    res["skew_tile"] = skew_probe(
+        spark, registry, sf10, skew_dir,
+        {n: f["sf10"]["warm_min"] for n, f in res["families"].items()},
+    )
+
+    res["all_ok"] = (
+        all(f["sub_quadratic"] for f in res["families"].values())
+        and all(i["ok"] for i in res["invariants"].values())
+        and res["skew_tile"]["ok"]
+    )
 
     with open(out_path, "w") as fh:
         json.dump(res, fh, indent=1)
@@ -640,6 +946,7 @@ def main() -> int:
             "invariants": {
                 n: i["ok"] for n, i in res["invariants"].items()
             },
+            "skew_tile_ok": res["skew_tile"]["ok"],
         },
         indent=1,
     ))
