@@ -739,20 +739,33 @@ def skew_probe(spark, registry, sf10: str, skew_dir: str,
         and any(k[1] == 0 for k in gains),
     }
 
-    # attribution: the hot user places no orders, so revenue
-    # attribution is IDENTICAL — the hot partition must be absorbed,
-    # not reflected
-    au = {(r["model"], r["channel"]): (r["n_conversions"],
-          r["revenue_micro"]) for r in
-          registry["attribution_revenue_touch"].spark(spark, sf10)
-          .collect()}
-    ask = {(r["model"], r["channel"]): (r["n_conversions"],
-           r["revenue_micro"]) for r in
-           registry["attribution_revenue_touch"].spark(spark, skew_dir)
-           .collect()}
+    # attribution: conversions are the user's PURCHASE EVENTS (the r15
+    # rework), so the hot user legitimately adds ~10% of all
+    # conversions and shifts cells — no identity-to-uniform invariant
+    # exists. Run the strongest check instead: the full DuckDB oracle
+    # on the SKEWED input, strict hash parity (the driver gate's
+    # compare, at sf10, under the hot key). The r16 first-cut invariant
+    # ("identical to uniform — hot user places no orders") failed
+    # exactly here and was itself the bug: it still assumed the
+    # orders-keyed attribution the probe killed in r15.
+    from tests.oracle_harness import (
+        duck_connection,
+        fetch_oracle_df,
+        strict_compare_frames,
+    )
+
+    qd = registry["attribution_revenue_touch"]
+    spark_df = qd.spark(spark, skew_dir).toPandas()
+    con = duck_connection(skew_dir)
+    oracle_df, swap_note = fetch_oracle_df(
+        con, "attribution_revenue_touch", qd.oracle
+    )
+    problems, _kinds = strict_compare_frames(spark_df, oracle_df)
+    con.close()
     out["attribution_revenue_touch"] = {
-        "check": "identical_to_uniform",
-        "ok": au == ask,
+        "check": "full_oracle_hash_parity_on_skewed_input",
+        "problems": problems,
+        "ok": not problems,
     }
 
     # heavy hitters: hot user is the new #1 with its exact count; the
@@ -847,7 +860,14 @@ def main() -> int:
         build_skew_tile(spark, sf10, skew_dir)
         spark.range(1000).count()
         res["skew_tile"] = skew_probe(spark, registry, sf10, skew_dir, warms)
-        res["all_ok"] = bool(res.get("all_ok")) and res["skew_tile"]["ok"]
+        # recompute from parts: the pre-skew checkpoint pins all_ok
+        # False, so AND-ing with it would never recover
+        res["all_ok"] = (
+            all(f["sub_quadratic"] for f in res["families"].values())
+            and isinstance(res.get("invariants"), dict)
+            and all(i["ok"] for i in res["invariants"].values())
+            and res["skew_tile"]["ok"]
+        )
         with open(out_path, "w") as fh:
             json.dump(res, fh, indent=1)
             fh.write("\n")
