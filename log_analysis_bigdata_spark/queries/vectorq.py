@@ -1883,40 +1883,57 @@ def _cb_arr(cb: DataFrame) -> DataFrame:
     )
 
 
-def _cents_row(cent_arr: DataFrame) -> DataFrame:
-    """The whole coarse-centroid table packed into ONE row of ≤ 2^bits
-    (cell, cvec) structs — the shape the per-row argmin assignment scans
-    (array_sort makes the packed order deterministic; the argmin itself
-    is order-independent)."""
-    return cent_arr.agg(
-        F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("cents")
-    )
-
-
 def _assign_cells(ev: DataFrame, cent_arr: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment as ONE narrow projection: the ≤ 2^bits
-    centroid structs ride a broadcast 1-row frame and each vector row
-    computes ``array_min(transform(cents, c → struct(d2, cell))).cell``
-    in place. Same n·k·d multiply-adds as the exploded formulation, but
-    ZERO extra rows — the r14 sf10 probe showed the old n×k join +
-    groupBy(vec_id) min_by materializing 51M rows and shuffling them at
-    n=200k/k=256 (the family's 10.0 decade ratio); this keeps the whole
-    argmin inside the row, so assignment scales with the scan.
-    Tie semantics: struct comparison takes min d2 then min cell — a
-    deterministic refinement of min_by under the standing no-exact-ties
-    argument (oracle: arg_min(cell, d2))."""
-    best = F.array_min(
-        F.transform(
-            "cents",
-            lambda c: F.struct(
-                _d2_fold(F.col("v"), c["cvec"]).alias("d2"),
-                c["cell"].alias("cell"),
-            ),
-        )
+    """Nearest-centroid assignment as an Arrow-batched BLAS matmul
+    (r16). The r15 in-row ``array_min(transform(...))`` fold kept the
+    argmin inside the row (no n×k row explosion — the r14 fix), but
+    it ran n·k·d multiply-adds through the EXPRESSION INTERPRETER
+    (HOF lambdas don't codegen), and k grows with n: at sf10
+    (n=200k, k=256) the fold alone was 30.7 s of ivfpq_topk's 44.5 s
+    wall — the probe's worst remaining ratio (6.40). One B×d @ d×k
+    matmul per Arrow batch does the identical argmin in vectorized
+    BLAS — the same rework that fixed semdedup in r15.
+
+    Semantics: ‖v‖² is constant per row, so ranking by −2·v·C + ‖c‖²
+    equals ranking by d2; np.argmin's first-minimum over cell-sorted
+    columns IS the (min d2, lowest cell) tie-break of the old struct
+    min; the BLAS-vs-fold float summation order is the standing
+    no-exact-ties argument (same class as the oracle's own sum order,
+    oracle: arg_min(cell, d2)). The ≤ 2^bits centroid rows are pulled
+    at plan-BUILD time (a dim-table pull — the semdedup-documented
+    eager-collect pattern) and ship via bounded_broadcast (one live
+    block per site). ``cell`` keeps the caller's type (bigint for the
+    plain-IVF seed cells, string for the sign-orthant ivfpq cells)."""
+    import numpy as np
+
+    from ..session import bounded_broadcast
+
+    cell_dt = cent_arr.schema["cell"].dataType.simpleString()
+    rows = sorted(cent_arr.collect(), key=lambda r: r["cell"])
+    C = np.array([r["cvec"] for r in rows], dtype=np.float64)
+    if cell_dt == "string":
+        ids = np.array([r["cell"] for r in rows], dtype=object)
+    else:
+        ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+    bc = bounded_broadcast(
+        ev.sparkSession, "vectorq._assign_cells.centroids", (C, ids)
     )
-    return ev.crossJoin(F.broadcast(_cents_row(cent_arr))).select(
-        "vec_id", best["cell"].alias("cell")
-    )
+
+    def assign_blas(batches):
+        import pandas as pd
+
+        Cm, ida = bc.value
+        cn = (Cm * Cm).sum(axis=1)  # ‖c‖² per centroid
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            S = -2.0 * (V @ Cm.T) + cn  # rank-equal to d2 per row
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": ida[S.argmin(axis=1)]}
+            )
+
+    return ev.mapInPandas(assign_blas, f"vec_id long, cell {cell_dt}")
 
 
 def _ivfpq_encode(
@@ -1939,10 +1956,13 @@ def _ivfpq_encode(
     ≤256 codebook rows) into narrow scans of ``ev``: encoding N new
     vectors never shuffles them, never inflates the row count beyond
     the n×16 subvector explode, and never touches previously encoded
-    codes at all. Both argmins (cell assign, code pick) run INSIDE the
-    row via array_min over a broadcast packed table — the r15 rewrite
-    that removed the family's n×k and n×256 join+shuffle stages (sf10
-    decade ratio 10.0 → see BENCH_SF10_LOCAL)."""
+    codes at all. The cell assign is an Arrow-batched BLAS argmin
+    (_assign_cells, r16 — as an interpreted in-row fold it was 30.7 s
+    of the 44.5 s sf10 wall, since k grows with n); the code pick
+    stays an in-row array_min over the broadcast packed codebook
+    (n·16·16·4 ops — the code count is FIXED at 16, so it scales with
+    the scan; the r15 rewrite that removed the old n×k and n×256
+    join+shuffle stages)."""
     if assign is None:
         assign = _assign_cells(ev, cent_arr)
     rv = F.col("rvec")

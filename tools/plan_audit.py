@@ -57,10 +57,12 @@ BNLJ_ALLOWED = {
     ),
     "knn_join_topk": "small query-set broadcast, keyless by design",
     "ivfpq_index_append": (
-        "the two keyless vectors×≤2^bits-centroid-table assignment "
-        "products (history train + frozen-index new-batch assign) — "
-        "constant-time probes per vector row; the history code table "
-        "is only partial-agg counted, never joined"
+        "historical: the keyless vectors×centroid-table assignment "
+        "products (r16 moved the assign argmin into an Arrow-batched "
+        "BLAS mapInPandas, so these BNLJs no longer appear; the entry "
+        "stays as documentation of the acceptable fallback shape); "
+        "the history code table is only partial-agg counted, never "
+        "joined"
     ),
     "hard_negatives_per_query": (
         "20-row anchor-set broadcast; the label<>label condition is "
