@@ -171,6 +171,12 @@ HEADLINE = [
     # decompression, the honest no-wheel decode-throughput number)
     "multimodal_bmp_pixel_stats",
     "multimodal_gif_pixel_stats",
+    # round-16: the sixth and seventh from-scratch decoders — PNG
+    # (deflate + all five scanline filters; stdlib zlib, so no env
+    # gate applies) and baseline grayscale JPEG (canonical Huffman +
+    # dequant + IDCT; flat blocks make the lossy path oracle-exact)
+    "multimodal_png_pixel_stats",
+    "multimodal_jpeg_block_stats",
     # round-10: span-level boilerplate dedup (cross-doc repeated k-gram
     # windows merged to maximal spans) — the third dedup regime beside
     # doc-level and chunk-level

@@ -175,10 +175,14 @@ DECODED_SCHEMA = StructType(
 
 
 def decode_image_stub(assets: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode image payloads → (dims, channel stats). STUB.
-
-    Real decoding requires an image codec (PIL / libjpeg), absent in this
-    container. With ``fake=True`` a deterministic pseudo-decode treats the
+    """Decode image payloads → (dims, channel stats). STUB — for the
+    general photographic path only. Seven formats decode for real with
+    from-scratch parsers in this module (PPM, BMP, GIF87a+LZW, WAV/PCM,
+    AVI/DIB, and — r16 — PNG incl. deflate + all five scanline filters
+    via stdlib zlib, plus baseline grayscale JPEG incl. canonical
+    Huffman, dequant and IDCT); what still requires a codec library
+    (PIL / libjpeg, absent in this container) is color/subsampled
+    photographic JPEG decode. With ``fake=True`` a deterministic pseudo-decode treats the
     payload bytes as a 1×N grayscale plane so the schema/batch contract
     and downstream plan are exercised end-to-end; with the default
     ``fake=False`` this raises NotImplementedError at plan-build time to
@@ -1381,3 +1385,659 @@ def avi_frame_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(stats, AVI_FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG decode (round 16): the SIXTH from-scratch decoder, and the first
+# DEFLATE-compressed one — the container's stdlib ships zlib, so the
+# "compressed codec" seam the JPEG gate guards does not apply to PNG:
+# chunk walking (length/type/data/CRC-32, verified), IHDR validation,
+# multi-IDAT concatenation, ancillary-chunk skipping, and the real
+# decode work PNG is famous for — per-scanline FILTER reconstruction
+# (None/Sub/Up/Average/Paeth, each exercised by the synthesizer's
+# per-row filter cycle). Lossless, so the DuckDB oracle recomputes the
+# decoded samples from the logical closed form exactly — same gate
+# strength as PPM/BMP/GIF. Public-spec reference: RFC 2083 / ISO 15948
+# (filter definitions §6); no third-party code. JPEG (lossy, huffman +
+# DCT) remains the decode_image_stub env-gate.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (RFC 2083 §6.6): nearest of left/up/upper-left
+    to the linear estimate a + b - c, ties broken a, then b, then c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _build_png(w: int, h: int, px: np.ndarray, filters: list[int],
+               n_idat: int = 1, with_text: bool = False) -> bytes:
+    """Serialize a top-down RGB (h, w, 3) array as an 8-bit truecolor
+    PNG, FILTERING row y with ``filters[y]`` (0..4) before the zlib
+    deflate — so only a decoder that reconstructs every filter type
+    recovers the raster. ``n_idat`` splits the compressed stream into
+    that many IDAT chunks; ``with_text`` plants an ancillary tEXt chunk
+    between them that decoders must skip."""
+    import zlib
+
+    bpp = 3
+    raw = px.astype(np.int64)
+    filtered = bytearray()
+    prev = np.zeros((w * bpp,), dtype=np.int64)
+    for y in range(h):
+        row = raw[y].reshape(-1)
+        ft = filters[y]
+        filtered.append(ft)
+        if ft == 0:  # None
+            out = row % 256
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                   row[:-bpp]])
+            out = (row - left) % 256
+        elif ft == 2:  # Up
+            out = (row - prev) % 256
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64),
+                                   row[:-bpp]])
+            out = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            out = np.zeros_like(row)
+            for i in range(len(row)):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                out[i] = (row[i] - _png_paeth(a, b, c)) % 256
+        filtered.extend(int(v) for v in out)
+        prev = row
+    comp = zlib.compress(bytes(filtered), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    body = _png_chunk(b"IHDR", ihdr)
+    # split the deflate stream across IDAT chunks (decoders must
+    # concatenate before inflating — a per-chunk inflate breaks)
+    cuts = [len(comp) * k // n_idat for k in range(n_idat + 1)]
+    parts = [comp[cuts[k]:cuts[k + 1]] for k in range(n_idat)]
+    body += _png_chunk(b"IDAT", parts[0])
+    if with_text:
+        body += _png_chunk(b"tEXt", b"Comment\x00synthetic")
+    for part in parts[1:]:
+        body += _png_chunk(b"IDAT", part)
+    body += _png_chunk(b"IEND", b"")
+    return _PNG_SIG + body
+
+
+def _parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse one 8-bit truecolor PNG into (width, height, top-down
+    row-major RGB array). Walks chunks with CRC-32 verification,
+    concatenates every IDAT, inflates, and reconstructs all five
+    scanline filters. Fails loudly (the decode_image_stub policy) on
+    bad magic/CRC, non-8-bit/RGB/interlaced images, or truncated
+    streams."""
+    import zlib
+
+    if len(buf) < 8 or buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, hdr, idat = 8, None, bytearray()
+    saw_iend = False
+    while pos + 8 <= len(buf):
+        ln = struct.unpack_from(">I", buf, pos)[0]
+        ctype = buf[pos + 4 : pos + 8]
+        data_at = pos + 8
+        if data_at + ln + 4 > len(buf):
+            raise ValueError("truncated chunk")
+        data = buf[data_at : data_at + ln]
+        crc = struct.unpack_from(">I", buf, data_at + ln)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit non-interlaced truecolor PNG supported "
+                    f"(depth {depth}, color {color}, interlace {inter})"
+                )
+            hdr = (w, h)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos = data_at + ln + 4
+    if not saw_iend:
+        # spec requires a terminating IEND; a walk that ran off the
+        # buffer mid-header is a truncated file, not a clean end
+        raise ValueError("truncated chunk")
+    if hdr is None:
+        raise ValueError("no IHDR chunk found")
+    w, h = hdr
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from None
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    px = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros((stride,), dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            rec = row
+        elif ft == 2:
+            rec = (row + prev) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros_like(row)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + int(prev[i])) // 2
+                else:
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    pred = _png_paeth(a, b, c)
+                rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        px[y] = rec
+        prev = rec
+    return w, h, px.reshape(h, w, 3)
+
+
+def synth_png_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): deterministic 8-bit truecolor PNG per
+    document. Logical image (top-down row-major RGB): sample i =
+    (doc_id*17 + i) % 256 with w = 4 + doc_id % 5, h = 2 + doc_id % 4
+    — row y is filtered with type (doc_id + y) % 5, so every corpus
+    slice exercises all five filters; every 3rd asset splits its
+    deflate stream over 2 IDAT chunks and every 4th plants an
+    ancillary tEXt chunk the walker must skip."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 2 + d % 4
+                px = (
+                    ((d * 17 + np.arange(w * h * 3, dtype=np.int64)) % 256)
+                    .astype(np.uint8)
+                    .reshape(h, w, 3)
+                )
+                payloads.append(
+                    _build_png(
+                        w, h, px,
+                        filters=[(d + y) % 5 for y in range(h)],
+                        n_idat=2 if d % 3 == 0 else 1,
+                        with_text=d % 4 == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def png_pixel_stats(assets: DataFrame, target: int = 2) -> DataFrame:
+    """Decode PNG payloads and report the same integer micro-unit stats
+    as ppm/bmp_pixel_stats (full-image mean + per-channel means of the
+    ``target``x``target`` NN resize) over the decoded top-down RGB
+    image. Fused narrow mapInPandas: zero shuffles, linear scale-out."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in PPM_PIXEL_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = _parse_png(bytes(payload))
+                ys = (np.arange(target) * h) // target
+                xs = (np.arange(target) * w) // target
+                resized = px[np.ix_(ys, xs)]
+                ch = resized.sum(axis=(0, 1))
+                n_rz = target * target
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_pixel_e4"].append(
+                    int(10_000 * px.sum()) // (w * h * 3)
+                )
+                out["r_mean_e4"].append(int(10_000 * ch[0]) // n_rz)
+                out["g_mean_e4"].append(int(10_000 * ch[1]) // n_rz)
+                out["b_mean_e4"].append(int(10_000 * ch[2]) // n_rz)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, PPM_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode (round 16, after PNG): the SEVENTH from-scratch decoder
+# and the first ENTROPY-CODED-DCT one — baseline sequential JPEG
+# (ITU-T T.81), single-component (grayscale), decoded end-to-end with
+# no codec library: marker walk (APPn/COM skip), DQT/DHT table parsing
+# (canonical Huffman reconstruction from the 16 code-length counts),
+# SOF0 validation, the MSB-first entropy reader with 0xFF00 byte
+# unstuffing, DC-difference + AC run/size coefficient decoding
+# (EOB/ZRL), zigzag→natural dequantization, and an orthonormal float
+# IDCT. The SYNTHESIZER emits real, spec-valid JPEGs whose 8×8 blocks
+# are CONSTANT (AC all zero): lossy quantization then reduces to exact
+# integer math on the DC path — decoded block value =
+# clip(2·round_half_away((v−128)/2) + 128) with the Annex-K luminance
+# table's Q[0,0] = 16 — so the DuckDB oracle replays the decode
+# closed-form despite JPEG being lossy. The general AC/IDCT path is
+# exercised by unit tests (hand-built blocks with nonzero ACs).
+# Public-spec reference: ITU-T T.81 (1992) §F + Annex K tables; no
+# third-party code. decode_image_stub's env gate now covers only
+# full photographic decode (color/subsampled JPEG via PIL-grade libs).
+
+# Annex K.1 luminance quantization table (natural row-major order)
+_JPEG_QTAB = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+# Annex K.3.1 / K.3.2: luminance DC and AC Huffman specs
+# (counts per code length 1..16, then symbol values)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 §C.2): symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def done(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s (spec)
+        return bytes(self.buf)
+
+
+def _jpeg_cat(v: int) -> int:
+    """DC/AC amplitude category (bit size of |v|)."""
+    return int(v).bit_length() if v else 0
+
+
+def _build_jpeg_gray(w: int, h: int, block_vals: np.ndarray) -> bytes:
+    """Serialize a grayscale baseline JPEG whose 8×8 blocks are the
+    CONSTANT values in ``block_vals`` (shape (h//8, w//8), uint8). AC
+    coefficients are genuinely zero for constant blocks, so the file is
+    a real spec-valid JPEG that any decoder reproduces bit-exactly as
+    the closed form the oracle computes."""
+    if w % 8 or h % 8:
+        raise ValueError("synthetic JPEG dims must be multiples of 8")
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    q0 = int(_JPEG_QTAB[0, 0])
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = int(block_vals[by, bx])
+            dc = 8 * (v - 128)  # FDCT of a flat block: S00 = Σ/8
+            # quantize, half away from zero (replayed by the oracle)
+            q = (abs(dc) + q0 // 2) // q0 * (1 if dc >= 0 else -1)
+            diff = q - prev_dc
+            prev_dc = q
+            cat = _jpeg_cat(diff)
+            code, ln = dc_codes[cat]
+            bw.put(code, ln)
+            if cat:
+                amp = diff if diff > 0 else diff + (1 << cat) - 1
+                bw.put(amp, cat)
+            code, ln = ac_codes[0x00]  # EOB: all 63 ACs zero
+            bw.put(code, ln)
+    scan = bw.done()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_q = bytes(int(_JPEG_QTAB.reshape(-1)[_JPEG_ZIGZAG[i]]) for i in range(64))
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_q)  # DQT: 8-bit, table 0
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, bytes([0x00] + _JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10] + _JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1  # strip stuffed 0x00
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | reader.bit()
+        ln += 1
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+_JPEG_IDCT_M = None
+
+
+def _jpeg_idct(coef: np.ndarray) -> np.ndarray:
+    """Orthonormal 2-D inverse DCT-II of one 8×8 block (float, then the
+    caller rounds + level-shifts): s = Mᵀ · S · M with
+    M[u,x] = C(u)/2 · cos((2x+1)uπ/16)."""
+    global _JPEG_IDCT_M
+    if _JPEG_IDCT_M is None:
+        u = np.arange(8).reshape(-1, 1)
+        x = np.arange(8).reshape(1, -1)
+        m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        m[0, :] *= 1 / np.sqrt(2)
+        _JPEG_IDCT_M = m
+    m = _JPEG_IDCT_M
+    return m.T @ coef @ m
+
+
+def _parse_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode one baseline sequential grayscale JPEG into (width,
+    height, top-down int64 pixel array). Implements the full baseline
+    path — table parsing, entropy decode (DC diffs, AC run/size,
+    EOB/ZRL), dequantize, IDCT — and fails loudly (decode_image_stub
+    policy) on anything outside baseline/8-bit/single-component."""
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    dims = None
+    scan_at = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = struct.unpack_from(">H", buf, pos)[0]
+        if marker == 0xFFD9:
+            break
+        ln = struct.unpack_from(">H", buf, pos + 2)[0]
+        at = pos + 4
+        if at + ln - 2 > len(buf):
+            raise ValueError("truncated chunk")
+        data = buf[at : at + ln - 2]
+        if marker == 0xFFDB:  # DQT (possibly several tables per seg)
+            d = 0
+            while d < len(data):
+                prec, tid = data[d] >> 4, data[d] & 0x0F
+                if prec != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                zz = np.frombuffer(
+                    data, dtype=np.uint8, count=64, offset=d + 1
+                ).astype(np.int64)
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = zz
+                qtabs[tid] = nat.reshape(8, 8)
+                d += 65
+        elif marker == 0xFFC4:  # DHT (possibly several tables per seg)
+            d = 0
+            while d < len(data):
+                cls, tid = data[d] >> 4, data[d] & 0x0F
+                bits = list(data[d + 1 : d + 17])
+                nv = sum(bits)
+                vals = list(data[d + 17 : d + 17 + nv])
+                fwd = _jpeg_huff_codes(bits, vals)
+                htabs[(cls, tid)] = {
+                    (c, l): sym for sym, (c, l) in fwd.items()
+                }
+                d += 17 + nv
+        elif marker == 0xFFC0:  # SOF0 baseline
+            prec, hh, ww, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8 or nc != 1:
+                raise ValueError(
+                    "only 8-bit single-component baseline supported "
+                    f"(precision {prec}, components {nc})"
+                )
+            # component spec: id, sampling (H<<4|V), quant table id
+            if data[7] != 0x11:
+                raise ValueError("subsampled JPEG not supported")
+            dims = (ww, hh, data[8])  # (w, h, quant table id)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFDA:  # SOS: entropy data follows
+            if dims is None:
+                raise ValueError("SOS before SOF0")
+            dc_id, ac_id = data[2] >> 4, data[2] & 0x0F
+            scan_at = (at + ln - 2, dc_id, ac_id)
+            break
+        pos = at + ln - 2
+    if scan_at is None:
+        raise ValueError("no scan data found")
+    start, dc_id, ac_id = scan_at
+    eoi = buf.rfind(b"\xff\xd9")
+    if eoi < 0:
+        raise ValueError("truncated chunk")  # no EOI: cut file
+    w, h, qid = dims
+    if qid not in qtabs or (0, dc_id) not in htabs or (1, ac_id) not in htabs:
+        raise ValueError("scan references a missing table")
+    q = qtabs[qid]
+    dc_tab, ac_tab = htabs[(0, dc_id)], htabs[(1, ac_id)]
+    reader = _JpegBitReader(buf[start:eoi])
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    px = np.zeros((bh_ * 8, bw_ * 8), dtype=np.int64)
+    prev_dc = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            cat = _jpeg_huff_decode(reader, dc_tab)
+            if cat:
+                amp = reader.bits(cat)
+                if amp < (1 << (cat - 1)):
+                    amp -= (1 << cat) - 1  # negative branch (T.81 F.12)
+                prev_dc += amp
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = _jpeg_huff_decode(reader, ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0x0F
+                k += run
+                if k >= 64 or size == 0:
+                    raise ValueError("AC coefficient index overflow")
+                amp = reader.bits(size)
+                if amp < (1 << (size - 1)):
+                    amp -= (1 << size) - 1
+                zz[k] = amp
+                k += 1
+            nat = np.zeros(64, dtype=np.int64)
+            nat[_JPEG_ZIGZAG] = zz
+            block = _jpeg_idct((nat.reshape(8, 8) * q).astype(np.float64))
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(block) + 128, 0, 255
+            ).astype(np.int64)
+    return w, h, px[:h, :w]
+
+
+def synth_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): deterministic grayscale baseline JPEG per
+    document. Blocks are CONSTANT — block (by, bx) of doc d has value
+    (d*19 + (by*(w//8) + bx)*7) % 256 with w = 8·(1 + d % 3),
+    h = 8·(1 + d % 2) — so quantization reduces to exact integer DC
+    math and the decode has a closed form despite JPEG being lossy:
+    decoded block value = clip255(2·round_half_away((v−128)/2) + 128)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+                nb = (w // 8) * (h // 8)
+                vals = (
+                    (d * 19 + 7 * np.arange(nb, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(h // 8, w // 8)
+                payloads.append(_build_jpeg_gray(w, h, vals))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_px", LongType()),
+        StructField("min_px", LongType()),
+        StructField("max_px", LongType()),
+        StructField("first_block_px", LongType()),
+        StructField("last_block_px", LongType()),
+    ]
+)
+
+
+def jpeg_pixel_stats(assets: DataFrame) -> DataFrame:
+    """Decode grayscale baseline JPEG payloads through the full
+    from-scratch path (Huffman → dequant → IDCT) and report exact
+    integer stats over the decoded plane: sum / min / max plus the
+    first and last block's reconstructed values (block order is the
+    entropy-stream order — a DC-difference decoding bug shifts every
+    later block and breaks them). Fused narrow mapInPandas: zero
+    shuffles, linear scale-out."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in JPEG_STATS_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = _parse_jpeg_gray(bytes(payload))
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_px"].append(int(px.sum()))
+                out["min_px"].append(int(px.min()))
+                out["max_px"].append(int(px.max()))
+                out["first_block_px"].append(int(px[0, 0]))
+                out["last_block_px"].append(int(px[h - 1, w - 1]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, JPEG_STATS_SCHEMA)

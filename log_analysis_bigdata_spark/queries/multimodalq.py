@@ -314,6 +314,151 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_pixel_stats(synth_gif_assets(docs), target=2)
 
 
+@register(
+    "multimodal_png_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+      FROM documents
+    ),
+    full_px AS (
+      -- logical image sample i = (doc_id*17 + i) % 256 over the
+      -- top-down row-major RGB layout; the FILE stores a per-row
+      -- FILTERED (Sub/Up/Average/Paeth cycle), deflate-compressed,
+      -- (sometimes) multi-IDAT permutation the decoder must undo —
+      -- PNG is lossless, so the decoded samples equal this closed
+      -- form exactly
+      SELECT d.doc_id,
+             CAST((10000 * sum((d.doc_id * 17 + t.i) % 256))
+                  // (d.w * d.h * 3) AS BIGINT) AS mean_pixel_e4
+      FROM d, unnest(range(0, d.w * d.h * 3)) AS t(i)
+      GROUP BY d.doc_id, d.w, d.h
+    ),
+    rz AS (
+      SELECT d.doc_id, c.c AS ch,
+             CAST((10000 * sum(
+                (d.doc_id * 17
+                 + (((ty.y * d.h) // 2) * d.w + ((tx.x * d.w) // 2)) * 3
+                 + c.c) % 256)) // 4 AS BIGINT) AS m_e4
+      FROM d,
+           unnest(range(0, 2)) AS ty(y),
+           unnest(range(0, 2)) AS tx(x),
+           unnest(range(0, 3)) AS c(c)
+      GROUP BY d.doc_id, c.c
+    )
+    SELECT d.doc_id AS asset_id,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           f.mean_pixel_e4,
+           max(CASE WHEN rz.ch = 0 THEN rz.m_e4 END) AS r_mean_e4,
+           max(CASE WHEN rz.ch = 1 THEN rz.m_e4 END) AS g_mean_e4,
+           max(CASE WHEN rz.ch = 2 THEN rz.m_e4 END) AS b_mean_e4
+    FROM d
+    JOIN full_px f ON f.doc_id = d.doc_id
+    JOIN rz ON rz.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.w, d.h, f.mean_pixel_e4
+    """,
+    tags=("multimodal", "decode", "png", "deflate", "pixels",
+          "mapInPandas"),
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel math over REALLY-DECODED PNG payloads (round 16 — the
+    sixth from-scratch decoder and the first DEFLATE one; stdlib zlib
+    makes PNG implementable where JPEG stays codec-gated): synthesize
+    an 8-bit truecolor PNG per document whose rows cycle through ALL
+    FIVE scanline filters (None/Sub/Up/Average/Paeth), with CRC-32
+    verification, multi-IDAT reassembly (every 3rd asset) and an
+    ancillary tEXt chunk to skip (every 4th); decode with the
+    from-scratch chunk-walker + filter reconstructor, NN-resize to
+    2x2, report full-image + per-channel integer micro-unit means.
+
+    PNG is lossless, so the oracle recomputes every decoded sample
+    from the logical image's closed form — a decoder that mishandles
+    any filter's byte-predictor (left/up/average-floor/Paeth
+    tie-break), the IDAT concatenation, or the per-row filter tag
+    breaks the hash. Same fused narrow mapInPandas chain as the
+    PPM/BMP/GIF siblings: zero shuffles, linear scale-out. Codec
+    unit-tested in tests/test_multimodal.py (all-variant roundtrip +
+    hostile/truncation matrix)."""
+    from ..multimodal.assets import png_pixel_stats, synth_png_assets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return png_pixel_stats(synth_png_assets(docs), target=2)
+
+
+# decoded constant-block value: 2*round_half_away((v-128)/2) + 128,
+# clipped to [0, 255] — exact because the synth blocks are flat (AC=0)
+# and Annex-K Q[0,0] = 16 divides the flat-block DC scale 8 evenly
+_JPEG_PX = (
+    "LEAST(255, GREATEST(0, 2*(CASE WHEN b.v >= 128 "
+    "THEN (b.v - 128 + 1) // 2 "
+    "ELSE -((128 - b.v + 1) // 2) END) + 128))"
+)
+
+
+@register(
+    "multimodal_jpeg_block_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             8 * (1 + doc_id % 3) AS w,
+             8 * (1 + doc_id % 2) AS h
+      FROM documents
+    ),
+    b AS (
+      -- block t.b of doc d is CONSTANT v = (d*19 + 7b) % 256; the FILE
+      -- stores a real baseline-JPEG entropy stream (Huffman DC diffs +
+      -- EOB) the decoder must fully undo; flat blocks make the lossy
+      -- quantization exactly replayable
+      SELECT d.doc_id, d.w, d.h, t.b AS b,
+             (d.doc_id * 19 + 7 * t.b) % 256 AS v
+      FROM d, unnest(range(0, (d.w // 8) * (d.h // 8))) AS t(b)
+    ),
+    dec AS (
+      SELECT doc_id, w, h, b, {_JPEG_PX} AS px FROM b
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(sum(64 * px) AS BIGINT) AS sum_px,
+           CAST(min(px) AS BIGINT) AS min_px,
+           CAST(max(px) AS BIGINT) AS max_px,
+           CAST(max(CASE WHEN b = 0 THEN px END) AS BIGINT)
+             AS first_block_px,
+           CAST(max(CASE WHEN b = (w // 8) * (h // 8) - 1 THEN px END)
+             AS BIGINT) AS last_block_px
+    FROM dec GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "decode", "jpeg", "dct", "huffman",
+          "mapInPandas"),
+)
+def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block stats over REALLY-DECODED baseline JPEG payloads (round
+    16 — the seventh from-scratch decoder, closing the last multimodal
+    codec gate for a spec-valid subset): synthesize a grayscale
+    baseline-sequential JPEG per document whose 8×8 blocks are
+    constant, decode through the FULL from-scratch path — marker walk,
+    DQT/DHT parsing with canonical Huffman reconstruction, the
+    MSB-first entropy reader with 0xFF00 unstuffing, DC-difference +
+    AC run/size decoding, zigzag dequantization, orthonormal IDCT —
+    and report exact integer plane stats.
+
+    The flat-block construction makes the LOSSY codec oracle-exact:
+    a flat block's DC is 8·(v−128), AC is genuinely zero, and Annex-K
+    Q[0,0]=16 gives decoded value 2·round_half_away((v−128)/2)+128 —
+    the closed form the DuckDB oracle replays. first/last_block pin
+    the DC-difference chain (a diff bug shifts every later block).
+    The general AC/ZRL/negative-amplitude path is pinned in
+    tests/test_multimodal.py against an independent double-loop IDCT.
+    Color/subsampled photographic decode remains the
+    decode_image_stub env gate. Fused narrow mapInPandas: zero
+    shuffles, linear scale-out."""
+    from ..multimodal.assets import jpeg_pixel_stats, synth_jpeg_assets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jpeg_pixel_stats(synth_jpeg_assets(docs))
+
+
 _WAV_V = "((d.doc_id*17 + t.i*31) % d.modv - d.modv // 2)"
 
 

@@ -645,3 +645,298 @@ def test_synth_avi_stats_match_formula(spark):
         assert r["first_frame_sum"] == sums[0]
         assert r["last_frame_sum"] == sums[-1]
         assert r["max_frame_sum"] == max(sums)
+
+
+def test_png_build_parse_roundtrip_all_variants():
+    """Synthesizer/parser agreement across every layout residue: all
+    five filters (row cycle (d+y) % 5), multi-IDAT split (d%3==0),
+    ancillary tEXt chunk (d%4==0). Decode is lossless — pixels must
+    equal the closed form exactly."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_png,
+        _parse_png,
+    )
+
+    for d in range(60):
+        w, h = 4 + d % 5, 2 + d % 4
+        px = (
+            ((d * 17 + np.arange(w * h * 3, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .reshape(h, w, 3)
+        )
+        pw, ph, out = _parse_png(
+            _build_png(
+                w, h, px,
+                filters=[(d + y) % 5 for y in range(h)],
+                n_idat=2 if d % 3 == 0 else 1,
+                with_text=d % 4 == 0,
+            )
+        )
+        assert (pw, ph) == (w, h), d
+        assert np.array_equal(out, px.astype(np.int64)), d
+
+
+def test_png_each_filter_reconstructs_on_random_image():
+    """Each filter type alone, on a larger random image — the
+    per-byte predictors (left offset = 3, average floor, Paeth
+    tie-break) must invert exactly."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_png,
+        _parse_png,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(19, 13, 3)).astype(np.uint8)
+    for f in range(5):
+        _, _, out = _parse_png(
+            _build_png(13, 19, px, filters=[f] * 19, n_idat=3,
+                       with_text=True)
+        )
+        assert np.array_equal(out, px.astype(np.int64)), f
+
+
+def test_png_parse_rejects_garbage_and_truncation():
+    import struct as _s
+    import zlib as _z
+
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_png,
+        _parse_png,
+    )
+
+    px = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    good = _build_png(4, 3, px, filters=[0, 1, 2])
+    with pytest.raises(ValueError, match="not a PNG"):
+        _parse_png(b"XXXX" + good[4:])
+    # flip one raster byte inside IDAT -> CRC must catch it
+    bad = bytearray(good)
+    at = good.index(b"IDAT") + 6
+    bad[at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _parse_png(bytes(bad))
+    # unsupported color type (grayscale) must be loud
+    gray = bytearray(good)
+    ihdr_at = good.index(b"IHDR") + 4
+    gray[ihdr_at + 9] = 0  # color type
+    _s.pack_into(
+        ">I", gray, ihdr_at + 13,
+        _z.crc32(bytes(gray[ihdr_at - 4 : ihdr_at + 13])) & 0xFFFFFFFF,
+    )
+    with pytest.raises(ValueError, match="only 8-bit"):
+        _parse_png(bytes(gray))
+    # declared chunk length past the buffer
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _parse_png(good[: len(good) - 6])
+    # valid chunks but deflate stream cut short: re-chunk a truncated
+    # IDAT so CRCs pass, then the inflate must fail loudly
+    from log_analysis_bigdata_spark.multimodal.assets import _png_chunk, _PNG_SIG
+    idat_at = good.index(b"IDAT")
+    ln = _s.unpack_from(">I", good, idat_at - 4)[0]
+    comp = good[idat_at + 4 : idat_at + 4 + ln]
+    ihdr_ln = _s.unpack_from(">I", good, 8)[0]
+    ihdr_chunk = good[8 : 8 + 8 + ihdr_ln + 4]
+    rebuilt = (
+        _PNG_SIG + ihdr_chunk + _png_chunk(b"IDAT", comp[:3])
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT|truncated PNG raster"):
+        _parse_png(rebuilt)
+
+
+def test_synth_png_stats_match_formula(spark):
+    """End-to-end through Spark: decoded PNG stats equal a direct
+    numpy recomputation of the closed form."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        png_pixel_stats,
+        synth_png_assets,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(15)
+    rows = png_pixel_stats(synth_png_assets(docs)).collect()
+    assert rows
+    for r in rows:
+        d = r["asset_id"]
+        w, h = 4 + d % 5, 2 + d % 4
+        px = ((d * 17 + np.arange(w * h * 3, dtype=np.int64)) % 256).reshape(
+            h, w, 3
+        )
+        ys, xs = (np.arange(2) * h) // 2, (np.arange(2) * w) // 2
+        ch = px[np.ix_(ys, xs)].sum(axis=(0, 1))
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_pixel_e4"] == int(10_000 * px.sum()) // (w * h * 3)
+        assert r["r_mean_e4"] == int(10_000 * ch[0]) // 4
+        assert r["g_mean_e4"] == int(10_000 * ch[1]) // 4
+        assert r["b_mean_e4"] == int(10_000 * ch[2]) // 4
+
+
+def _jpeg_rhalf(x: int) -> int:
+    return (abs(x) + 1) // 2 * (1 if x >= 0 else -1)
+
+
+def test_jpeg_build_parse_roundtrip_closed_form():
+    """The synthesizer emits spec-valid baseline JPEGs whose constant
+    blocks make lossy quantization exactly computable: decoded block
+    value = clip255(2*round_half_away((v-128)/2) + 128). The decoder
+    must reproduce that through the FULL path (Huffman -> DC diffs ->
+    dequant -> IDCT)."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_jpeg_gray,
+        _parse_jpeg_gray,
+    )
+
+    for d in range(60):
+        w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+        nb = (w // 8) * (h // 8)
+        vals = (
+            ((d * 19 + 7 * np.arange(nb, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .reshape(h // 8, w // 8)
+        )
+        pw, ph, px = _parse_jpeg_gray(_build_jpeg_gray(w, h, vals))
+        assert (pw, ph) == (w, h), d
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = int(vals[by, bx])
+                expect = min(255, max(0, 2 * _jpeg_rhalf(v - 128) + 128))
+                blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == expect).all(), (d, by, bx)
+
+
+def test_jpeg_ac_zrl_and_negative_amplitude_entropy_path():
+    """The general AC path, validated against an INDEPENDENT double-loop
+    IDCT: hand-assemble a one-block scan carrying a positive AC, a
+    run-skipped AC, a ZRL (16 zeros), and a negative amplitude; the
+    decoder must place each coefficient at the right zigzag index and
+    reconstruct the block to the reference within rounding."""
+    import struct as _s
+
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_QTAB,
+        _JPEG_ZIGZAG,
+        _JpegBitWriter,
+        _build_jpeg_gray,
+        _jpeg_cat,
+        _jpeg_huff_codes,
+        _parse_jpeg_gray,
+    )
+
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    # zigzag-indexed coefficients: DC=5, zz1=+3, (skip 2) zz4=-7,
+    # ZRL then zz21=+1
+    bw = _JpegBitWriter()
+
+    def put_sym(codes, sym):
+        c, ln = codes[sym]
+        bw.put(c, ln)
+
+    def put_amp(v):
+        cat = _jpeg_cat(v)
+        amp = v if v > 0 else v + (1 << cat) - 1
+        bw.put(amp, cat)
+
+    put_sym(dc_codes, _jpeg_cat(5)); put_amp(5)
+    put_sym(ac_codes, (0 << 4) | _jpeg_cat(3)); put_amp(3)
+    put_sym(ac_codes, (2 << 4) | _jpeg_cat(-7)); put_amp(-7)
+    put_sym(ac_codes, 0xF0)  # ZRL
+    put_sym(ac_codes, (0 << 4) | _jpeg_cat(1)); put_amp(1)
+    put_sym(ac_codes, 0x00)  # EOB
+    scan = bw.done()
+
+    # reuse the builder's header segments, swap the scan
+    base = _build_jpeg_gray(8, 8, np.array([[0]], dtype=np.uint8))
+    sos_at = base.index(b"\xff\xda")
+    sos_ln = _s.unpack_from(">H", base, sos_at + 2)[0]
+    hdr = base[: sos_at + 2 + sos_ln]
+    buf = hdr + scan + b"\xff\xd9"
+
+    w, h, px = _parse_jpeg_gray(buf)
+    assert (w, h) == (8, 8)
+
+    # independent reference: place coefficients, dequant, loop IDCT
+    zz = np.zeros(64)
+    zz[0], zz[1], zz[4], zz[21] = 5, 3, -7, 1
+    nat = np.zeros(64)
+    nat[_JPEG_ZIGZAG] = zz
+    S = nat.reshape(8, 8) * _JPEG_QTAB
+    ref = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv * S[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            ref[y, x] = acc / 4
+    expect = np.clip(np.round(ref) + 128, 0, 255).astype(np.int64)
+    assert np.array_equal(px, expect)
+
+
+def test_jpeg_parse_rejects_garbage():
+    import struct as _s
+
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_jpeg_gray,
+        _parse_jpeg_gray,
+    )
+
+    good = _build_jpeg_gray(16, 8, np.array([[10, 200]], dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        _parse_jpeg_gray(b"XX" + good[2:])
+    # progressive (SOF2) must be loud, not misdecoded
+    prog = bytearray(good)
+    prog[good.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        _parse_jpeg_gray(bytes(prog))
+    # subsampled component spec
+    sub = bytearray(good)
+    sof_at = good.index(b"\xff\xc0")
+    sub[sof_at + 4 + 7] = 0x22
+    with pytest.raises(ValueError, match="subsampled"):
+        _parse_jpeg_gray(bytes(sub))
+    # declared segment length past the buffer
+    cut = bytearray(good)
+    _s.pack_into(">H", cut, good.index(b"\xff\xdb") + 2, 9999)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        _parse_jpeg_gray(bytes(cut))
+    # missing EOI (cut entropy stream)
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_jpeg_gray(good[:-2])
+
+
+def test_synth_jpeg_stats_match_formula(spark):
+    """End-to-end through Spark: decoded JPEG stats equal the integer
+    closed form the oracle replays."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        jpeg_pixel_stats,
+        synth_jpeg_assets,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(14)
+    rows = jpeg_pixel_stats(synth_jpeg_assets(docs)).collect()
+    assert rows
+    for r in rows:
+        d = r["asset_id"]
+        w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+        nb = (w // 8) * (h // 8)
+        vs = (d * 19 + 7 * np.arange(nb)) % 256
+        dec = np.array(
+            [min(255, max(0, 2 * _jpeg_rhalf(int(v) - 128) + 128))
+             for v in vs]
+        )
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_px"] == int(dec.sum()) * 64
+        assert r["min_px"] == int(dec.min())
+        assert r["max_px"] == int(dec.max())
+        assert r["first_block_px"] == int(dec[0])
+        assert r["last_block_px"] == int(dec[-1])
