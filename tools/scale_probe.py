@@ -625,6 +625,12 @@ SKEW_FAMILIES = [
     "heavy_hitters_topk",
     "stream_topk_user_event_types",
     "salted_event_type_stats",
+    # r16b: the FLAGSHIP under the hot key — sessionize's collect_list
+    # moves the whole session text through the shuffle, so the hot
+    # user's 1M-event session is the single heaviest reduce task any
+    # registry query produces (sort_array over 1M structs + a ~6 MB
+    # array_join in ONE task)
+    "sessionize_events",
 ]
 # a hot key may cost more than its row share (one partition sorts the
 # whole stream), but it must stay a CONSTANT factor — 3x the uniform
@@ -798,6 +804,55 @@ def skew_probe(spark, registry, sf10: str, skew_dir: str,
         "mismatches": int(bad),
         "check": "sketch_exact_under_hot_key",
         "ok": bad == 0,
+    }
+
+    # flagship sessionize: the additive construction means every
+    # ORIGINAL user's session row must be byte-identical to the uniform
+    # run (distributed exceptAll both ways), and the hot user's single
+    # giant session must aggregate its full stream exactly (num_lines =
+    # its event count, envelope = its min/max ts, log_full length =
+    # Σ len(event_type) + n−1 newlines — checked without collecting
+    # the megastring)
+    sess_u = registry["sessionize_events"].spark(spark, sf10)
+    sess_s = registry["sessionize_events"].spark(spark, skew_dir)
+    orig = sess_s.filter(F.col("user_id") != hot_user)
+    extra = orig.exceptAll(sess_u).count()
+    missing = sess_u.exceptAll(orig).count()
+    hot_row = (
+        sess_s.filter(F.col("user_id") == hot_user)
+        .select(
+            "num_lines",
+            F.unix_micros("start_ts").alias("s"),
+            F.unix_micros("end_ts").alias("e"),
+            F.length("log_full").alias("flen"),
+        )
+        .collect()
+    )
+    hot_truth = (
+        ev_skew.filter(F.col("user_id") == hot_user)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.unix_micros(F.min("ts")).alias("s"),
+            F.unix_micros(F.max("ts")).alias("e"),
+            (
+                F.sum(F.length("event_type")) + F.count(F.lit(1)) - 1
+            ).alias("flen"),
+        )
+        .first()
+    )
+    hot_ok = (
+        len(hot_row) == 1
+        and hot_row[0]["num_lines"] == hot_truth["n"]
+        and hot_row[0]["s"] == hot_truth["s"]
+        and hot_row[0]["e"] == hot_truth["e"]
+        and hot_row[0]["flen"] == hot_truth["flen"]
+    )
+    out["sessionize_events"] = {
+        "orig_rows_extra": int(extra),
+        "orig_rows_missing": int(missing),
+        "hot_num_lines": int(hot_row[0]["num_lines"]) if hot_row else None,
+        "check": "original_sessions_identical_hot_session_exact",
+        "ok": extra == 0 and missing == 0 and hot_ok,
     }
 
     # salted agg: the rewrite must stay semantically invisible under
