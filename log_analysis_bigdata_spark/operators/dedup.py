@@ -140,7 +140,25 @@ def minhash_dedup_pipeline(corpus: DataFrame) -> DataFrame:
     """corpus(doc_id, text) -> (keep_doc_id, n_members, max_doc_id):
     one row per near-dup cluster; keep_doc_id = the component's min
     doc_id (the canonical document a dedup pass retains), n_members
-    counts how many documents collapse into it."""
+    counts how many documents collapse into it.
+
+    EXACT-CLASS COLLAPSE (r16 — the dup-class skew probe's find): the
+    LSH self-join is quadratic in a BUCKET, and m byte-identical docs
+    share every band digest — a single 2 500-member exact class turned
+    2.5k natural candidates into 3.13M (measured at sf1; a realistic
+    100 TB boilerplate class of 10⁶ docs would be 5·10¹¹ pairs — job
+    death). So docs are first grouped by their EXACT shingle-hash
+    array (value equality, no digest-collision argument needed):
+    identical arrays mean identical signatures, identical buckets and
+    Jaccard exactly 1, i.e. the class is GUARANTEED a verified clique
+    — which an (m−1)-edge star to the class's min doc id reproduces
+    with identical connectivity. Only one representative per class
+    enters banding/verify, so collisions in a bucket are once again
+    genuine near-dup candidates, not copies. Output is unchanged by
+    construction: star ∪ rep-level verified edges spans exactly the
+    node set and components the clique ∪ member-level edges did (any
+    member's near-dup edge is its rep's edge — same shingle array).
+    """
     # spread the shingle+digest stage across all cores first: a small
     # corpus parquet arrives as 1-2 input splits, which would serialize
     # the ONE expensive narrow pass of the pipeline onto 1-2 tasks (at
@@ -149,18 +167,34 @@ def minhash_dedup_pipeline(corpus: DataFrame) -> DataFrame:
     corpus = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
     )
-    sh = shingle_sets(corpus).persist()  # hashed shingles feed 3 stages
+    sh_all = shingle_sets(corpus).persist()  # hashed shingles, all docs
     # (the persist is ALSO the materialization boundary that keeps the
     # md5 base hash single-pass — see functions.text docstring)
+    # exact classes: one groupBy on the hs array (map-side combinable
+    # after the repartition spreads the digest pass); reps carry their
+    # class forward, members contribute one star edge each — linear
+    classes = sh_all.groupBy("hs").agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).alias("class_n"),
+    )
+    with_rep = sh_all.join(classes, "hs").persist()
+    star = with_rep.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    sh = with_rep.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "hs"
+    )
     ver = verify_jaccard(candidate_pairs(band_digests(sh)), sh)
     comp = connected_components(
-        ver, src="doc_a", dst="doc_b", distinct_pairs=True
+        ver.unionByName(star), src="doc_a", dst="doc_b",
+        distinct_pairs=True,
     )
     # comp is localCheckpoint-materialized inside connected_components,
-    # so the returned frame no longer reads the shingle cache — release
-    # it now instead of leaking one cached copy per invocation into the
+    # so the returned frame no longer reads the shingle caches — release
+    # them now instead of leaking cached copies per invocation into the
     # session-lifetime cache manager (bench runs each entry 3x)
-    sh.unpersist(blocking=False)
+    sh_all.unpersist(blocking=False)
+    with_rep.unpersist(blocking=False)
     out = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max("node").alias("max_doc_id"),

@@ -672,6 +672,96 @@ def build_skew_tile(spark, sf10: str, skew_dir: str) -> None:
             os.symlink(os.path.abspath(f"{sf10}/{t}.parquet"), dst)
 
 
+DUP_CLASS_M = 25_000  # planted exact-duplicate class size at sf10
+
+
+def build_dup_class_tile(spark, sf10: str, dup_dir: str) -> None:
+    """documents-with-a-mega-dup-class variant of the sf10 tile (r16):
+    the uniform corpus has a natural near-dup rate but no DEGENERATE
+    LSH bucket — yet 100 TB corpora always carry byte-identical
+    boilerplate classes (empty pages, license files) in the 10⁵..10⁶
+    range, and the banded self-join is quadratic IN A BUCKET. This
+    ADDS one 25k-member exact class with fresh non-corpus words
+    (additive: every natural cluster is untouched and the class's
+    expected output row is closed-form)."""
+    os.makedirs(dup_dir, exist_ok=True)
+    docs = spark.read.parquet(f"{sf10}/documents.parquet")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    text = " ".join(f"zqx{w}dup" for w in range(40))
+    plant = spark.range(DUP_CLASS_M).select(
+        (F.col("id") + mx + 1).alias("doc_id"),
+        F.lit(text).alias("text"),
+        F.lit("synthetic").alias("source"),
+        F.lit("en").alias("lang"),
+        F.lit(len(text)).alias("n_chars"),
+    )
+    common = [c for c in docs.columns if c in plant.columns]
+    docs.select(*common).unionByName(plant.select(*common)).repartition(
+        spark.sparkContext.defaultParallelism
+    ).write.mode("overwrite").parquet(f"{dup_dir}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        dst = f"{dup_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(f"{sf10}/{t}.parquet"), dst)
+
+
+def dup_class_probe(spark, registry, sf10: str, dup_dir: str,
+                    sf10_warms: dict) -> dict:
+    """Run the end-to-end dedup pipeline against the mega-class and
+    check the exact-collapse contract: ONE closed-form mega-cluster,
+    every natural cluster byte-identical to the uniform run, and a
+    bounded wall. (Pre-fix this input inflated candidates ~1 250× at
+    sf1 — 2.5k → 3.13M for a 2 500-member class — and would have built
+    ~312M pairs here; the collapse makes the class cost m−1 star
+    edges.)"""
+    docs = spark.read.parquet(f"{sf10}/documents.parquet")
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    t0 = time.perf_counter()
+    got = {
+        r["keep_doc_id"]: (r["n_members"], r["max_doc_id"])
+        for r in registry["dedup_pipeline_docs"].spark(spark, dup_dir)
+        .collect()
+    }
+    wall = round(time.perf_counter() - t0, 3)
+    base = {
+        r["keep_doc_id"]: (r["n_members"], r["max_doc_id"])
+        for r in registry["dedup_pipeline_docs"].spark(spark, sf10)
+        .collect()
+    }
+    mega = got.pop(mx + 1, None)
+    ref = sf10_warms.get("dedup_pipeline_docs")
+    wall_ok = ref is None or wall <= max(
+        SKEW_WALL_FACTOR * ref, ref + SKEW_WALL_FLOOR_S
+    )
+    # closed form under the QUERY's own deterministic plant
+    # (textq._dup_corpus_spark re-keys every doc_id % 10 == 0 at
+    # +PLANT_SHIFT): the class contributes its % 10 == 0 members again,
+    # and the max member is the shifted copy of the largest such id
+    from log_analysis_bigdata_spark.queries.textq import PLANT_SHIFT
+
+    ids_div10 = [
+        i for i in range(mx + 1, mx + DUP_CLASS_M + 1) if i % 10 == 0
+    ]
+    expect_n = DUP_CLASS_M + len(ids_div10)
+    expect_max = (
+        PLANT_SHIFT + ids_div10[-1] if ids_div10 else mx + DUP_CLASS_M
+    )
+    return {
+        "planted_class_m": DUP_CLASS_M,
+        "mega_cluster": list(mega) if mega else None,
+        "expected": [expect_n, expect_max],
+        "natural_clusters_match": got == base,
+        "wall": wall,
+        "sf10_uniform_warm_min": ref,
+        "wall_ok": wall_ok,
+        "check": "mega_cluster_exact_naturals_identical_wall_bounded",
+        "ok": mega == (expect_n, expect_max)
+        and got == base
+        and wall_ok,
+    }
+
+
 def skew_probe(spark, registry, sf10: str, skew_dir: str,
                sf10_warms: dict) -> dict:
     """Run the user-keyed analytics under the hot key and check the
@@ -915,6 +1005,13 @@ def main() -> int:
         build_skew_tile(spark, sf10, skew_dir)
         spark.range(1000).count()
         res["skew_tile"] = skew_probe(spark, registry, sf10, skew_dir, warms)
+        build_dup_class_tile(spark, sf10, sf10.rstrip("/") + "dupclass")
+        res["dup_class_tile"] = dup_class_probe(
+            spark, registry, sf10, sf10.rstrip("/") + "dupclass", warms
+        )
+        res["skew_tile"]["ok"] = (
+            res["skew_tile"]["ok"] and res["dup_class_tile"]["ok"]
+        )
         # recompute from parts: the pre-skew checkpoint pins all_ok
         # False, so AND-ing with it would never recover
         res["all_ok"] = (
@@ -998,15 +1095,18 @@ def main() -> int:
     spark = get_spark(app_name="scale_probe_skew")
     spark.range(1000).count()
     build_skew_tile(spark, sf10, skew_dir)
-    res["skew_tile"] = skew_probe(
-        spark, registry, sf10, skew_dir,
-        {n: f["sf10"]["warm_min"] for n, f in res["families"].items()},
+    warms_map = {n: f["sf10"]["warm_min"] for n, f in res["families"].items()}
+    res["skew_tile"] = skew_probe(spark, registry, sf10, skew_dir, warms_map)
+    build_dup_class_tile(spark, sf10, sf10.rstrip("/") + "dupclass")
+    res["dup_class_tile"] = dup_class_probe(
+        spark, registry, sf10, sf10.rstrip("/") + "dupclass", warms_map
     )
 
     res["all_ok"] = (
         all(f["sub_quadratic"] for f in res["families"].values())
         and all(i["ok"] for i in res["invariants"].values())
         and res["skew_tile"]["ok"]
+        and res["dup_class_tile"]["ok"]
     )
 
     with open(out_path, "w") as fh:
