@@ -103,7 +103,17 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     """(doc_a, doc_b) distinct LSH candidates, doc_a < doc_b: unpivot
     the two band digests to (band_idx, digest) rows and equi-self-join
     on that composite key — one hash shuffle on the LSH bucket key, the
-    union-of-per-band-joins plan expressed as a single join."""
+    union-of-per-band-joins plan expressed as a single join.
+
+    DEGENERATE-BUCKET CAVEAT (r16): this join is quadratic IN A
+    BUCKET, and m byte-identical docs share every band digest — a
+    2 500-member exact class measured 1 250× candidate inflation.
+    Callers whose OUTPUT is cluster-level must collapse exact classes
+    first and feed representatives only (see minhash_dedup_pipeline's
+    star construction); callers that genuinely list pairs
+    (minhash_dup_pairs) have inherently quadratic output on such
+    input, which no plan can avoid — the probe's dup-class tile pins
+    the pipeline path."""
     long = band_long(bands)
     a = long.select(F.col("doc_id").alias("doc_a"), "bi", "d")
     b = long.select(F.col("doc_id").alias("doc_b"), "bi", "d")
