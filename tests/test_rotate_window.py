@@ -21,6 +21,29 @@ from tools.rotate_window import (  # noqa: E402
 )
 
 
+def test_restore_covers_all_artifacts_of_record():
+    """VERDICT r16 'What's wrong' #2: a driver snapshot committed a
+    truncated BENCH_SF10_LOCAL.json (invariants PENDING) over the green
+    artifact of record. --restore-bench must cover every artifact-of-
+    record file, and the working-tree sf10 artifact must be a completed
+    run (all_ok true), never a partial."""
+    import json
+
+    from tools.rotate_window import ARTIFACTS_OF_RECORD
+
+    for must in ("BENCH_LOCAL.json", "BENCH_SF10_LOCAL.json"):
+        assert must in ARTIFACTS_OF_RECORD
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf10 = os.path.join(repo, "BENCH_SF10_LOCAL.json")
+    if os.path.exists(sf10):
+        d = json.load(open(sf10))
+        assert d.get("all_ok") is True, (
+            "BENCH_SF10_LOCAL.json is a partial run — run "
+            "`python tools/rotate_window.py --restore-bench`"
+        )
+        assert isinstance(d.get("invariants"), dict)
+
+
 def test_tool_history_matches_ci_guard_history():
     """Two independent copies of the pass rule must never diverge —
     the tool plans the window the guard then enforces."""

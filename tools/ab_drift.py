@@ -119,8 +119,9 @@ def main() -> None:
             "max_same_tree_spread": round(spread, 3),
             # regression = the tree delta exceeds what same-tree rep
             # noise can explain
-            "within_noise": abs(med_b - med_a) <= max(a + b) * 0.0
-            or (med_a and abs(med_b / med_a - 1.0) <= spread),
+            "within_noise": bool(
+                med_a and abs(med_b / med_a - 1.0) <= spread
+            ),
         }
     out = {"reps": args.reps, "sf": args.sf, "queries": summary}
     with open(os.path.join(REPO, "AB_DRIFT_r16.json"), "w") as f:
