@@ -152,22 +152,33 @@ def minhash_dedup_pipeline(corpus: DataFrame) -> DataFrame:
     doc_id (the canonical document a dedup pass retains), n_members
     counts how many documents collapse into it.
 
-    EXACT-CLASS COLLAPSE (r16 — the dup-class skew probe's find): the
-    LSH self-join is quadratic in a BUCKET, and m byte-identical docs
-    share every band digest — a single 2 500-member exact class turned
-    2.5k natural candidates into 3.13M (measured at sf1; a realistic
-    100 TB boilerplate class of 10⁶ docs would be 5·10¹¹ pairs — job
-    death). So docs are first grouped by their EXACT shingle-hash
-    array (value equality, no digest-collision argument needed):
-    identical arrays mean identical signatures, identical buckets and
-    Jaccard exactly 1, i.e. the class is GUARANTEED a verified clique
-    — which an (m−1)-edge star to the class's min doc id reproduces
-    with identical connectivity. Only one representative per class
-    enters banding/verify, so collisions in a bucket are once again
-    genuine near-dup candidates, not copies. Output is unchanged by
-    construction: star ∪ rep-level verified edges spans exactly the
-    node set and components the clique ∪ member-level edges did (any
-    member's near-dup edge is its rep's edge — same shingle array).
+    EXACT-CLASS COLLAPSE (r16 — the dup-class skew probe's find; key
+    reworked r17): the LSH self-join is quadratic in a BUCKET, and m
+    byte-identical docs share every band digest — a single
+    2 500-member exact class turned 2.5k natural candidates into 3.13M
+    (measured at sf1; a realistic 100 TB boilerplate class of 10⁶ docs
+    would be 5·10¹¹ pairs — job death). So docs are first grouped into
+    SHINGLE-SET-equality classes: every downstream stage is set-based
+    (minhash_component is an array_min — order/multiplicity
+    insensitive; band digests derive from it; verify_jaccard
+    array_distincts), so set-equal docs are guaranteed identical band
+    digests and Jaccard exactly 1 — a verified clique — which an
+    (m−1)-edge star to the class's min doc id reproduces with
+    identical connectivity. (r16 keyed on the raw ``hs`` array, which
+    missed reordered/repeated boilerplate whose shingle MULTISET
+    differs but whose set is equal — ADVICE r16 — and shipped the
+    whole array through two exchanges as the shuffle key.) The class
+    key is now a fixed-width xxhash64 PAIR over
+    array_sort(array_distinct(hs)) — 16 bytes on the wire instead of
+    the KB-scale array; a cross-class double collision needs both
+    64-bit hashes to agree (~2^-128 per class pair), the same accepted
+    collision class as verify_jaccard's 60-bit base hashes. Only one
+    representative per class enters banding/verify, so collisions in a
+    bucket are once again genuine near-dup candidates, not copies.
+    Output is unchanged by construction: star ∪ rep-level verified
+    edges spans exactly the node set and components the clique ∪
+    member-level edges did (any member's near-dup edge is its rep's
+    edge — same shingle set).
     """
     # spread the shingle+digest stage across all cores first: a small
     # corpus parquet arrives as 1-2 input splits, which would serialize
@@ -177,17 +188,26 @@ def minhash_dedup_pipeline(corpus: DataFrame) -> DataFrame:
     corpus = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
     )
-    sh_all = shingle_sets(corpus).persist()  # hashed shingles, all docs
+    sd = F.array_sort(F.array_distinct("hs"))
+    sh_all = (
+        shingle_sets(corpus)
+        .withColumn("ck1", F.xxhash64(sd))
+        .withColumn("ck2", F.xxhash64(sd, F.lit(-7046029254386353131)))
+        .persist()
+    )  # hashed shingles + 16-byte set-class key, all docs
     # (the persist is ALSO the materialization boundary that keeps the
     # md5 base hash single-pass — see functions.text docstring)
-    # exact classes: one groupBy on the hs array (map-side combinable
-    # after the repartition spreads the digest pass); reps carry their
-    # class forward, members contribute one star edge each — linear
-    classes = sh_all.groupBy("hs").agg(
+    # set-equality classes: one groupBy on the digest pair (map-side
+    # combinable after the repartition spreads the digest pass; only
+    # (ck1, ck2, doc_id) ride this exchange — the arrays stay put);
+    # reps carry their class forward, members contribute one star edge
+    classes = sh_all.select("ck1", "ck2", "doc_id").groupBy(
+        "ck1", "ck2"
+    ).agg(
         F.min("doc_id").alias("rep"),
         F.count(F.lit(1)).alias("class_n"),
     )
-    with_rep = sh_all.join(classes, "hs").persist()
+    with_rep = sh_all.join(classes, ["ck1", "ck2"]).persist()
     star = with_rep.filter(F.col("doc_id") != F.col("rep")).select(
         F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )

@@ -696,3 +696,63 @@ def test_bounded_broadcast_keeps_one_live_block_per_site(spark):
     # driver-side, so a lingering plan that references it re-ships
     assert b1.value == {"v": 1}
     del las_session._LIVE_RESOURCES[site]
+
+
+def test_setequal_class_collapse_rotated_boilerplate(spark):
+    """ADVICE r16 + VERDICT r17 task 5: the exact-class collapse keys
+    on SHINGLE-SET equality via a fixed-width digest pair, not the raw
+    hs array. Rotated boilerplate (token rotations of one cycle) has
+    set-equal but order/multiplicity-different shingle arrays: the r16
+    raw-array key left each rotation its own class, so an m-member
+    reordered class still hit the LSH bucket m^2/2-quadratic. Pins:
+    (1) the rotations collapse into ONE class pre-banding, so only one
+    representative enters candidate generation; (2) the pipeline
+    output is the single cluster with min-id keeper the brute-force
+    semantics require."""
+    from log_analysis_bigdata_spark.operators.dedup import (
+        band_digests,
+        candidate_pairs,
+        minhash_dedup_pipeline,
+        shingle_sets,
+    )
+
+    base = ["tok%02d" % i for i in range(12)]
+    m = 24
+    rots = [base[r % 12 :] + base[: r % 12] for r in range(m)]
+    rows = [
+        # rotation r of the 12-token cycle, wrapped so every 3-gram
+        # shingle of the cycle appears: set-equal across rotations,
+        # array order and head/tail multiplicity differ
+        (100 + r, " ".join(rot + rot[:2]))
+        for r, rot in enumerate(rots)
+    ] + [(999, "entirely different text with no overlap at all here")]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sd = F.array_sort(F.array_distinct("hs"))
+    keyed = shingle_sets(corpus).select(
+        "doc_id",
+        "hs",
+        F.xxhash64(sd).alias("ck1"),
+        F.xxhash64(sd, F.lit(-7046029254386353131)).alias("ck2"),
+    )
+    classes = (
+        keyed.groupBy("ck1", "ck2")
+        .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes = sorted(c["n"] for c in classes)
+    assert sizes == [1, m], sizes  # one m-member class + the outlier
+    # only the representative reaches banding: candidate volume is
+    # O(1), not m^2/2 = 276
+    reps = keyed.join(
+        keyed.groupBy("ck1", "ck2").agg(F.min("doc_id").alias("doc_id")),
+        ["ck1", "ck2", "doc_id"],
+    ).select("doc_id", "hs")
+    assert candidate_pairs(band_digests(reps)).count() == 0
+
+    out = {
+        r["keep_doc_id"]: (r["n_members"], r["max_doc_id"])
+        for r in minhash_dedup_pipeline(corpus).collect()
+    }
+    assert out[100] == (m, 100 + m - 1)
+    assert 999 not in out  # singleton never verified: no cluster row
