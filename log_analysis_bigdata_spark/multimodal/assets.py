@@ -178,11 +178,13 @@ def decode_image_stub(assets: DataFrame, fake: bool = False) -> DataFrame:
     """Decode image payloads → (dims, channel stats). STUB — for the
     general photographic path only. Seven formats decode for real with
     from-scratch parsers in this module (PPM, BMP, GIF87a+LZW, WAV/PCM,
-    AVI/DIB, and — r16 — PNG incl. deflate + all five scanline filters
-    via stdlib zlib, plus baseline grayscale JPEG incl. canonical
-    Huffman, dequant and IDCT); what still requires a codec library
-    (PIL / libjpeg, absent in this container) is color/subsampled
-    photographic JPEG decode. With ``fake=True`` a deterministic pseudo-decode treats the
+    AVI/DIB, PNG incl. deflate + all five scanline filters via stdlib
+    zlib, and baseline JPEG — grayscale r16, 4:4:4 and 4:2:0 YCbCr
+    color r17 with per-component tables, MCU interleave, chroma
+    upsample and the JFIF RGB transform); what still requires a codec
+    library (PIL / libjpeg, absent in this container) is
+    progressive-scan or exotic-sampling (4:2:2 etc.) photographic
+    JPEG. With ``fake=True`` a deterministic pseudo-decode treats the
     payload bytes as a 1×N grayscale plane so the schema/batch contract
     and downstream plan are exercised end-to-end; with the default
     ``fake=False`` this raises NotImplementedError at plan-build time to
@@ -190,8 +192,10 @@ def decode_image_stub(assets: DataFrame, fake: bool = False) -> DataFrame:
     """
     if not fake:
         raise NotImplementedError(
-            "image decode needs a codec library (PIL/ffmpeg) not present in "
-            "this environment; pass fake=True for the deterministic stub"
+            "progressive/exotic-sampling image decode needs a codec library "
+            "(PIL/ffmpeg) not present in this environment; baseline "
+            "gray/4:4:4/4:2:0 JPEG decodes for real via _parse_jpeg* — "
+            "pass fake=True for the deterministic stub"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1506,6 +1510,9 @@ def _parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:  # spec-fixed length (ADVICE r16:
+                # struct.error is not the documented ValueError)
+                raise ValueError("truncated chunk")
             w, h, depth, color, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -1514,6 +1521,11 @@ def _parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
                     "only 8-bit non-interlaced truecolor PNG supported "
                     f"(depth {depth}, color {color}, interlace {inter})"
                 )
+            if w == 0 or h == 0:
+                # zero-dimension images are invalid per the PNG spec;
+                # letting them through would ZeroDivisionError in
+                # png_pixel_stats' mean (ADVICE r16)
+                raise ValueError("zero-dimension PNG")
             hdr = (w, h)
         elif ctype == b"IDAT":
             idat.extend(data)
@@ -1671,6 +1683,23 @@ _JPEG_QTAB = np.array([
     [72, 92, 95, 98, 112, 100, 103, 99],
 ], dtype=np.int64)
 
+# Annex K.2 chrominance quantization table (natural row-major order).
+# The color SYNTH writes a copy with [0,0] := 16 so the flat-block DC
+# closed form (2·round_half_away((v−128)/2)+128) is the SAME for all
+# three components — the encoder may use any table, and the parser reads
+# whatever the file carries; the other 63 entries still exercise
+# per-component dequant selection in the general AC path (unit-pinned).
+_JPEG_CQTAB = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
 # Annex K.3.1 / K.3.2: luminance DC and AC Huffman specs
 # (counts per code length 1..16, then symbol values)
 _JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -1691,6 +1720,28 @@ _JPEG_AC_VALS = [
     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Annex K.3.3 / K.3.4: chrominance DC and AC Huffman specs
+_JPEG_DC1_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC1_VALS = list(range(12))
+_JPEG_AC1_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_JPEG_AC1_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
@@ -1789,6 +1840,88 @@ def _build_jpeg_gray(w: int, h: int, block_vals: np.ndarray) -> bytes:
     return out
 
 
+def _build_jpeg_color(
+    w: int, h: int, yb: np.ndarray, cbb: np.ndarray, crb: np.ndarray
+) -> bytes:
+    """Serialize a 4:2:0 YCbCr baseline JPEG whose 8×8 blocks are the
+    CONSTANT values in ``yb`` (shape (h//8, w//8)) / ``cbb`` / ``crb``
+    (shape (h//16, w//16), one chroma block per MCU). Components carry
+    distinct quant/Huffman tables (luminance K.1 + K.3.1/K.3.2 for Y;
+    chrominance K.2-with-[0,0]:=16 + K.3.3/K.3.4 for Cb/Cr — see
+    _JPEG_CQTAB for why [0,0] is 16), separate DC predictors, and the
+    MCU-interleaved entropy order (4 Y raster blocks, Cb, Cr). AC
+    coefficients are genuinely zero for constant blocks, so the file is
+    a real spec-valid 4:2:0 JPEG any decoder reproduces bit-exactly as
+    the per-channel closed form the oracle computes."""
+    if w % 16 or h % 16:
+        raise ValueError("synthetic color JPEG dims must be multiples of 16")
+    dc0 = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac0 = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc1 = _jpeg_huff_codes(_JPEG_DC1_BITS, _JPEG_DC1_VALS)
+    ac1 = _jpeg_huff_codes(_JPEG_AC1_BITS, _JPEG_AC1_VALS)
+    cq = _JPEG_CQTAB.copy()
+    cq[0, 0] = 16
+    q0 = 16  # both tables' DC step — the shared flat-block closed form
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]
+
+    def put_flat(v: int, comp: int, dc_codes: dict, ac_codes: dict) -> None:
+        dcv = 8 * (int(v) - 128)  # FDCT of a flat block: S00 = Σ/8
+        q = (abs(dcv) + q0 // 2) // q0 * (1 if dcv >= 0 else -1)
+        diff = q - prev[comp]
+        prev[comp] = q
+        cat = _jpeg_cat(diff)
+        code, ln = dc_codes[cat]
+        bw.put(code, ln)
+        if cat:
+            amp = diff if diff > 0 else diff + (1 << cat) - 1
+            bw.put(amp, cat)
+        code, ln = ac_codes[0x00]  # EOB: all 63 ACs zero
+        bw.put(code, ln)
+
+    for myi in range(h // 16):
+        for mxi in range(w // 16):
+            for v in range(2):
+                for hb in range(2):
+                    put_flat(yb[2 * myi + v, 2 * mxi + hb], 0, dc0, ac0)
+            put_flat(cbb[myi, mxi], 1, dc1, ac1)
+            put_flat(crb[myi, mxi], 2, dc1, ac1)
+    scan = bw.done()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zq0 = bytes(
+        int(_JPEG_QTAB.reshape(-1)[_JPEG_ZIGZAG[i]]) for i in range(64)
+    )
+    zq1 = bytes(int(cq.reshape(-1)[_JPEG_ZIGZAG[i]]) for i in range(64))
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # one DQT segment carrying BOTH tables: exercises the parser's
+    # multi-table walk
+    out += seg(0xFFDB, b"\x00" + zq0 + b"\x01" + zq1)
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00"  # Y: 2x2 sampling, quant table 0
+        + b"\x02\x11\x01"  # Cb: 1x1, quant table 1
+        + b"\x03\x11\x01",  # Cr: 1x1, quant table 1
+    )
+    out += seg(0xFFC4, bytes([0x00] + _JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10] + _JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(
+        0xFFC4, bytes([0x01] + _JPEG_DC1_BITS) + bytes(_JPEG_DC1_VALS)
+    )
+    out += seg(
+        0xFFC4, bytes([0x11] + _JPEG_AC1_BITS) + bytes(_JPEG_AC1_VALS)
+    )
+    out += seg(
+        0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    )  # SOS: Y->(dc0,ac0), Cb/Cr->(dc1,ac1)
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
 class _JpegBitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -1819,8 +1952,11 @@ class _JpegBitReader:
 
 
 def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    # strictly < 16: JPEG codes are at most 16 bits, and reading a 17th
+    # bit before declaring the code invalid could misreport a bad code
+    # at end-of-scan as a truncated stream (ADVICE r16)
     code, ln = 0, 0
-    while ln <= 16:
+    while ln < 16:
         code = (code << 1) | reader.bit()
         ln += 1
         sym = table.get((code, ln))
@@ -1847,19 +1983,25 @@ def _jpeg_idct(coef: np.ndarray) -> np.ndarray:
     return m.T @ coef @ m
 
 
-def _parse_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode one baseline sequential grayscale JPEG into (width,
-    height, top-down int64 pixel array). Implements the full baseline
-    path — table parsing, entropy decode (DC diffs, AC run/size,
-    EOB/ZRL), dequantize, IDCT — and fails loudly (decode_image_stub
-    policy) on anything outside baseline/8-bit/single-component."""
+def _parse_jpeg(
+    buf: bytes,
+) -> tuple[int, int, list[tuple[np.ndarray, int, int]]]:
+    """Decode one baseline sequential JPEG into (width, height,
+    [(component plane, H, V), ...] in SOF order, each plane at its own
+    component resolution). Implements the full baseline path — table
+    parsing, MCU-interleaved entropy decode (per-component DC
+    predictors, AC run/size, EOB/ZRL), per-component dequantize, IDCT —
+    for grayscale, 4:4:4 and 4:2:0 YCbCr layouts, and fails loudly
+    (decode_image_stub policy) on anything else: progressive SOFs,
+    other samplings, restart intervals, short segments (ADVICE r16:
+    every truncation is a ValueError, never struct.error/IndexError)."""
     if len(buf) < 4 or buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
-    dims = None
-    scan_at = None
+    sof = None  # (w, h, [(cid, H, V, tq), ...])
+    scan = None  # (entropy start, [(comp_idx, dc_id, ac_id), ...])
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -1868,12 +2010,14 @@ def _parse_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
             break
         ln = struct.unpack_from(">H", buf, pos + 2)[0]
         at = pos + 4
-        if at + ln - 2 > len(buf):
+        if ln < 2 or at + ln - 2 > len(buf):
             raise ValueError("truncated chunk")
         data = buf[at : at + ln - 2]
         if marker == 0xFFDB:  # DQT (possibly several tables per seg)
             d = 0
             while d < len(data):
+                if d + 65 > len(data):
+                    raise ValueError("truncated chunk")
                 prec, tid = data[d] >> 4, data[d] & 0x0F
                 if prec != 0:
                     raise ValueError("only 8-bit quant tables supported")
@@ -1887,9 +2031,13 @@ def _parse_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xFFC4:  # DHT (possibly several tables per seg)
             d = 0
             while d < len(data):
+                if d + 17 > len(data):
+                    raise ValueError("truncated chunk")
                 cls, tid = data[d] >> 4, data[d] & 0x0F
                 bits = list(data[d + 1 : d + 17])
                 nv = sum(bits)
+                if d + 17 + nv > len(data):
+                    raise ValueError("truncated chunk")
                 vals = list(data[d + 17 : d + 17 + nv])
                 fwd = _jpeg_huff_codes(bits, vals)
                 htabs[(cls, tid)] = {
@@ -1897,75 +2045,195 @@ def _parse_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
                 }
                 d += 17 + nv
         elif marker == 0xFFC0:  # SOF0 baseline
+            if len(data) < 6:
+                raise ValueError("truncated chunk")
             prec, hh, ww, nc = struct.unpack_from(">BHHB", data, 0)
-            if prec != 8 or nc != 1:
+            if prec != 8 or nc not in (1, 3):
                 raise ValueError(
-                    "only 8-bit single-component baseline supported "
+                    "only 8-bit 1- or 3-component baseline supported "
                     f"(precision {prec}, components {nc})"
                 )
-            # component spec: id, sampling (H<<4|V), quant table id
-            if data[7] != 0x11:
-                raise ValueError("subsampled JPEG not supported")
-            dims = (ww, hh, data[8])  # (w, h, quant table id)
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("truncated chunk")
+            comps = []
+            for ci in range(nc):
+                # component spec: id, sampling (H<<4|V), quant table id
+                cid = data[6 + 3 * ci]
+                hv = data[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, data[8 + 3 * ci]))
+            samplings = [(c[1], c[2]) for c in comps]
+            if nc == 1:
+                # single-component scans are non-interleaved (MCU = one
+                # block, T.81 A.2.2); anything but 1x1 factors is odd
+                # enough to refuse under the fail-loudly contract
+                if samplings != [(1, 1)]:
+                    raise ValueError("subsampled JPEG not supported")
+            elif samplings not in (
+                [(1, 1)] * 3,  # 4:4:4
+                [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+            ):
+                raise ValueError(
+                    "only 4:4:4 or 4:2:0 component layouts supported"
+                )
+            sof = (ww, hh, comps)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFDD:  # DRI: RSTn markers would follow
+            raise ValueError("restart intervals not supported")
         elif marker == 0xFFDA:  # SOS: entropy data follows
-            if dims is None:
+            if sof is None:
                 raise ValueError("SOS before SOF0")
-            dc_id, ac_id = data[2] >> 4, data[2] & 0x0F
-            scan_at = (at + ln - 2, dc_id, ac_id)
+            if len(data) < 1:
+                raise ValueError("truncated chunk")
+            ns = data[0]
+            if len(data) < 1 + 2 * ns + 3:
+                raise ValueError("truncated chunk")
+            if ns != len(sof[2]):
+                raise ValueError("partial/multi-scan JPEG not supported")
+            sel = []
+            for si in range(ns):
+                scid, tt = data[1 + 2 * si], data[2 + 2 * si]
+                idxs = [
+                    i for i, c in enumerate(sof[2]) if c[0] == scid
+                ]
+                if not idxs:
+                    raise ValueError("scan references unknown component")
+                sel.append((idxs[0], tt >> 4, tt & 0x0F))
+            scan = (at + ln - 2, sel)
             break
         pos = at + ln - 2
-    if scan_at is None:
+    if scan is None:
         raise ValueError("no scan data found")
-    start, dc_id, ac_id = scan_at
+    start, sel = scan
     eoi = buf.rfind(b"\xff\xd9")
     if eoi < 0:
         raise ValueError("truncated chunk")  # no EOI: cut file
-    w, h, qid = dims
-    if qid not in qtabs or (0, dc_id) not in htabs or (1, ac_id) not in htabs:
-        raise ValueError("scan references a missing table")
-    q = qtabs[qid]
-    dc_tab, ac_tab = htabs[(0, dc_id)], htabs[(1, ac_id)]
+    w, h, comps = sof
+    for ci, dc_id, ac_id in sel:
+        if (
+            comps[ci][3] not in qtabs
+            or (0, dc_id) not in htabs
+            or (1, ac_id) not in htabs
+        ):
+            raise ValueError("scan references a missing table")
     reader = _JpegBitReader(buf[start:eoi])
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    px = np.zeros((bh_ * 8, bw_ * 8), dtype=np.int64)
-    prev_dc = 0
-    for by in range(bh_):
-        for bx in range(bw_):
-            zz = np.zeros(64, dtype=np.int64)
-            cat = _jpeg_huff_decode(reader, dc_tab)
-            if cat:
-                amp = reader.bits(cat)
-                if amp < (1 << (cat - 1)):
-                    amp -= (1 << cat) - 1  # negative branch (T.81 F.12)
-                prev_dc += amp
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _jpeg_huff_decode(reader, ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL: 16 zeros
-                    k += 16
-                    continue
-                run, size = rs >> 4, rs & 0x0F
-                k += run
-                if k >= 64 or size == 0:
-                    raise ValueError("AC coefficient index overflow")
-                amp = reader.bits(size)
-                if amp < (1 << (size - 1)):
-                    amp -= (1 << size) - 1
-                zz[k] = amp
-                k += 1
-            nat = np.zeros(64, dtype=np.int64)
-            nat[_JPEG_ZIGZAG] = zz
-            block = _jpeg_idct((nat.reshape(8, 8) * q).astype(np.float64))
-            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.round(block) + 128, 0, 255
-            ).astype(np.int64)
-    return w, h, px[:h, :w]
+    prev_dc = [0] * len(comps)
+
+    def decode_block(ci: int, dc_id: int, ac_id: int) -> np.ndarray:
+        q = qtabs[comps[ci][3]]
+        dc_tab, ac_tab = htabs[(0, dc_id)], htabs[(1, ac_id)]
+        zz = np.zeros(64, dtype=np.int64)
+        cat = _jpeg_huff_decode(reader, dc_tab)
+        if cat:
+            amp = reader.bits(cat)
+            if amp < (1 << (cat - 1)):
+                amp -= (1 << cat) - 1  # negative branch (T.81 F.12)
+            prev_dc[ci] += amp
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = _jpeg_huff_decode(reader, ac_tab)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL: 16 zeros
+                k += 16
+                continue
+            run, size = rs >> 4, rs & 0x0F
+            k += run
+            if k >= 64 or size == 0:
+                raise ValueError("AC coefficient index overflow")
+            amp = reader.bits(size)
+            if amp < (1 << (size - 1)):
+                amp -= (1 << size) - 1
+            zz[k] = amp
+            k += 1
+        nat = np.zeros(64, dtype=np.int64)
+        nat[_JPEG_ZIGZAG] = zz
+        block = _jpeg_idct((nat.reshape(8, 8) * q).astype(np.float64))
+        return np.clip(np.round(block) + 128, 0, 255).astype(np.int64)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(comps) == 1:
+        # non-interleaved: plain raster over ceil(w/8) x ceil(h/8)
+        ci, dc_id, ac_id = sel[0]
+        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        px = np.zeros((bh_ * 8, bw_ * 8), dtype=np.int64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    decode_block(ci, dc_id, ac_id)
+                )
+        planes = [px]
+    else:
+        # interleaved: per MCU, each scan component contributes V x H
+        # blocks in raster order (T.81 A.2.3)
+        mx = (w + 8 * hmax - 1) // (8 * hmax)
+        my = (h + 8 * vmax - 1) // (8 * vmax)
+        planes = [
+            np.zeros((my * c[2] * 8, mx * c[1] * 8), dtype=np.int64)
+            for c in comps
+        ]
+        for myi in range(my):
+            for mxi in range(mx):
+                for ci, dc_id, ac_id in sel:
+                    hf, vf = comps[ci][1], comps[ci][2]
+                    for v in range(vf):
+                        for hb in range(hf):
+                            by, bx = myi * vf + v, mxi * hf + hb
+                            planes[ci][
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = decode_block(ci, dc_id, ac_id)
+    out = []
+    for (cid, hf, vf, tq), plane in zip(comps, planes):
+        cw = (w * hf + hmax - 1) // hmax
+        ch = (h * vf + vmax - 1) // vmax
+        out.append((plane[:ch, :cw], hf, vf))
+    return w, h, out
+
+
+def _parse_jpeg_gray(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode one baseline sequential grayscale JPEG into (width,
+    height, top-down int64 pixel array) — the single-component wrapper
+    over :func:`_parse_jpeg` (identical behavior to the r16 gray-only
+    parser; the oracle closed form is unchanged)."""
+    w, h, comps = _parse_jpeg(buf)
+    if len(comps) != 1:
+        raise ValueError("expected a single-component (grayscale) JPEG")
+    return w, h, comps[0][0]
+
+
+def _parse_jpeg_color(
+    buf: bytes,
+) -> tuple[int, int, np.ndarray]:
+    """Decode one 3-component baseline JPEG (4:4:4 or 4:2:0) into
+    (width, height, top-down int64 RGB array of shape (h, w, 3)).
+    Chroma planes are box-replicated to luma resolution (the nearest-
+    neighbor upsample), then the JFIF/BT.601 YCbCr→RGB transform is
+    applied with explicit floor(x + 0.5) rounding — chosen over
+    np.round because half-up is expressible bit-identically in the
+    DuckDB oracle (`floor(x + 0.5)`), making the color path closed-form
+    checkable end-to-end."""
+    w, h, comps = _parse_jpeg(buf)
+    if len(comps) != 3:
+        raise ValueError("expected a 3-component (YCbCr) JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for plane, hf, vf in comps:
+        p = np.repeat(
+            np.repeat(plane, vmax // vf, axis=0), hmax // hf, axis=1
+        )[:h, :w]
+        full.append(p.astype(np.float64))
+    y, cb, cr = full
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(
+        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+    )
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.int64)
+    return w, h, rgb
 
 
 def synth_jpeg_assets(docs: DataFrame) -> DataFrame:
@@ -2041,3 +2309,102 @@ def jpeg_pixel_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(stats, JPEG_STATS_SCHEMA)
+
+
+def synth_jpeg_color_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): deterministic 4:2:0 color baseline JPEG per
+    document — mw = 1 + d % 2, mh = 1 + d % 3 MCUs → w = 16·mw,
+    h = 16·mh. Blocks are CONSTANT per channel: the Y block at
+    ENTROPY-STREAM index i (4 per MCU, raster within the MCU) is
+    (d·19 + 7i) % 256; MCU m's Cb block is (d·31 + 11m) % 256 and its
+    Cr block (d·23 + 13m) % 256 — so all three lossy channels have the
+    shared closed form 2·round_half_away((v−128)/2)+128 and the RGB
+    transform is exactly replayable (see jpeg_color_stats)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mw, mh = 1 + d % 2, 1 + d % 3
+                w, h = 16 * mw, 16 * mh
+                yb = np.zeros((2 * mh, 2 * mw), dtype=np.uint8)
+                cbb = np.zeros((mh, mw), dtype=np.uint8)
+                crb = np.zeros((mh, mw), dtype=np.uint8)
+                for myi in range(mh):
+                    for mxi in range(mw):
+                        m = myi * mw + mxi
+                        for v in range(2):
+                            for hb in range(2):
+                                yb[2 * myi + v, 2 * mxi + hb] = (
+                                    d * 19 + 7 * (4 * m + 2 * v + hb)
+                                ) % 256
+                        cbb[myi, mxi] = (d * 31 + 11 * m) % 256
+                        crb[myi, mxi] = (d * 23 + 13 * m) % 256
+                payloads.append(_build_jpeg_color(w, h, yb, cbb, crb))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+JPEG_COLOR_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("min_r", LongType()),
+        StructField("max_r", LongType()),
+        StructField("first_r", LongType()),
+        StructField("first_g", LongType()),
+        StructField("first_b", LongType()),
+        StructField("last_r", LongType()),
+        StructField("last_g", LongType()),
+        StructField("last_b", LongType()),
+    ]
+)
+
+
+def jpeg_color_stats(assets: DataFrame) -> DataFrame:
+    """Decode 4:2:0 color baseline JPEG payloads through the full
+    from-scratch path (per-component Huffman/dequant, MCU-interleaved
+    entropy order, chroma box-upsample, YCbCr→RGB) and report exact
+    integer stats over the RGB image: per-channel sums, R min/max, and
+    the first (0,0) and last (h−1, w−1) pixels' full RGB triples — the
+    corner pixels pin MCU geometry, the three DC-difference chains AND
+    chroma replication placement at once (a block mis-placement or a
+    swapped Cb/Cr table moves them). Fused narrow mapInPandas: zero
+    shuffles, linear scale-out."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in JPEG_COLOR_STATS_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, rgb = _parse_jpeg_color(bytes(payload))
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(rgb[:, :, 0].sum()))
+                out["sum_g"].append(int(rgb[:, :, 1].sum()))
+                out["sum_b"].append(int(rgb[:, :, 2].sum()))
+                out["min_r"].append(int(rgb[:, :, 0].min()))
+                out["max_r"].append(int(rgb[:, :, 0].max()))
+                for ch, nm in enumerate(("first_r", "first_g", "first_b")):
+                    out[nm].append(int(rgb[0, 0, ch]))
+                for ch, nm in enumerate(("last_r", "last_g", "last_b")):
+                    out[nm].append(int(rgb[h - 1, w - 1, ch]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(stats, JPEG_COLOR_STATS_SCHEMA)

@@ -450,13 +450,122 @@ def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DC-difference chain (a diff bug shifts every later block).
     The general AC/ZRL/negative-amplitude path is pinned in
     tests/test_multimodal.py against an independent double-loop IDCT.
-    Color/subsampled photographic decode remains the
-    decode_image_stub env gate. Fused narrow mapInPandas: zero
-    shuffles, linear scale-out."""
+    Color/4:2:0 decode is multimodal_jpeg_color_stats (r17). Fused
+    narrow mapInPandas: zero shuffles, linear scale-out."""
     from ..multimodal.assets import jpeg_pixel_stats, synth_jpeg_assets
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return jpeg_pixel_stats(synth_jpeg_assets(docs))
+
+
+def _jpeg_px_col(col: str) -> str:
+    """Decoded flat-block value closed form for column ``col`` — same
+    formula as _JPEG_PX, parameterized (all three YCbCr channels use
+    it: the color synth's chroma quant table carries DC step 16 too)."""
+    return (
+        f"LEAST(255, GREATEST(0, 2*(CASE WHEN {col} >= 128 "
+        f"THEN ({col} - 128 + 1) // 2 "
+        f"ELSE -((128 - {col} + 1) // 2) END) + 128))"
+    )
+
+
+def _rgb_clip(expr: str) -> str:
+    return f"LEAST(255, GREATEST(0, CAST(floor({expr} + 0.5) AS BIGINT)))"
+
+
+# the JFIF/BT.601 YCbCr->RGB transform with floor(x+0.5) rounding —
+# EXACTLY the double-precision expressions _parse_jpeg_color evaluates
+# (same literals, same operation order), so Spark and DuckDB agree
+# bit-for-bit
+_RGB_R = _rgb_clip("yd + 1.402*(crd - 128)")
+_RGB_G = _rgb_clip("yd - 0.344136*(cbd - 128) - 0.714136*(crd - 128)")
+_RGB_B = _rgb_clip("yd + 1.772*(cbd - 128)")
+
+
+@register(
+    "multimodal_jpeg_color_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS mw,
+             1 + doc_id % 3 AS mh
+      FROM documents
+    ),
+    yb AS (
+      -- Y block at entropy-stream index i (4 per MCU) is CONSTANT
+      -- (d*19 + 7i) % 256; MCU m = i//4 carries flat chroma blocks
+      -- (d*31 + 11m) % 256 / (d*23 + 13m) % 256. The FILE is a real
+      -- MCU-interleaved 4:2:0 baseline JPEG the decoder must fully
+      -- undo (two quant + four Huffman tables, three DC chains).
+      SELECT d.doc_id, d.mw, d.mh, t.i AS i,
+             (d.doc_id * 19 + 7 * t.i) % 256 AS vy,
+             (d.doc_id * 31 + 11 * (t.i // 4)) % 256 AS vcb,
+             (d.doc_id * 23 + 13 * (t.i // 4)) % 256 AS vcr
+      FROM d, unnest(range(0, 4 * d.mw * d.mh)) AS t(i)
+    ),
+    dec AS (
+      SELECT doc_id, mw, mh, i,
+             {_jpeg_px_col('vy')} AS yd,
+             {_jpeg_px_col('vcb')} AS cbd,
+             {_jpeg_px_col('vcr')} AS crd
+      FROM yb
+    ),
+    rgb AS (
+      -- each 8x8 luma block is RGB-constant: flat Y over the block,
+      -- flat chroma over its MCU (box-upsampled)
+      SELECT doc_id, mw, mh, i,
+             {_RGB_R} AS r, {_RGB_G} AS g, {_RGB_B} AS b
+      FROM dec
+    )
+    SELECT doc_id AS asset_id,
+           CAST(16 * mw AS INTEGER) AS width,
+           CAST(16 * mh AS INTEGER) AS height,
+           CAST(sum(64 * r) AS BIGINT) AS sum_r,
+           CAST(sum(64 * g) AS BIGINT) AS sum_g,
+           CAST(sum(64 * b) AS BIGINT) AS sum_b,
+           CAST(min(r) AS BIGINT) AS min_r,
+           CAST(max(r) AS BIGINT) AS max_r,
+           CAST(max(CASE WHEN i = 0 THEN r END) AS BIGINT) AS first_r,
+           CAST(max(CASE WHEN i = 0 THEN g END) AS BIGINT) AS first_g,
+           CAST(max(CASE WHEN i = 0 THEN b END) AS BIGINT) AS first_b,
+           CAST(max(CASE WHEN i = 4 * mw * mh - 1 THEN r END) AS BIGINT)
+             AS last_r,
+           CAST(max(CASE WHEN i = 4 * mw * mh - 1 THEN g END) AS BIGINT)
+             AS last_g,
+           CAST(max(CASE WHEN i = 4 * mw * mh - 1 THEN b END) AS BIGINT)
+             AS last_b
+    FROM rgb GROUP BY doc_id, mw, mh
+    """,
+    tags=("multimodal", "decode", "jpeg", "color", "ycbcr", "420",
+          "mapInPandas"),
+)
+def multimodal_jpeg_color_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RGB stats over REALLY-DECODED 4:2:0 COLOR baseline JPEGs (r17 —
+    VERDICT r16 task 3, the last codec gap): synthesize a 3-component
+    YCbCr baseline JPEG per document (Y at 2×2 sampling with the K.1
+    luminance tables; Cb/Cr at 1×1 with distinct chrominance quant +
+    K.3.3/K.3.4 Huffman tables), decode through the generalized
+    from-scratch path — per-component table selection, MCU-interleaved
+    entropy order with three DC-difference chains, chroma box-upsample,
+    the JFIF YCbCr→RGB transform — and report exact integer RGB stats.
+
+    Flat blocks make the lossy path closed-form: every channel decodes
+    to 2·round_half_away((v−128)/2)+128 (the synth's chroma table
+    carries DC step 16 — an encoder-chosen table, see _JPEG_CQTAB),
+    and the RGB transform uses floor(x+0.5) so the SAME double
+    expressions run in DuckDB. first/last pixels pin MCU geometry and
+    Cb/Cr table wiring (a swapped table or mis-placed block moves
+    them). Fused narrow mapInPandas: zero shuffles, linear scale-out.
+
+    Beyond-reference (LLM multimodal brief); the decode_image_stub env
+    gate now covers only progressive/exotic-sampling photographic
+    JPEG."""
+    from ..multimodal.assets import jpeg_color_stats, synth_jpeg_color_assets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jpeg_color_stats(synth_jpeg_color_assets(docs))
 
 
 _WAV_V = "((d.doc_id*17 + t.i*31) % d.modv - d.modv // 2)"
