@@ -269,3 +269,63 @@ def test_heavy_hitters_sketch_arm_counts_null_keys(spark, monkeypatch):
     ]
     null_rows = [r for r in got if r["user_id"] is None]
     assert len(null_rows) == 1 and null_rows[0]["n"] == 5_000
+
+
+def test_embedding_dup_class_collapse_component_equivalent(spark, tmp_path):
+    """r17 (VERDICT r16 task 4): byte-identical embeddings form a
+    degenerate hyperplane-LSH bucket (every sign band agrees), so
+    dedup_components routes through _near_dup_component_edges — exact
+    classes star-collapse to their min vec_id before banding. Pins:
+    (1) components are IDENTICAL to the uncollapsed pair generation's
+    (the output-preservation proof at unit scale); (2) the class
+    contributes exactly m star edges, and the banded join sees one
+    representative (candidate volume O(naturals), never m²/2)."""
+    from tools.skew_fixture import make_dup_class_embeddings
+
+    from log_analysis_bigdata_spark.operators.components import (
+        connected_components,
+    )
+    from log_analysis_bigdata_spark.queries.vectorq import (
+        _near_dup_component_edges,
+        embedding_near_dup,
+    )
+
+    d = str(tmp_path)
+    meta = make_dup_class_embeddings(d, n_natural=200, m_dup=40)
+    n_nat, m = meta["n_natural"], meta["m_dup"]
+
+    edges = _near_dup_component_edges(spark, d)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, src="id_a", dst="id_b"
+        ).collect()
+    }
+    pairs = embedding_near_dup(spark, d).select("id_a", "id_b")
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, src="id_a", dst="id_b"
+        ).collect()
+    }
+    assert got == want and got  # identical clustering, nonempty
+    # the planted ids all collapse to vector 0's component
+    for i in range(n_nat, n_nat + m):
+        assert got[i] == 0
+    # star contribution: the class's members appear exactly once as a
+    # star target each in the collapsed edge list (id_a == 0 for them),
+    # and the banded join carried ONE representative — so collapsed
+    # edges among class ids are exactly the m star edges, while the
+    # uncollapsed pair list is quadratic in the class
+    class_ids = set(range(n_nat, n_nat + m)) | {0}
+    star_edges = [
+        r
+        for r in edges.collect()
+        if r["id_a"] in class_ids and r["id_b"] in class_ids
+    ]
+    assert len(star_edges) == m
+    quad = pairs.filter(
+        F.col("id_a").isin(list(class_ids))
+        & F.col("id_b").isin(list(class_ids))
+    ).count()
+    assert quad == (m + 1) * m // 2  # the blowup the collapse avoids

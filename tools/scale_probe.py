@@ -683,7 +683,12 @@ def build_dup_class_tile(spark, sf10: str, dup_dir: str) -> None:
     range, and the banded self-join is quadratic IN A BUCKET. This
     ADDS one 25k-member exact class with fresh non-corpus words
     (additive: every natural cluster is untouched and the class's
-    expected output row is closed-form)."""
+    expected output row is closed-form), and — r17 — a 25k-member
+    identical-EMBEDDING class (copies of vector 0) for the hyperplane-
+    LSH twin of the same degeneracy. Ladder stability across the
+    plant is asserted in the probe (bits/thr must not shift between
+    200k and 225k, or the uniform-vs-dup comparison compares different
+    bandings)."""
     os.makedirs(dup_dir, exist_ok=True)
     docs = spark.read.parquet(f"{sf10}/documents.parquet")
     mx = docs.agg(F.max("doc_id")).first()[0]
@@ -699,8 +704,29 @@ def build_dup_class_tile(spark, sf10: str, dup_dir: str) -> None:
     docs.select(*common).unionByName(plant.select(*common)).repartition(
         spark.sparkContext.defaultParallelism
     ).write.mode("overwrite").parquet(f"{dup_dir}/documents.parquet")
+    # r17 (VERDICT r16 task 4): the EMBEDDING twin of the degenerate
+    # class — byte-identical embeddings share every hyperplane-LSH sign
+    # band exactly like byte-identical shingle arrays share every
+    # minhash band. Plant DUP_CLASS_M copies of the GLOBAL-MIN vec_id's
+    # vector (new ids past the max): the class merges with vector 0's
+    # own natural cluster, so the expected components are closed-form
+    # from the uniform run (label = 0, the global min) and every other
+    # natural cluster must stay byte-identical.
+    emb = spark.read.parquet(f"{sf10}/embeddings.parquet")
+    emx = emb.agg(F.max("vec_id")).first()[0]
+    v0 = emb.orderBy("vec_id").limit(1).select("embedding", "label").first()
+    eplant = spark.range(DUP_CLASS_M).select(
+        (F.col("id") + emx + 1).alias("vec_id"),
+        F.lit(v0["embedding"]).cast("array<float>").alias("embedding"),
+        F.lit(v0["label"]).alias("label"),
+    )
+    emb.select("vec_id", "embedding", "label").unionByName(
+        eplant
+    ).repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(f"{dup_dir}/embeddings.parquet")
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "embeddings"):
+              "orders", "lineitem", "events"):
         dst = f"{dup_dir}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(os.path.abspath(f"{sf10}/{t}.parquet"), dst)
@@ -747,7 +773,7 @@ def dup_class_probe(spark, registry, sf10: str, dup_dir: str,
     expect_max = (
         PLANT_SHIFT + ids_div10[-1] if ids_div10 else mx + DUP_CLASS_M
     )
-    return {
+    doc_res = {
         "planted_class_m": DUP_CLASS_M,
         "mega_cluster": list(mega) if mega else None,
         "expected": [expect_n, expect_max],
@@ -760,6 +786,67 @@ def dup_class_probe(spark, registry, sf10: str, dup_dir: str,
         and got == base
         and wall_ok,
     }
+
+    # r17 embedding twin: dedup_components (the collapsed hyperplane-
+    # LSH path) against the planted identical-embedding class. Expected
+    # components are closed-form from the uniform run: the planted ids
+    # all label to vec 0 (global min — planting copies of ITS vector
+    # makes the merge target deterministic), vec 0 itself labels 0, and
+    # every other natural component is byte-identical (same reps, same
+    # bands, same ladder — asserted below).
+    from log_analysis_bigdata_spark.queries.vectorq import (
+        lsh_band_bits,
+        near_dup_threshold,
+    )
+
+    emb_u = spark.read.parquet(f"{sf10}/embeddings.parquet")
+    n_u = emb_u.count()
+    emx = emb_u.agg(F.max("vec_id")).first()[0]
+    n_d = n_u + DUP_CLASS_M
+    ladder_ok = lsh_band_bits(n_u) == lsh_band_bits(n_d) and (
+        near_dup_threshold(n_u) == near_dup_threshold(n_d)
+    )
+    tb = time.perf_counter()
+    base_e = {
+        r["node"]: r["component"]
+        for r in registry["dedup_components"].spark(spark, sf10).collect()
+    }
+    ref_e = round(time.perf_counter() - tb, 3)
+    t1 = time.perf_counter()
+    got_e = {
+        r["node"]: r["component"]
+        for r in registry["dedup_components"].spark(spark, dup_dir)
+        .collect()
+    }
+    wall_e = round(time.perf_counter() - t1, 3)
+    planted = {
+        i: got_e.pop(i, None) for i in range(emx + 1, emx + DUP_CLASS_M + 1)
+    }
+    v0_label = got_e.pop(0, None)
+    base_e.pop(0, None)  # vec 0 may be near-dup-free in the uniform run
+    wall_e_ok = wall_e <= max(
+        SKEW_WALL_FACTOR * ref_e, ref_e + SKEW_WALL_FLOOR_S
+    )
+    doc_res["embedding_tile"] = {
+        "planted_class_m": DUP_CLASS_M,
+        "ladder_stable": ladder_ok,
+        "planted_all_label_v0": all(
+            c == 0 for c in planted.values()
+        ),
+        "v0_label": v0_label,
+        "natural_components_match": got_e == base_e,
+        "wall": wall_e,
+        "sf10_uniform_wall": ref_e,
+        "wall_ok": wall_e_ok,
+        "check": "planted_class_labels_v0_naturals_identical_wall_bounded",
+        "ok": ladder_ok
+        and all(c == 0 for c in planted.values())
+        and v0_label == 0
+        and got_e == base_e
+        and wall_e_ok,
+    }
+    doc_res["ok"] = doc_res["ok"] and doc_res["embedding_tile"]["ok"]
+    return doc_res
 
 
 def skew_probe(spark, registry, sf10: str, skew_dir: str,

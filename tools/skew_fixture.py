@@ -105,6 +105,39 @@ def make_tied_embeddings(
     return {"n_vecs": n_vecs, "dim": dim}
 
 
+def make_dup_class_embeddings(
+    out_dir: str, n_natural: int = 300, m_dup: int = 50, dim: int = 64
+) -> dict:
+    """Natural-ish deterministic vectors plus an m_dup-member class of
+    byte-identical copies of vector 0 (ids past the naturals) — the
+    hyperplane-LSH degenerate-bucket fixture (r17, VERDICT r16 task 4:
+    identical embeddings share every sign band the way identical
+    shingle arrays share every minhash band)."""
+    rng = np.random.RandomState(1234)
+    nat = rng.uniform(-1.0, 1.0, (n_natural, dim)).astype(np.float32)
+    vecs = [nat[i].tolist() for i in range(n_natural)] + [
+        nat[0].tolist()
+    ] * m_dup
+    n = n_natural + m_dup
+    tab = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": vecs,
+            "label": np.zeros(n, dtype=np.int32),
+        },
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tab, os.path.join(out_dir, "embeddings.parquet"))
+    return {"n_natural": n_natural, "m_dup": m_dup, "dim": dim}
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/skew"
     print(json.dumps(make_zipf_events(out)))
