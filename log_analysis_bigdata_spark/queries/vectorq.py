@@ -672,7 +672,10 @@ def _banded_near_dup_pairs(emb: DataFrame, bits: int, thr: float) -> DataFrame:
         band(0).alias("band0"),
         band(bits).alias("band1"),
         norm(e).alias("nrm"),
-    ).persist()
+    )
+    from ..session import bounded_persist
+
+    base = bounded_persist("vectorq._banded_near_dup_pairs.base", base)
 
     cand = None
     for bcol in ("band0", "band1"):
@@ -726,12 +729,17 @@ def _near_dup_component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     bits, thr = lsh_band_bits(n), near_dup_threshold(n)
     ek = F.col("embedding")
-    keyed = emb.select(
-        "vec_id",
-        "embedding",
-        F.xxhash64(ek).alias("ck1"),
-        F.xxhash64(ek, F.lit(-7046029254386353131)).alias("ck2"),
-    ).persist()
+    from ..session import bounded_persist
+
+    keyed = bounded_persist(
+        "vectorq._near_dup_component_edges.keyed",
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.xxhash64(ek).alias("ck1"),
+            F.xxhash64(ek, F.lit(-7046029254386353131)).alias("ck2"),
+        ),
+    )
     classes = keyed.select("ck1", "ck2", "vec_id").groupBy("ck1", "ck2").agg(
         F.min("vec_id").alias("rep")
     )

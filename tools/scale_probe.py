@@ -1058,10 +1058,112 @@ def skew_probe(spark, registry, sf10: str, skew_dir: str,
     return out
 
 
+SF100_FAMILY = "bigram_logprob_docs"
+
+
+def build_sf100_docs(spark, sf10: str, sf100_dir: str,
+                     doc_tag: str = "v") -> None:
+    """documents-only THIRD-decade tile (VERDICT r16 task 7): tile the
+    sf10 corpus 10x with a fresh word-suffix tag (the scale_up doc
+    rule — "v" after sf1's "t" and sf10's "u" — so cross-tile bigram/
+    shingle spaces never collide and per-tile statistics match sf10's).
+    Only documents is materialized (~850 MB; the spot family reads
+    nothing else); other tables symlink to sf10."""
+    if os.path.exists(f"{sf100_dir}/documents.parquet"):
+        return
+    os.makedirs(sf100_dir, exist_ok=True)
+    docs = spark.read.parquet(f"{sf10}/documents.parquet")
+    d_off = docs.agg(F.max("doc_id")).first()[0] + 1
+
+    def doc_tile(d, k):
+        d = d.withColumn("doc_id", F.col("doc_id") + k * d_off)
+        if k == 0:
+            return d
+        text = F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim(F.col("text")), " +"),
+                lambda w: F.concat(w, F.lit(f"_{doc_tag}{k}")),
+            ),
+        )
+        return d.withColumn("text", text).withColumn(
+            "n_chars", F.length(text)
+        )
+
+    out = doc_tile(docs, 0)
+    for k in range(1, 10):
+        out = out.unionByName(doc_tile(docs, k))
+    out.repartition(
+        spark.sparkContext.defaultParallelism
+    ).write.mode("overwrite").parquet(f"{sf100_dir}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        dst = f"{sf100_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(f"{sf10}/{t}.parquet"), dst)
+
+
+def sf100_spot(spark, registry, sf10: str, sf100_dir: str) -> dict:
+    """Push ONE family a second decade, sf10 -> sf100 (VERDICT r16 task
+    7): the measured sf1->sf10 ratios only certify one decade; a
+    materialization-shaped defect (the pagerank r15 class) often hides
+    one decade up. bigram_logprob_docs is the pick — the table's own
+    history (8.46 -> 2.16 after the single-exchange rework) plus
+    vocabulary-squared pressure: at sf100 the corpus carries ~266M
+    bigram instances. Invariant is the same closed form as the sf10
+    phase: the word-suffix transform preserves whitespace, so rows and
+    Σ n_bigrams are BOTH exactly 10x sf10's. 1 cold + 2 warm passes per
+    decade in one fresh-session protocol; the decade ratio uses
+    warm-min like the main table."""
+    qd = registry[SF100_FAMILY]
+
+    def passes(sf):
+        walls = []
+        for _p in range(3):
+            t0 = time.perf_counter()
+            qd.spark(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls.append(round(time.perf_counter() - t0, 3))
+            gc.collect()
+        return {"cold": walls[0], "warm_min": min(walls[1:])}
+
+    t10 = passes(sf10)
+    t100 = passes(sf100_dir)
+    ratio = round(t100["warm_min"] / max(t10["warm_min"], 1e-9), 2)
+
+    agg10 = (
+        qd.spark(spark, sf10)
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("n_bigrams").alias("s"))
+        .first()
+    )
+    agg100 = (
+        qd.spark(spark, sf100_dir)
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("n_bigrams").alias("s"))
+        .first()
+    )
+    return {
+        "family": SF100_FAMILY,
+        "sf10": t10,
+        "sf100": t100,
+        "warm_min_ratio": ratio,
+        "sub_quadratic": ratio <= RATIO_BOUND,
+        "rows_sf10": int(agg10["r"]),
+        "rows_sf100": int(agg100["r"]),
+        "bigrams_sf10": int(agg10["s"]),
+        "bigrams_sf100": int(agg100["s"]),
+        "check": "second_decade_ratio_and_rows_bigrams_exact_10x",
+        "ok": ratio <= RATIO_BOUND
+        and agg100["r"] == 10 * agg10["r"]
+        and agg100["s"] == 10 * agg10["s"],
+    }
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     skip_build = "--skip-build" in sys.argv
     skew_only = "--skew-only" in sys.argv
+    sf100_only = "--sf100-spot" in sys.argv
     sf1 = argv[0] if len(argv) > 0 else "/tmp/sf1"
     sf10 = argv[1] if len(argv) > 1 else "/tmp/sf10"
     skew_dir = sf10.rstrip("/") + "skew"
@@ -1081,6 +1183,21 @@ def main() -> int:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(here, "BENCH_SF10_LOCAL.json")
+
+    if sf100_only:
+        # second-decade spot probe against an existing artifact
+        with open(out_path) as fh:
+            res = json.load(fh)
+        sf100_dir = sf10.rstrip("/") + "0docs"
+        build_sf100_docs(spark, sf10, sf100_dir)
+        res["sf100_spot"] = sf100_spot(spark, registry, sf10, sf100_dir)
+        res["all_ok"] = bool(res.get("all_ok")) and res["sf100_spot"]["ok"]
+        with open(out_path, "w") as fh:
+            json.dump(res, fh, indent=1)
+            fh.write("\n")
+        print(json.dumps(res["sf100_spot"], indent=1))
+        spark.stop()
+        return 0 if res["sf100_spot"]["ok"] else 1
 
     if skew_only:
         # iterate on the skew phase alone against an existing artifact
