@@ -712,6 +712,12 @@ def build_dup_class_tile(spark, sf10: str, dup_dir: str) -> None:
     # own natural cluster, so the expected components are closed-form
     # from the uniform run (label = 0, the global min) and every other
     # natural cluster must stay byte-identical.
+    edst = f"{dup_dir}/embeddings.parquet"
+    if os.path.islink(edst):
+        # r16 tiles symlinked embeddings to the uniform sf10 copy; a
+        # Spark overwrite THROUGH the link would delete the uniform
+        # data it points at — drop the link first
+        os.remove(edst)
     emb = spark.read.parquet(f"{sf10}/embeddings.parquet")
     emx = emb.agg(F.max("vec_id")).first()[0]
     v0 = emb.orderBy("vec_id").limit(1).select("embedding", "label").first()
