@@ -743,7 +743,12 @@ def _near_dup_component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = keyed.select("ck1", "ck2", "vec_id").groupBy("ck1", "ck2").agg(
         F.min("vec_id").alias("rep")
     )
-    with_rep = keyed.join(classes, ["ck1", "ck2"])
+    # both branches below (star edges, reps-only banding) read this
+    # join: persist it so the corpus-wide exchange runs once, not twice
+    with_rep = bounded_persist(
+        "vectorq._near_dup_component_edges.with_rep",
+        keyed.join(classes, ["ck1", "ck2"]),
+    )
     star = with_rep.filter(F.col("vec_id") != F.col("rep")).select(
         F.col("rep").alias("id_a"), F.col("vec_id").alias("id_b")
     )
