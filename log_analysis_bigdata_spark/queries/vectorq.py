@@ -677,6 +677,21 @@ def _banded_near_dup_pairs(emb: DataFrame, bits: int, thr: float) -> DataFrame:
 
     base = bounded_persist("vectorq._banded_near_dup_pairs.base", base)
 
+    # r17: score and threshold INSIDE each band join, BEFORE the
+    # pair-dedup exchange. cosine is a function of the pair, so
+    # dedup-then-score and score-then-dedup give identical rows — but
+    # the old order shipped both embedding arrays + norms (~1 KB/row at
+    # dim 64) through the corpus-wide dropDuplicates exchange as
+    # payload; now only (id_a, id_b, cosine) = 24 bytes moves, and the
+    # threshold drops sub-thr candidates before they travel at all.
+    # Cost: pairs surviving in BOTH bands evaluate the dot twice
+    # (JVM-side HOF, map-local) — bounded by 2x, far cheaper than the
+    # exchange bytes it saves. The oracle keeps the dedup-then-score
+    # order (DISTINCT on ids), which is the equivalence proof run at
+    # every parity gate.
+    cosine = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+    )
     cand = None
     for bcol in ("band0", "band1"):
         a = base.select(
@@ -691,17 +706,16 @@ def _banded_near_dup_pairs(emb: DataFrame, bits: int, thr: float) -> DataFrame:
             F.col("nrm").alias("nb"),
             F.col(bcol).alias("bk"),
         )
-        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b", "ea", "eb", "na", "nb"
+        p = (
+            a.join(b, "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cosine.alias("cosine"))
+            .filter(F.col("cosine") >= thr)
         )
         cand = p if cand is None else cand.unionByName(p)
 
-    deduped = cand.dropDuplicates(["id_a", "id_b"])
-    cosine = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4)
-    return (
-        deduped.select("id_a", "id_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= thr)
-        .orderBy(F.desc("cosine"), "id_a", "id_b")
+    return cand.dropDuplicates(["id_a", "id_b"]).orderBy(
+        F.desc("cosine"), "id_a", "id_b"
     )
 
 
