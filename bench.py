@@ -178,6 +178,7 @@ HEADLINE = [
     "multimodal_png_pixel_stats",
     "multimodal_jpeg_block_stats",
     "multimodal_jpeg_color_stats",
+    "multimodal_jpeg_422_stats",
     # round-10: span-level boilerplate dedup (cross-doc repeated k-gram
     # windows merged to maximal spans) — the third dedup regime beside
     # doc-level and chunk-level

@@ -179,12 +179,12 @@ def decode_image_stub(assets: DataFrame, fake: bool = False) -> DataFrame:
     general photographic path only. Seven formats decode for real with
     from-scratch parsers in this module (PPM, BMP, GIF87a+LZW, WAV/PCM,
     AVI/DIB, PNG incl. deflate + all five scanline filters via stdlib
-    zlib, and baseline JPEG — grayscale r16, 4:4:4 and 4:2:0 YCbCr
-    color r17 with per-component tables, MCU interleave, chroma
-    upsample and the JFIF RGB transform); what still requires a codec
-    library (PIL / libjpeg, absent in this container) is
-    progressive-scan or exotic-sampling (4:2:2 etc.) photographic
-    JPEG. With ``fake=True`` a deterministic pseudo-decode treats the
+    zlib, and baseline JPEG — grayscale r16; 4:4:4, 4:2:0, 4:2:2 and
+    4:4:0 YCbCr color r17 with per-component tables, MCU interleave,
+    per-axis chroma upsample and the JFIF RGB transform); what still
+    requires a codec library (PIL / libjpeg, absent in this container)
+    is progressive-scan JPEG (and >2 sampling factors, e.g. 4:1:1).
+    With ``fake=True`` a deterministic pseudo-decode treats the
     payload bytes as a 1×N grayscale plane so the schema/batch contract
     and downstream plan are exercised end-to-end; with the default
     ``fake=False`` this raises NotImplementedError at plan-build time to
@@ -192,10 +192,10 @@ def decode_image_stub(assets: DataFrame, fake: bool = False) -> DataFrame:
     """
     if not fake:
         raise NotImplementedError(
-            "progressive/exotic-sampling image decode needs a codec library "
+            "progressive-scan image decode needs a codec library "
             "(PIL/ffmpeg) not present in this environment; baseline "
-            "gray/4:4:4/4:2:0 JPEG decodes for real via _parse_jpeg* — "
-            "pass fake=True for the deterministic stub"
+            "gray/4:4:4/4:2:2/4:4:0/4:2:0 JPEG decodes for real via "
+            "_parse_jpeg* — pass fake=True for the deterministic stub"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1841,20 +1841,27 @@ def _build_jpeg_gray(w: int, h: int, block_vals: np.ndarray) -> bytes:
 
 
 def _build_jpeg_color(
-    w: int, h: int, yb: np.ndarray, cbb: np.ndarray, crb: np.ndarray
+    w: int, h: int, yb: np.ndarray, cbb: np.ndarray, crb: np.ndarray,
+    sampling: tuple[int, int] = (2, 2),
 ) -> bytes:
-    """Serialize a 4:2:0 YCbCr baseline JPEG whose 8×8 blocks are the
-    CONSTANT values in ``yb`` (shape (h//8, w//8)) / ``cbb`` / ``crb``
-    (shape (h//16, w//16), one chroma block per MCU). Components carry
-    distinct quant/Huffman tables (luminance K.1 + K.3.1/K.3.2 for Y;
-    chrominance K.2-with-[0,0]:=16 + K.3.3/K.3.4 for Cb/Cr — see
-    _JPEG_CQTAB for why [0,0] is 16), separate DC predictors, and the
-    MCU-interleaved entropy order (4 Y raster blocks, Cb, Cr). AC
-    coefficients are genuinely zero for constant blocks, so the file is
-    a real spec-valid 4:2:0 JPEG any decoder reproduces bit-exactly as
-    the per-channel closed form the oracle computes."""
-    if w % 16 or h % 16:
-        raise ValueError("synthetic color JPEG dims must be multiples of 16")
+    """Serialize a subsampled YCbCr baseline JPEG whose 8×8 blocks are
+    the CONSTANT values in ``yb`` (shape (h//8, w//8)) / ``cbb`` /
+    ``crb`` (one chroma block per MCU: shape (h//(8·V), w//(8·H)) for
+    luma ``sampling`` = (H, V) — (2, 2) = 4:2:0 default, (2, 1) =
+    4:2:2). Components carry distinct quant/Huffman tables (luminance
+    K.1 + K.3.1/K.3.2 for Y; chrominance K.2-with-[0,0]:=16 +
+    K.3.3/K.3.4 for Cb/Cr — see _JPEG_CQTAB for why [0,0] is 16),
+    separate DC predictors, and the MCU-interleaved entropy order
+    (H·V Y raster blocks, Cb, Cr). AC coefficients are genuinely zero
+    for constant blocks, so the file is a real spec-valid subsampled
+    JPEG any decoder reproduces bit-exactly as the per-channel closed
+    form the oracle computes."""
+    hs_, vs_ = sampling
+    mcu_w, mcu_h = 8 * hs_, 8 * vs_
+    if w % mcu_w or h % mcu_h:
+        raise ValueError(
+            "synthetic color JPEG dims must be multiples of the MCU"
+        )
     dc0 = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac0 = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     dc1 = _jpeg_huff_codes(_JPEG_DC1_BITS, _JPEG_DC1_VALS)
@@ -1879,11 +1886,13 @@ def _build_jpeg_color(
         code, ln = ac_codes[0x00]  # EOB: all 63 ACs zero
         bw.put(code, ln)
 
-    for myi in range(h // 16):
-        for mxi in range(w // 16):
-            for v in range(2):
-                for hb in range(2):
-                    put_flat(yb[2 * myi + v, 2 * mxi + hb], 0, dc0, ac0)
+    for myi in range(h // mcu_h):
+        for mxi in range(w // mcu_w):
+            for v in range(vs_):
+                for hb in range(hs_):
+                    put_flat(
+                        yb[vs_ * myi + v, hs_ * mxi + hb], 0, dc0, ac0
+                    )
             put_flat(cbb[myi, mxi], 1, dc1, ac1)
             put_flat(crb[myi, mxi], 2, dc1, ac1)
     scan = bw.done()
@@ -1903,7 +1912,7 @@ def _build_jpeg_color(
     out += seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x22\x00"  # Y: 2x2 sampling, quant table 0
+        + bytes([0x01, (hs_ << 4) | vs_, 0x00])  # Y: H,V; quant 0
         + b"\x02\x11\x01"  # Cb: 1x1, quant table 1
         + b"\x03\x11\x01",  # Cr: 1x1, quant table 1
     )
@@ -2071,9 +2080,12 @@ def _parse_jpeg(
             elif samplings not in (
                 [(1, 1)] * 3,  # 4:4:4
                 [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+                [(2, 1), (1, 1), (1, 1)],  # 4:2:2 (r17)
+                [(1, 2), (1, 1), (1, 1)],  # 4:4:0 (r17)
             ):
                 raise ValueError(
-                    "only 4:4:4 or 4:2:0 component layouts supported"
+                    "only 4:4:4, 4:2:2, 4:4:0 or 4:2:0 component "
+                    "layouts supported"
                 )
             sof = (ww, hh, comps)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
@@ -2342,6 +2354,52 @@ def synth_jpeg_color_assets(docs: DataFrame) -> DataFrame:
                         cbb[myi, mxi] = (d * 31 + 11 * m) % 256
                         crb[myi, mxi] = (d * 23 + 13 * m) % 256
                 payloads.append(_build_jpeg_color(w, h, yb, cbb, crb))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def synth_jpeg_422_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): deterministic 4:2:2 color baseline JPEG per
+    document — mw = 1 + d % 2, mh = 1 + d % 3 MCUs of 16×8 luma →
+    w = 16·mw, h = 8·mh. Y block at ENTROPY-STREAM index i (2 per MCU,
+    raster within the MCU) is (d·19 + 7i) % 256; MCU m's Cb block is
+    (d·31 + 11m) % 256 and its Cr block (d·23 + 13m) % 256 — the same
+    per-channel closed form as the 4:2:0 synth over the non-square
+    MCU geometry (chroma replicates 2× horizontally only)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mw, mh = 1 + d % 2, 1 + d % 3
+                w, h = 16 * mw, 8 * mh
+                yb = np.zeros((mh, 2 * mw), dtype=np.uint8)
+                cbb = np.zeros((mh, mw), dtype=np.uint8)
+                crb = np.zeros((mh, mw), dtype=np.uint8)
+                for myi in range(mh):
+                    for mxi in range(mw):
+                        m = myi * mw + mxi
+                        for hb in range(2):
+                            yb[myi, 2 * mxi + hb] = (
+                                d * 19 + 7 * (2 * m + hb)
+                            ) % 256
+                        cbb[myi, mxi] = (d * 31 + 11 * m) % 256
+                        crb[myi, mxi] = (d * 23 + 13 * m) % 256
+                payloads.append(
+                    _build_jpeg_color(w, h, yb, cbb, crb, sampling=(2, 1))
+                )
             yield pd.DataFrame(
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )

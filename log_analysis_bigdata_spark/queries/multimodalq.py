@@ -568,6 +568,74 @@ def multimodal_jpeg_color_stats(
     return jpeg_color_stats(synth_jpeg_color_assets(docs))
 
 
+@register(
+    "multimodal_jpeg_422_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS mw,
+             1 + doc_id % 3 AS mh
+      FROM documents
+    ),
+    yb AS (
+      -- 4:2:2: 16x8-luma MCUs, TWO Y blocks per MCU (i = 2m + k),
+      -- one Cb + one Cr per MCU replicated 2x horizontally only
+      SELECT d.doc_id, d.mw, d.mh, t.i AS i,
+             (d.doc_id * 19 + 7 * t.i) % 256 AS vy,
+             (d.doc_id * 31 + 11 * (t.i // 2)) % 256 AS vcb,
+             (d.doc_id * 23 + 13 * (t.i // 2)) % 256 AS vcr
+      FROM d, unnest(range(0, 2 * d.mw * d.mh)) AS t(i)
+    ),
+    dec AS (
+      SELECT doc_id, mw, mh, i,
+             {_jpeg_px_col('vy')} AS yd,
+             {_jpeg_px_col('vcb')} AS cbd,
+             {_jpeg_px_col('vcr')} AS crd
+      FROM yb
+    ),
+    rgb AS (
+      SELECT doc_id, mw, mh, i,
+             {_RGB_R} AS r, {_RGB_G} AS g, {_RGB_B} AS b
+      FROM dec
+    )
+    SELECT doc_id AS asset_id,
+           CAST(16 * mw AS INTEGER) AS width,
+           CAST(8 * mh AS INTEGER) AS height,
+           CAST(sum(64 * r) AS BIGINT) AS sum_r,
+           CAST(sum(64 * g) AS BIGINT) AS sum_g,
+           CAST(sum(64 * b) AS BIGINT) AS sum_b,
+           CAST(min(r) AS BIGINT) AS min_r,
+           CAST(max(r) AS BIGINT) AS max_r,
+           CAST(max(CASE WHEN i = 0 THEN r END) AS BIGINT) AS first_r,
+           CAST(max(CASE WHEN i = 0 THEN g END) AS BIGINT) AS first_g,
+           CAST(max(CASE WHEN i = 0 THEN b END) AS BIGINT) AS first_b,
+           CAST(max(CASE WHEN i = 2 * mw * mh - 1 THEN r END) AS BIGINT)
+             AS last_r,
+           CAST(max(CASE WHEN i = 2 * mw * mh - 1 THEN g END) AS BIGINT)
+             AS last_g,
+           CAST(max(CASE WHEN i = 2 * mw * mh - 1 THEN b END) AS BIGINT)
+             AS last_b
+    FROM rgb GROUP BY doc_id, mw, mh
+    """,
+    tags=("multimodal", "decode", "jpeg", "color", "ycbcr", "422",
+          "mapInPandas"),
+)
+def multimodal_jpeg_422_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RGB stats over 4:2:2 YCbCr baseline JPEGs (r17) — the NON-SQUARE
+    sampling layout: 16×8-luma MCUs with two Y blocks each, chroma
+    subsampled horizontally only, so the box-upsample replicates 2× in
+    one axis. Exercises the generalized MCU walk on an (H, V) = (2, 1)
+    grid the 4:2:0 entry cannot (its sampling is square), through the
+    same from-scratch path and the same per-channel closed form —
+    shares jpeg_color_stats with the 4:2:0 entry. With this layout the
+    decode_image_stub env gate is progressive-scan only. Fused narrow
+    mapInPandas: zero shuffles, linear scale-out."""
+    from ..multimodal.assets import jpeg_color_stats, synth_jpeg_422_assets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jpeg_color_stats(synth_jpeg_422_assets(docs))
+
+
 _WAV_V = "((d.doc_id*17 + t.i*31) % d.modv - d.modv // 2)"
 
 

@@ -1131,11 +1131,13 @@ def test_jpeg_color_rejects_unsupported_layouts():
     good = _build_jpeg_color(16, 16, flat, cflat, cflat)
     sof_at = good.index(b"\xff\xc0")
 
-    # 4:2:2 layout: loud, not misdecoded
-    s422 = bytearray(good)
-    s422[sof_at + 4 + 7] = 0x21
-    with pytest.raises(ValueError, match="4:4:4 or 4:2:0"):
-        _parse_jpeg_color(bytes(s422))
+    # unsupported layout (chroma 2x1 under 2x2 luma): loud, not
+    # misdecoded (4:2:2 itself is SUPPORTED as of r17 — see
+    # test_jpeg_sampling_layouts_roundtrip_closed_form)
+    sbad = bytearray(good)
+    sbad[sof_at + 4 + 10] = 0x21  # Cb sampling byte
+    with pytest.raises(ValueError, match="layouts supported"):
+        _parse_jpeg_color(bytes(sbad))
     # gray wrapper refuses a color payload
     with pytest.raises(ValueError, match="single-component"):
         _parse_jpeg_gray(good)
@@ -1268,3 +1270,62 @@ def test_jpeg_huffman_reads_at_most_16_bits():
     reader = _JpegBitReader(b"\xff\x00\xff\x00")
     with pytest.raises(ValueError, match="invalid Huffman code"):
         _jpeg_huff_decode(reader, {(0, 1): 0})
+
+
+def test_jpeg_sampling_layouts_roundtrip_closed_form():
+    """r17: the generalized MCU walk across ALL four supported sampling
+    layouts — 4:4:4 (1,1), 4:2:2 (2,1), 4:4:0 (1,2), 4:2:0 (2,2) —
+    random flat blocks, each decoded bit-exactly to the per-channel
+    closed form with the right per-axis chroma replication (a swapped
+    H/V replicates along the wrong axis and moves every off-diagonal
+    pixel)."""
+    from log_analysis_bigdata_spark.multimodal.assets import (
+        _build_jpeg_color,
+        _parse_jpeg_color,
+    )
+
+    rng = np.random.RandomState(3)
+    for hs_, vs_ in ((1, 1), (2, 1), (1, 2), (2, 2)):
+        w, h = 32, 32
+        yb = rng.randint(0, 256, (h // 8, w // 8)).astype(np.uint8)
+        cbb = rng.randint(
+            0, 256, (h // (8 * vs_), w // (8 * hs_))
+        ).astype(np.uint8)
+        crb = rng.randint(
+            0, 256, (h // (8 * vs_), w // (8 * hs_))
+        ).astype(np.uint8)
+        pw, ph, rgb = _parse_jpeg_color(
+            _build_jpeg_color(w, h, yb, cbb, crb, sampling=(hs_, vs_))
+        )
+        assert (pw, ph) == (w, h)
+
+        def dec(v):
+            return min(255, max(0, 2 * _jpeg_rhalf(int(v) - 128) + 128))
+
+        y = np.repeat(
+            np.repeat(np.vectorize(dec)(yb), 8, 0), 8, 1
+        ).astype(float)
+        cb = np.repeat(
+            np.repeat(np.vectorize(dec)(cbb), 8 * vs_, 0), 8 * hs_, 1
+        ).astype(float)
+        cr = np.repeat(
+            np.repeat(np.vectorize(dec)(crb), 8 * vs_, 0), 8 * hs_, 1
+        ).astype(float)
+        exp = np.clip(
+            np.stack(
+                [
+                    np.floor(y + 1.402 * (cr - 128.0) + 0.5),
+                    np.floor(
+                        y
+                        - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0)
+                        + 0.5
+                    ),
+                    np.floor(y + 1.772 * (cb - 128.0) + 0.5),
+                ],
+                -1,
+            ),
+            0,
+            255,
+        ).astype(np.int64)
+        assert np.array_equal(rgb, exp), (hs_, vs_)

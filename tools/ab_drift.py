@@ -16,7 +16,10 @@ the two artifact-of-record commits. Sequential subprocesses — never two
 JVMs at once (the sf10 probe OOM lesson).
 
 Usage: python tools/ab_drift.py [--reps 5] [--sf /root/testdata/sf0.1]
-Writes AB_DRIFT_r16.json at the repo root.
+           [--a rX=SHA --b rY=SHA] [--queries n1,n2] [--out FILE]
+Defaults reproduce the original r14-vs-r15 study; --a/--b/--queries/
+--out (r17) let later rounds A/B any two artifact trees. Writes the
+--out artifact (default AB_DRIFT_r16.json) at the repo root.
 """
 
 from __future__ import annotations
@@ -70,11 +73,11 @@ def ensure_worktree(tag: str, sha: str) -> str:
     return path
 
 
-def run_tree(path: str, sf: str) -> dict[str, float]:
+def run_tree(path: str, sf: str, queries: list[str]) -> dict[str, float]:
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     p = subprocess.run(
-        [sys.executable, "-c", RUNNER, sf, json.dumps(QUERIES)],
+        [sys.executable, "-c", RUNNER, sf, json.dumps(queries)],
         cwd=path, env=env, capture_output=True, text=True, timeout=1200,
     )
     for line in p.stdout.splitlines():
@@ -90,32 +93,53 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    # r17: parameterized so later rounds can A/B any two artifact
+    # trees without editing the tool (was hardcoded r14/r15)
+    ap.add_argument("--a", default=None, help="TAG=SHA for tree A")
+    ap.add_argument("--b", default=None, help="TAG=SHA for tree B")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated registry names")
+    ap.add_argument("--out", default="AB_DRIFT_r16.json",
+                    help="artifact filename at the repo root")
     args = ap.parse_args()
 
-    paths = {t: ensure_worktree(t, sha) for t, sha in TREES.items()}
-    runs: dict[str, list[dict[str, float]]] = {t: [] for t in TREES}
-    order = list(TREES)
+    trees = dict(TREES)
+    if args.a and args.b:
+        trees = dict(
+            kv.split("=", 1) for kv in (args.a, args.b)
+        )
+    queries = (
+        [q for q in args.queries.split(",") if q]
+        if args.queries
+        else list(QUERIES)
+    )
+
+    paths = {t: ensure_worktree(t, sha) for t, sha in trees.items()}
+    runs: dict[str, list[dict[str, float]]] = {t: [] for t in trees}
+    order = list(trees)
     for rep in range(args.reps):
         seq = order if rep % 2 == 0 else order[::-1]  # alternate order
         for tag in seq:
-            res = run_tree(paths[tag], args.sf)
+            res = run_tree(paths[tag], args.sf, queries)
             runs[tag].append(res)
             print(f"rep {rep} {tag}: {res}", flush=True)
 
+    ta, tb = order
     summary = {}
-    for q in QUERIES:
-        a = [r[q] for r in runs["r14"] if q in r]
-        b = [r[q] for r in runs["r15"] if q in r]
+    for q in queries:
+        a = [r[q] for r in runs[ta] if q in r]
+        b = [r[q] for r in runs[tb] if q in r]
         med_a, med_b = statistics.median(a), statistics.median(b)
         spread = max(
             (max(x) - min(x)) / min(x) for x in (a, b) if min(x) > 0
         )
         summary[q] = {
-            "r14_times": a,
-            "r15_times": b,
-            "r14_median": med_a,
-            "r15_median": med_b,
-            "ratio_r15_over_r14": round(med_b / med_a, 3) if med_a else None,
+            f"{ta}_times": a,
+            f"{tb}_times": b,
+            f"{ta}_median": med_a,
+            f"{tb}_median": med_b,
+            f"ratio_{tb}_over_{ta}": round(med_b / med_a, 3)
+            if med_a else None,
             "max_same_tree_spread": round(spread, 3),
             # regression = the tree delta exceeds what same-tree rep
             # noise can explain
@@ -123,8 +147,9 @@ def main() -> None:
                 med_a and abs(med_b / med_a - 1.0) <= spread
             ),
         }
-    out = {"reps": args.reps, "sf": args.sf, "queries": summary}
-    with open(os.path.join(REPO, "AB_DRIFT_r16.json"), "w") as f:
+    out = {"reps": args.reps, "sf": args.sf, "trees": trees,
+           "queries": summary}
+    with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(summary, indent=1))
 
