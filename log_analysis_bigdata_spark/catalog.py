@@ -66,6 +66,24 @@ def _fix_events_ts(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition UP to the cluster's core count when the
+    upstream scan yields fewer splits (optimization guide §2.5, "input
+    skew: one huge unsplittable file"). Every local test table is a
+    single-row-group parquet file — one non-empty scan split — so any
+    heavy map-side stage (tokenize/regex/explode/Arrow decode) before
+    the first exchange otherwise runs on ONE core of N. A no-op (no
+    exchange node at all) when the reader already provides >= cores
+    splits, so at production scale this never moves a byte; locally it
+    trades one small exchange for N-way parallelism on the expensive
+    narrow stage. Apply ONLY in front of heavy per-row work — for cheap
+    scan+agg shapes the exchange costs more than it buys."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def load_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming twin of ``load_table``: the same parquet table as a
     file-stream source with identical timestamp normalization.

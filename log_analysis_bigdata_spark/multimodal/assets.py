@@ -44,6 +44,26 @@ from pyspark.sql.types import (
 
 MEDIA_TYPES = ["image", "audio", "video"]
 
+
+def _spread(key_df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a narrow key frame to the cluster's
+    core count before an expensive per-row Python pass (optimization
+    guide §2.5, "input skew: one huge unsplittable file"): the local
+    test tables are single-row-group parquet files, i.e. ONE scan
+    split, which serialized every synth+decode chain in this module
+    onto one of the 32 cores (measured r17: multimodal_jpeg_color_stats
+    4.07 s warm with 31 cores idle). The shuffled rows are ids only
+    (8 bytes/row), so the exchange is negligible at any scale, and the
+    partition count derives from the cluster (defaultParallelism), not
+    a constant — the same fix langid_ngram_predict / minhash pipelines
+    already carry (textq.py:1788, corpusq.py:1144). When the reader's
+    own splits already exceed the core count (the 100 TB case) the max
+    keeps that granularity instead of coalescing it away."""
+    sc = key_df.sparkSession.sparkContext
+    return key_df.repartition(
+        max(sc.defaultParallelism, key_df.rdd.getNumPartitions())
+    )
+
 ASSET_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -370,7 +390,7 @@ def synth_ppm_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         build,
         StructType(
             [
@@ -523,7 +543,7 @@ def synth_bmp_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         build,
         StructType(
             [
@@ -817,7 +837,7 @@ def synth_gif_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         build,
         StructType(
             [
@@ -832,7 +852,7 @@ def gif_pixel_stats(assets: DataFrame, target: int = 2) -> DataFrame:
     """Decode GIF87a payloads and report the same integer micro-unit
     stats as the PPM/BMP twins (full-image mean + per-channel means of
     the ``target``x``target`` NN resize) over the decoded top-down RGB
-    image. Same fused narrow mapInPandas shape — zero shuffle."""
+    image. Same fused narrow mapInPandas shape — id-spread, no payload shuffle."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -922,7 +942,7 @@ def synth_ppm_dup_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         build,
         StructType(
             [
@@ -947,7 +967,7 @@ def ppm_dhash(assets: DataFrame) -> DataFrame:
 
     Column names match the simhash family contract so the banded
     machinery applies unchanged. Narrow fused decode+signature
-    mapInPandas pass — zero shuffle, linear scale-out; at 100 TB the
+    mapInPandas pass — one id-only spread exchange (_spread), no payload shuffle, linear scale-out; at 100 TB the
     signature column is the persisted artifact and pairing runs on it
     alone (8 bytes/image), never on pixels."""
 
@@ -1143,7 +1163,7 @@ def synth_wav_assets(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         build,
         StructType(
             [
@@ -1160,7 +1180,7 @@ def wav_pcm_stats(assets: DataFrame) -> DataFrame:
     per-channel sums over the de-interleaved stream. All outputs are
     integer sums (never floored means), so engine division semantics
     on negative totals can't enter the parity surface. Same fused
-    narrow mapInPandas shape as the image decoders: zero shuffles,
+    narrow mapInPandas shape as the image decoders: one id-only spread exchange (_spread), no payload shuffle,
     linear scale-out."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1351,7 +1371,7 @@ def synth_avi_assets(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         build,
         StructType(
             [
@@ -1368,7 +1388,7 @@ def avi_frame_stats(assets: DataFrame) -> DataFrame:
     sums, and the max per-frame sum — all integer sums over decoded
     top-down RGB samples (the per-frame permutation must be undone for
     first/last/max to land on the right frames). Fused narrow
-    mapInPandas like every other decode operator: zero shuffles."""
+    mapInPandas like every other decode operator: one id-only spread exchange (_spread), no payload shuffle."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1610,7 +1630,7 @@ def synth_png_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         build,
         StructType(
             [
@@ -1625,7 +1645,7 @@ def png_pixel_stats(assets: DataFrame, target: int = 2) -> DataFrame:
     """Decode PNG payloads and report the same integer micro-unit stats
     as ppm/bmp_pixel_stats (full-image mean + per-channel means of the
     ``target``x``target`` NN resize) over the decoded top-down RGB
-    image. Fused narrow mapInPandas: zero shuffles, linear scale-out."""
+    image. Fused narrow mapInPandas: one id-only spread exchange (_spread), no payload shuffle, linear scale-out."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2271,7 +2291,7 @@ def synth_jpeg_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         build,
         StructType(
             [
@@ -2358,7 +2378,7 @@ def synth_jpeg_color_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         build,
         StructType(
             [
@@ -2404,7 +2424,7 @@ def synth_jpeg_422_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         build,
         StructType(
             [

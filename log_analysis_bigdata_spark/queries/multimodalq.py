@@ -170,7 +170,7 @@ def multimodal_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes→numeric contract is ML_predict.py:109's float32 matrix build.
 
     Scale: synth + decode + resize are one fused narrow mapInPandas
-    chain — zero shuffles, linear scale-out; a real ingest would read
+    chain — one id-only spread exchange (_spread), no payload shuffle, linear scale-out; a real ingest would read
     the payload column from parquet instead of synthesizing it."""
     from ..multimodal.assets import ppm_pixel_stats, synth_ppm_assets
 
@@ -305,7 +305,7 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form — a decoder that mishandles ANY LZW mechanism (width
     bump timing, KwKwK, sub-block reassembly), the palette, or the
     4-pass interlace breaks the hash. Same fused narrow mapInPandas
-    chain as the PPM/BMP twins: zero shuffles, linear scale-out.
+    chain as the PPM/BMP twins: one id-only spread exchange (_spread), no payload shuffle, linear scale-out.
     Codec unit-tested in tests/test_multimodal.py (roundtrip property
     incl. table-overflow clear-reset)."""
     from ..multimodal.assets import gif_pixel_stats, synth_gif_assets
@@ -377,7 +377,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     any filter's byte-predictor (left/up/average-floor/Paeth
     tie-break), the IDAT concatenation, or the per-row filter tag
     breaks the hash. Same fused narrow mapInPandas chain as the
-    PPM/BMP/GIF siblings: zero shuffles, linear scale-out. Codec
+    PPM/BMP/GIF siblings: one id-only spread exchange (_spread), no payload shuffle, linear scale-out. Codec
     unit-tested in tests/test_multimodal.py (all-variant roundtrip +
     hostile/truncation matrix)."""
     from ..multimodal.assets import png_pixel_stats, synth_png_assets
@@ -451,7 +451,7 @@ def multimodal_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The general AC/ZRL/negative-amplitude path is pinned in
     tests/test_multimodal.py against an independent double-loop IDCT.
     Color/4:2:0 decode is multimodal_jpeg_color_stats (r17). Fused
-    narrow mapInPandas: zero shuffles, linear scale-out."""
+    narrow mapInPandas: one id-only spread exchange (_spread), no payload shuffle, linear scale-out."""
     from ..multimodal.assets import jpeg_pixel_stats, synth_jpeg_assets
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -557,7 +557,7 @@ def multimodal_jpeg_color_stats(
     and the RGB transform uses floor(x+0.5) so the SAME double
     expressions run in DuckDB. first/last pixels pin MCU geometry and
     Cb/Cr table wiring (a swapped table or mis-placed block moves
-    them). Fused narrow mapInPandas: zero shuffles, linear scale-out.
+    them). Fused narrow mapInPandas: one id-only spread exchange (_spread), no payload shuffle, linear scale-out.
 
     Beyond-reference (LLM multimodal brief); the decode_image_stub env
     gate now covers only progressive/exotic-sampling photographic
@@ -629,7 +629,7 @@ def multimodal_jpeg_422_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same from-scratch path and the same per-channel closed form —
     shares jpeg_color_stats with the 4:2:0 entry. With this layout the
     decode_image_stub env gate is progressive-scan only. Fused narrow
-    mapInPandas: zero shuffles, linear scale-out."""
+    mapInPandas: one id-only spread exchange (_spread), no payload shuffle, linear scale-out."""
     from ..multimodal.assets import jpeg_color_stats, synth_jpeg_422_assets
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -696,7 +696,7 @@ def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel interleave breaks the hash. All outputs are integer SUMS
     (never floored means), keeping negative-division semantics out of
     the parity surface. Same fused narrow mapInPandas chain as the
-    PPM/BMP/GIF image twins: zero shuffles, linear scale-out. Codec
+    PPM/BMP/GIF image twins: one id-only spread exchange (_spread), no payload shuffle, linear scale-out. Codec
     unit-tested in tests/test_multimodal.py (roundtrip, junk-chunk
     walking, pad alignment, loud non-PCM failure)."""
     from ..multimodal.assets import synth_wav_assets, wav_pcm_stats
