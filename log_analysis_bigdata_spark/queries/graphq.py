@@ -126,19 +126,38 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A DataFrame persist is compressed columnar batches (~16 B/row
     # here) and the mirror is a zero-cost narrow view on top of it.
     cs = cs.persist()
-    n_undirected = cs.count()
     edges = cs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionAll(cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    # deg's eager checkpoint is the ONE pre-loop barrier (r17): it
+    # materializes the cs cache as a side effect, and an Observation on
+    # the same job carries Σoutdeg (= 2·|undirected pairs|, the
+    # loop_parallelism sizing input) and the node count (the loop's
+    # row-count guard baseline) — replacing the separate cs.count() and
+    # ranks.count() jobs the old plan paid (guide §1.2: fewer barrier
+    # jobs, same answers).
+    from pyspark.sql import Observation
+
+    deg_obs = Observation()
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .withColumnRenamed("src", "node")
+        .observe(
+            deg_obs,
+            F.sum("outdeg").alias("deg_sum"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
         .localCheckpoint(eager=True)  # node-sized: cheap, truncates
     )
+    got = deg_obs.get
+    two_e = int(got["deg_sum"] or 0)
+    n_nodes = int(got["n_nodes"] or 0)
+    # narrow derivation from the checkpointed deg — its own checkpoint
+    # was a pure barrier job (r17)
     ranks = deg.select(
         "node", F.lit(PR_INIT).cast("bigint").alias("rank")
-    ).localCheckpoint(eager=True)
+    )
     pre = edges.join(
         deg.withColumnRenamed("node", "src"), "src"
     )  # (src, dst, outdeg), loop-invariant
@@ -146,7 +165,7 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-scale default — shared helper with connected_components
     from ..operators.components import loop_parallelism
 
-    with loop_parallelism(spark, 2 * n_undirected) as session_default:
+    with loop_parallelism(spark, two_e) as session_default:
         # Pre-partition the loop-invariant edge frame ON THE JOIN KEY
         # and persist it (r9): persist — unlike localCheckpoint —
         # preserves outputPartitioning, so every round's shuffle-hash
@@ -158,10 +177,14 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # matches the narrowed loop conf so the per-round ranks
         # exchange aligns with the cached layout.
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # persisted but NOT pre-counted (r17): round 1's own job
+        # materializes the cache exactly once (the frame appears once
+        # per round's plan), so the standalone count was a pure barrier
         contrib_src = pre.repartition(nparts, "src").persist()
-        contrib_src.count()  # materialize before the loop
         try:
-            ranks, _rounds = _pr_loop(contrib_src, ranks, session_default)
+            ranks, _rounds = _pr_loop(
+                contrib_src, ranks, session_default, initial_n=n_nodes
+            )
         finally:
             contrib_src.unpersist(blocking=False)
             cs.unpersist(blocking=False)  # contrib_src is materialized
@@ -174,6 +197,7 @@ def _pr_loop(
     session_default: str | None = None,
     max_iter: int = PR_ITERS,
     stop_shift: int = 0,
+    initial_n: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Run up to ``max_iter`` damped-update rounds; returns the final
     rank frame and the number of rounds actually executed.
@@ -210,10 +234,11 @@ def _pr_loop(
     if session_default is None:
         session_default = spark.conf.get("spark.sql.shuffle.partitions")
     rounds = 0
-    # baseline from the INITIAL frame (it is localCheckpoint-ed in the
-    # registered query, so this count is cheap) — a node lost in round
-    # 1 must register as a shrink too
-    prev_n: int = ranks.count()
+    # baseline row count for the shrink guard — a node lost in round 1
+    # must register as a shrink too. The registered query passes it in
+    # (it rides deg's Observation — r17: one fewer barrier job); other
+    # callers pay one count of their own frame.
+    prev_n: int = ranks.count() if initial_n is None else initial_n
     ever_shrank = False
     for _ in range(max_iter):
         guard_parallelism(spark, session_default)

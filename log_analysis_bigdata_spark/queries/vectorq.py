@@ -1551,27 +1551,40 @@ def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_ids = np.array([r["c"] for r in cent_rows], dtype=np.int64)
     bc = bounded_broadcast(spark, "semdedup_embedding_cells.centroids", (C, cell_ids))
 
-    def assign_blas(batches):
-        import pandas as pd
+    def assign_arrow(batches):
+        # mapInArrow (r17, guide §4.2): the vector column is ONE
+        # contiguous Arrow buffer — np.frombuffer+reshape in, and the
+        # untouched v column passes back out zero-copy instead of
+        # round-tripping n per-row Python objects through pandas (the
+        # same boundary fix as vectorq._assign_cells).
+        import pyarrow as pa
 
         Cm, ids = bc.value
         cn = (Cm * Cm).sum(axis=1)  # ‖c‖² per centroid
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            vcol = rb.column(rb.schema.get_field_index("v"))
+            flat = vcol.flatten()
+            if len(flat) != n * Cm.shape[1]:
+                raise ValueError("ragged embedding batch")  # fail loud
+            V = np.asarray(flat, dtype=np.float64).reshape(
+                n, Cm.shape[1]
+            )
             S = -2.0 * (V @ Cm.T) + cn  # rank-equal to d2 per row
             idx = S.argmin(axis=1)  # first min = lowest cell id
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "v": pdf["v"],
-                    "cell": ids[idx],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("vec_id")),
+                    vcol,
+                    pa.array(ids[idx]),
+                ],
+                ["vec_id", "v", "cell"],
             )
 
-    assign = vecs.mapInPandas(
-        assign_blas, "vec_id long, v array<double>, cell long"
+    assign = vecs.mapInArrow(
+        assign_arrow, "vec_id long, v array<double>, cell long"
     )
     sub = F.expr(f"(rn - 1) div {SEMDEDUP_SPLIT_WIDTH}")
     # materialize ONCE: e feeds both sides of the pair self-join AND the
@@ -1965,7 +1978,9 @@ def _cb_arr(cb: DataFrame) -> DataFrame:
     )
 
 
-def _assign_cells(ev: DataFrame, cent_arr: DataFrame) -> DataFrame:
+def _assign_cells(
+    ev: DataFrame, cent_arr: DataFrame, residual: bool = False
+) -> DataFrame:
     """Nearest-centroid assignment as an Arrow-batched BLAS matmul
     (r16). The r15 in-row ``array_min(transform(...))`` fold kept the
     argmin inside the row (no n×k row explosion — the r14 fix), but
@@ -1975,6 +1990,17 @@ def _assign_cells(ev: DataFrame, cent_arr: DataFrame) -> DataFrame:
     wall — the probe's worst remaining ratio (6.40). One B×d @ d×k
     matmul per Arrow batch does the identical argmin in vectorized
     BLAS — the same rework that fixed semdedup in r15.
+
+    ``residual=True`` (r17 optimization) additionally emits
+    ``rvec = v − C[cell]`` from the SAME batch pass — the residual the
+    PQ encode path needs. Computing it here removes the two
+    corpus-wide ``ev ⋈ assign`` joins (plus their broadcast-centroid
+    residual joins) the encode path previously paid: at 100 TB those
+    joins shuffled the raw vectors by vec_id twice (guide §2.4 —
+    remove shuffles outright; §2.3 — the heavy payload moves zero
+    times instead of twice). The subtraction is the same IEEE double
+    ``x − c`` the zip_with expression computed, on the same operands,
+    so every downstream value is bit-identical.
 
     Semantics: ‖v‖² is constant per row, so ranking by −2·v·C + ‖c‖²
     equals ranking by d2; np.argmin's first-minimum over cell-sorted
@@ -2001,21 +2027,54 @@ def _assign_cells(ev: DataFrame, cent_arr: DataFrame) -> DataFrame:
         ev.sparkSession, "vectorq._assign_cells.centroids", (C, ids)
     )
 
-    def assign_blas(batches):
-        import pandas as pd
+    def assign_arrow(batches):
+        # mapInArrow, not mapInPandas (r17, guide §4.2): the vector
+        # column arrives as ONE contiguous Arrow values buffer —
+        # np.frombuffer + reshape replaces the former per-row
+        # np.stack(object array), and the residual goes back out as a
+        # ListArray built from the flat (n·d) buffer + an offsets
+        # array instead of n per-row Python objects. Measured at sf10
+        # (200k×64): the pandas-object boundary dominated the pass.
+        import pyarrow as pa
 
         Cm, ida = bc.value
         cn = (Cm * Cm).sum(axis=1)  # ‖c‖² per centroid
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            S = -2.0 * (V @ Cm.T) + cn  # rank-equal to d2 per row
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": ida[S.argmin(axis=1)]}
+            vcol = rb.column(rb.schema.get_field_index("v"))
+            flat = vcol.flatten()
+            if len(flat) != n * Cm.shape[1]:
+                raise ValueError("ragged embedding batch")  # fail loud
+            V = np.asarray(flat, dtype=np.float64).reshape(
+                n, Cm.shape[1]
             )
+            S = -2.0 * (V @ Cm.T) + cn  # rank-equal to d2 per row
+            amin = S.argmin(axis=1)
+            cols = [
+                rb.column(rb.schema.get_field_index("vec_id")),
+                pa.array(ida[amin]),
+            ]
+            names = ["vec_id", "cell"]
+            if residual:
+                R = V - Cm[amin]  # same x−c as the zip_with it replaced
+                cols.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(n + 1, dtype=np.int32)
+                            * Cm.shape[1]
+                        ),
+                        pa.array(R.ravel(), type=pa.float64()),
+                    )
+                )
+                names.append("rvec")
+            yield pa.RecordBatch.from_arrays(cols, names)
 
-    return ev.mapInPandas(assign_blas, f"vec_id long, cell {cell_dt}")
+    schema = f"vec_id long, cell {cell_dt}"
+    if residual:
+        schema += ", rvec array<double>"
+    return ev.mapInArrow(assign_arrow, schema)
 
 
 def _ivfpq_encode(
@@ -2031,43 +2090,35 @@ def _ivfpq_encode(
     ``ivfpq_index_append`` (encoding a NEW batch with centroids and
     codebooks frozen — the incremental-ingest shape). ``ev`` is
     (vec_id, v: array<double>); pass ``assign`` to reuse a
-    precomputed (vec_id, cell) assignment. Returns
-    (vec_id, cell, sub, code).
+    precomputed (vec_id, cell, rvec) assignment+residual frame.
+    Returns (vec_id, cell, sub, code).
 
-    Every join here broadcasts index-sized tables (≤2^bits centroids,
-    ≤256 codebook rows) into narrow scans of ``ev``: encoding N new
-    vectors never shuffles them, never inflates the row count beyond
-    the n×16 subvector explode, and never touches previously encoded
-    codes at all. The cell assign is an Arrow-batched BLAS argmin
-    (_assign_cells, r16 — as an interpreted in-row fold it was 30.7 s
-    of the 44.5 s sf10 wall, since k grows with n); the code pick
-    stays an in-row array_min over the broadcast packed codebook
-    (n·16·16·4 ops — the code count is FIXED at 16, so it scales with
-    the scan; the r15 rewrite that removed the old n×k and n×256
-    join+shuffle stages)."""
+    r17 optimization (guide §2.3/§2.4): the residual now comes out of
+    the SAME Arrow/BLAS pass as the cell assignment
+    (_assign_cells(residual=True)) instead of an ``ev ⋈ assign`` join
+    followed by a broadcast-centroid zip_with — the joins that, at
+    100 TB, shuffled the raw vectors by vec_id for no reason the
+    batch pass couldn't serve. Encoding N vectors is now genuinely
+    join-free on the corpus side: one narrow Python pass, one
+    broadcast of the ≤16-row packed codebook. The code pick stays an
+    in-row array_min over the broadcast packed codebook (n·16·16·4
+    ops — the code count is FIXED at 16, so it scales with the scan;
+    the r15 rewrite that removed the old n×k and n×256 join+shuffle
+    stages)."""
     if assign is None:
-        assign = _assign_cells(ev, cent_arr)
+        assign = _assign_cells(ev, cent_arr, residual=True)
     rv = F.col("rvec")
-    rsv = (
-        ev.join(assign, "vec_id")
-        .join(F.broadcast(cent_arr), "cell")
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with("v", "cvec", lambda x, c: x - c).alias("rvec"),
-        )
-        .select(
-            "vec_id",
-            "cell",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice(rv, s * PQ_SUBDIM + 1, PQ_SUBDIM)
-                        for s in range(PQ_NSUB)
-                    ]
-                )
-            ).alias("sub", "rv4"),
-        )
+    rsv = assign.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(rv, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_NSUB)
+                ]
+            )
+        ).alias("sub", "rv4"),
     )
     # encode: the ≤16 codes of each subspace packed into ONE row per
     # sub (16 rows total, broadcast); each of the n×16 subvector rows
@@ -2108,49 +2159,61 @@ def _ivfpq_index(
       bucketed by cell so a probe is a partition-pruned scan.
 
     Training is two narrow dim-exploded aggs (cells, then residual
-    codebook) + two broadcast-assign passes; the raw vectors never
-    shuffle. Both consumers' plans are asserted in test_plans."""
+    codebook) + ONE Arrow/BLAS assign+residual pass (r17 — the encode
+    path no longer joins the raw vectors against the assignment); the
+    raw vectors never shuffle and are scanned exactly once past the
+    centroid agg. Both consumers' plans are asserted in test_plans."""
     e = F.col("embedding")
     e0 = emb.select("vec_id", "embedding", _sign_str(e, 0, bits).alias("cell"))
     dims = e0.select(
         "vec_id", "cell", F.posexplode("embedding").alias("dim", "x")
     ).select("vec_id", "cell", "dim", F.col("x").cast("double").alias("x"))
-    # centroids feed FOUR consumers (assign, residual, cell ranking,
-    # query residual): localCheckpoint trains them exactly once —
-    # at deployment the coarse quantizer is trained once and persisted.
-    # Training itself IS one narrow dim-exploded agg (n×64 rows, no
-    # join); only the train pass pays it.
-    cent = (
+    # centroid training: one narrow dim-exploded agg (n×64 rows, no
+    # join). The ≤2^bits centroid-array rows are COLLECTED once here
+    # (they are collected anyway — _assign_cells needs the contiguous
+    # matrix for the BLAS argmin) and re-issued as a LOCAL relation:
+    # r17 replaces the former localCheckpoint-then-collect pair (two
+    # barrier jobs) with one job, and every query-side consumer (probe
+    # ranking, query residuals) now broadcasts a driver-local table
+    # with zero recompute — at deployment the coarse quantizer is
+    # trained once and persisted, which this mirrors.
+    cent_arr_plan = (
         dims.groupBy("cell", "dim")
         .agg(F.avg("x").alias("cx"))
-        .localCheckpoint(eager=True)
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+                lambda s: s.cx,
+            ).alias("cvec")
+        )
     )
-    # centroid ARRAYS (k rows) for every distance computation
-    cent_arr = cent.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
-            lambda s: s.cx,
-        ).alias("cvec")
+    cent_rows = cent_arr_plan.collect()
+    cent_arr = emb.sparkSession.createDataFrame(
+        cent_rows, cent_arr_plan.schema
     )
     ev = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # nearest-centroid assignment: in-row argmin against the broadcast
-    # packed centroid table (_assign_cells) — no n×k rows, no shuffle
-    assign = _assign_cells(ev, cent_arr).localCheckpoint(eager=True)
-    # residual vectors + per-subspace 4-dim slices and sign-seed codes
-    base = (
-        ev.join(assign, "vec_id")
-        .join(F.broadcast(cent_arr), "cell")
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with("v", "cvec", lambda x, c: x - c).alias("rvec"),
-        )
+    # nearest-centroid assignment + residual out of ONE Arrow/BLAS
+    # pass (r17): no n×k rows, no shuffle — and no ev ⋈ assign join to
+    # rebuild the residual (it previously shuffled the raw vectors by
+    # vec_id twice once the assignment outgrew the broadcast ceiling —
+    # guide §2.4). Columnar persist, not localCheckpoint: the rvec
+    # payload stays compressed batches (the repeated_ngram_spans r16
+    # lesson) and the eager cb checkpoint below materializes it for the
+    # codes consumer. (A no-cache recompute variant was measured 2×
+    # slower at sf10 — the pass is transfer-bound, not compute-bound,
+    # so paying it twice loses.)
+    from ..session import bounded_persist
+
+    assign = bounded_persist(
+        "vectorq._ivfpq_index.assign",
+        _assign_cells(ev, cent_arr, residual=True),
     )
     rv = F.col("rvec")
-    rsv = base.select(
+    rsv = assign.select(
         "vec_id",
         "cell",
         F.posexplode(
@@ -2177,8 +2240,9 @@ def _ivfpq_index(
     )
     # final encode of the training corpus itself: the SAME frozen-index
     # encode rule the incremental append applies to new batches
-    # (_ivfpq_encode — single-sourced in r14), reusing the checkpointed
-    # assignment so the centroid argmin is not recomputed
+    # (_ivfpq_encode — single-sourced in r14), reusing the cached
+    # assignment+residual so neither the argmin nor the subtraction is
+    # recomputed and the raw vectors are never joined against
     codes = _ivfpq_encode(ev, cent_arr, _cb_arr(cb), assign=assign)
     return cent_arr, cb, codes
 
