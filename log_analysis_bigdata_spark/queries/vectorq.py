@@ -1494,12 +1494,19 @@ def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
       lowest cell id, fixed dim-order adds). The previous
       join-on-dim/groupBy plan materialized N·d·k rows through a
       shuffle — with k ∝ N that shuffle was the dominant sf1 cost;
-    - the within-cell pair join is capped by SEMDEDUP_SPLIT_WIDTH
+    - the within-cell pair step is capped by SEMDEDUP_SPLIT_WIDTH
       rank-contiguous sub-cells (see the constant's comment) so one
       skewed cell can no longer go quadratic.
+
+    Round-18 rework (guide §3/§4.2): the pair step itself is a
+    per-cell Arrow kernel (groupBy(cell).applyInArrow) instead of a
+    (cell, sub) row self-join — each embedding crosses ONE cell-keyed
+    exchange once and the Gram/threshold work runs vectorized in
+    numpy with the same IEEE fold order; the old join broadcast
+    locally but turned into a SortMergeJoin shipping BOTH array sides
+    past the 64 MB ceiling. sf10: 19.2 → 3.6 s.
     """
     import numpy as np
-    from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     # one cheap count() sizes k from N (parquet row-group stats; no full
@@ -1586,59 +1593,104 @@ def semdedup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = vecs.mapInArrow(
         assign_arrow, "vec_id long, v array<double>, cell long"
     )
-    sub = F.expr(f"(rn - 1) div {SEMDEDUP_SPLIT_WIDTH}")
-    # materialize ONCE: e feeds both sides of the pair self-join AND the
-    # per-cell member count — without the checkpoint each branch re-runs
-    # the whole centroid+argmin chain (measured 9.1 -> ~6 s at sf1)
-    e = (
-        assign.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("cell").orderBy("vec_id")
-            ),
+
+    # Within-cell pair step as a per-CELL Arrow/BLAS kernel (r18, guide
+    # §3/§4.2) replacing the row self-join: the old plan joined two
+    # array-carrying projections of the checkpointed member table on
+    # (cell, sub) — a BroadcastHashJoin locally, but past the 64 MB
+    # ceiling an SMJ shipping BOTH embedding sides. Now each row crosses
+    # ONE cell-keyed exchange once; the kernel sorts its cell by vec_id,
+    # derives the rank sub-cells (identical (rn-1) div W arithmetic),
+    # and emits the finished (n_members, n_dup_pairs, n_dropped) row —
+    # the window, the localCheckpoint barrier, the self-join and the two
+    # downstream aggregations are all gone (plan: MapInArrow → one
+    # Exchange(cell) → FlatMapGroupsInArrow). A skewed cell costs one
+    # task, exactly the exposure the old row_number window already had.
+    #
+    # Bit-exactness with the join it replaces: the dot/norm folds are
+    # accumulated DIMENSION BY DIMENSION over vectorized rows — the
+    # same left-to-right ((0+x0)+x1)+... IEEE order as the zip_with/
+    # aggregate expressions (and the oracle's list_reduce); division
+    # and the nrm product are the same scalar ops. Spark's round(x, 4)
+    # on DOUBLE goes through BigDecimal(Double.toString(x)) —
+    # HALF_UP on the SHORTEST DECIMAL REPR, not the binary value — so
+    # qualification (round4(cos) >= threshold ⟺ half-up(cos·10⁴) >=
+    # threshold·10⁴) is decided on the scaled float with a guard band:
+    # anything within 1e-6 of the half-up boundary re-checks through
+    # Decimal(repr(x)), Python's repr being the same shortest-repr
+    # contract as Java's Double.toString.
+    w_split = SEMDEDUP_SPLIT_WIDTH
+    thr_u = int(round(NEAR_DUP_THRESHOLD * 10_000))  # 3500
+    dim = C.shape[1]
+
+    def cell_pairs_arrow(table):
+        import pyarrow as pa
+        from decimal import ROUND_HALF_UP, Decimal
+
+        ids_col = table.column("vec_id")
+        vcol = table.column("v")
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        ids = np.asarray(ids_col, dtype=np.int64)
+        n = len(ids)
+        flat = vcol.flatten()
+        if len(flat) != n * dim:
+            raise ValueError("ragged embedding batch")  # fail loud
+        V = np.asarray(flat, dtype=np.float64).reshape(n, dim)
+        order = np.argsort(ids)  # rank = vec_id order within the cell
+        ids = ids[order]
+        V = V[order]
+        # ‖v‖: fold-left over dims (norm()'s aggregate order)
+        acc = np.zeros(n)
+        for j in range(dim):
+            x = V[:, j]
+            acc = acc + x * x
+        nrm = np.sqrt(acc)
+        n_pairs = 0
+        n_dropped = 0
+        for s0 in range(0, n, w_split):
+            blk = V[s0 : s0 + w_split]
+            m = blk.shape[0]
+            if m < 2:
+                continue
+            # Gram matrix by dim-ordered accumulation == dot()'s fold
+            D = np.zeros((m, m))
+            for j in range(dim):
+                x = blk[:, j]
+                D = D + x[:, None] * x[None, :]
+            cos = D / (
+                nrm[s0 : s0 + m][:, None] * nrm[s0 : s0 + m][None, :]
+            )
+            iu, ju = np.triu_indices(m, k=1)  # id_a < id_b (sorted)
+            c = cos[iu, ju]
+            scaled = c * 1e4
+            lo = thr_u - 0.5  # half-up boundary: k >= thr_u
+            qualify = scaled > lo + 1e-6
+            amb = np.abs(scaled - lo) <= 1e-6
+            for idx in np.nonzero(amb)[0]:
+                r = Decimal(repr(float(c[idx]))).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+                qualify[idx] = float(r) >= NEAR_DUP_THRESHOLD
+            n_pairs += int(np.count_nonzero(qualify))
+            # id_b's sub is fixed, so distinct-per-sub sums to the
+            # cell's countDistinct(id_b) exactly
+            n_dropped += int(np.unique(ju[qualify]).size)
+        return pa.table(
+            {
+                "cell": pa.array(
+                    [int(table.column("cell")[0].as_py())],
+                    type=pa.int64(),
+                ),
+                "n_members": pa.array([n], type=pa.int64()),
+                "n_dup_pairs": pa.array([n_pairs], type=pa.int64()),
+                "n_dropped": pa.array([n_dropped], type=pa.int64()),
+            }
         )
-        .select(
-            "vec_id",
-            "cell",
-            sub.alias("sub"),
-            "v",
-            norm(F.col("v")).alias("nrm"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    x = e.select(
-        F.col("cell"),
-        F.col("sub"),
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    y = e.select(
-        F.col("cell"),
-        F.col("sub"),
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.round(
-        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
-    )
-    pairs = (
-        x.join(y, ["cell", "sub"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= NEAR_DUP_THRESHOLD)
-        .select("cell", "id_a", "id_b")
-    )
-    cells = e.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
-    p = pairs.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("dp"),
-        F.countDistinct("id_b").alias("dr"),
-    )
-    return cells.join(p, "cell", "left").select(
-        "cell",
-        "n_members",
-        F.coalesce("dp", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
-        F.coalesce("dr", F.lit(0)).cast("bigint").alias("n_dropped"),
+
+    return assign.groupBy("cell").applyInArrow(
+        cell_pairs_arrow,
+        "cell long, n_members long, n_dup_pairs long, n_dropped long",
     )
 
 
@@ -2059,6 +2111,12 @@ def _assign_cells(
             names = ["vec_id", "cell"]
             if residual:
                 R = V - Cm[amin]  # same x−c as the zip_with it replaced
+                if n * Cm.shape[1] >= 2**31:  # ADVICE r17: int32
+                    # ListArray offsets would wrap silently if the
+                    # session's arrow batch cap were ever raised
+                    raise ValueError(
+                        "batch too large for int32 list offsets"
+                    )
                 cols.append(
                     pa.ListArray.from_arrays(
                         pa.array(
