@@ -46,23 +46,27 @@ MEDIA_TYPES = ["image", "audio", "video"]
 
 
 def _spread(key_df: DataFrame) -> DataFrame:
-    """Round-robin repartition of a narrow key frame to the cluster's
+    """Round-robin repartition of a narrow key frame UP to the cluster's
     core count before an expensive per-row Python pass (optimization
     guide §2.5, "input skew: one huge unsplittable file"): the local
     test tables are single-row-group parquet files, i.e. ONE scan
     split, which serialized every synth+decode chain in this module
     onto one of the 32 cores (measured r17: multimodal_jpeg_color_stats
     4.07 s warm with 31 cores idle). The shuffled rows are ids only
-    (8 bytes/row), so the exchange is negligible at any scale, and the
-    partition count derives from the cluster (defaultParallelism), not
-    a constant — the same fix langid_ngram_predict / minhash pipelines
-    already carry (textq.py:1788, corpusq.py:1144). When the reader's
-    own splits already exceed the core count (the 100 TB case) the max
-    keeps that granularity instead of coalescing it away."""
-    sc = key_df.sparkSession.sparkContext
-    return key_df.repartition(
-        max(sc.defaultParallelism, key_df.rdd.getNumPartitions())
-    )
+    (8 bytes/row) and the partition count derives from the cluster
+    (defaultParallelism), not a constant.
+
+    r18 (ADVICE r17): one shared implementation with catalog.spread_scan
+    — a strict NO-OP (no Exchange node at all) when the reader already
+    yields >= cores splits, instead of the former repartition-to-the-
+    same-count, so at production scale no byte ever moves. Applied ONLY
+    in front of decode-heavy Python chains (jpeg/gif/png, the dHash
+    near-dup pass): for the trivial decoders (ppm/bmp/wav/avi) the
+    exchange costs more than the single-core decode it parallelizes —
+    a driver-confirmed r17 regression (+0.5 s combined), reverted r18."""
+    from ..catalog import spread_scan
+
+    return spread_scan(key_df)
 
 ASSET_SCHEMA = StructType(
     [
@@ -390,7 +394,7 @@ def synth_ppm_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return _spread(docs.select("doc_id")).mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         build,
         StructType(
             [
@@ -543,7 +547,7 @@ def synth_bmp_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return _spread(docs.select("doc_id")).mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         build,
         StructType(
             [
@@ -942,7 +946,7 @@ def synth_ppm_dup_assets(docs: DataFrame) -> DataFrame:
                 {"asset_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return _spread(docs.select("doc_id")).mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         build,
         StructType(
             [
@@ -967,7 +971,7 @@ def ppm_dhash(assets: DataFrame) -> DataFrame:
 
     Column names match the simhash family contract so the banded
     machinery applies unchanged. Narrow fused decode+signature
-    mapInPandas pass — one id-only spread exchange (_spread), no payload shuffle, linear scale-out; at 100 TB the
+    mapInPandas pass — NO exchange (r18: the trivial decode costs less than the r17 id-spread bought; scan splits parallelize it at scale), no payload shuffle, linear scale-out; at 100 TB the
     signature column is the persisted artifact and pairing runs on it
     alone (8 bytes/image), never on pixels."""
 
@@ -1163,7 +1167,7 @@ def synth_wav_assets(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return _spread(docs.select("doc_id")).mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         build,
         StructType(
             [
@@ -1180,7 +1184,7 @@ def wav_pcm_stats(assets: DataFrame) -> DataFrame:
     per-channel sums over the de-interleaved stream. All outputs are
     integer sums (never floored means), so engine division semantics
     on negative totals can't enter the parity surface. Same fused
-    narrow mapInPandas shape as the image decoders: one id-only spread exchange (_spread), no payload shuffle,
+    narrow mapInPandas shape as the image decoders: NO exchange (r18: the trivial decode costs less than the r17 id-spread bought; scan splits parallelize it at scale), no payload shuffle,
     linear scale-out."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1371,7 +1375,7 @@ def synth_avi_assets(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return _spread(docs.select("doc_id")).mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         build,
         StructType(
             [
@@ -1388,7 +1392,7 @@ def avi_frame_stats(assets: DataFrame) -> DataFrame:
     sums, and the max per-frame sum — all integer sums over decoded
     top-down RGB samples (the per-frame permutation must be undone for
     first/last/max to land on the right frames). Fused narrow
-    mapInPandas like every other decode operator: one id-only spread exchange (_spread), no payload shuffle."""
+    mapInPandas like every other decode operator: NO exchange (r18: the trivial decode costs less than the r17 id-spread bought; scan splits parallelize it at scale), no payload shuffle."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

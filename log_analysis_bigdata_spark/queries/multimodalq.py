@@ -170,7 +170,7 @@ def multimodal_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes→numeric contract is ML_predict.py:109's float32 matrix build.
 
     Scale: synth + decode + resize are one fused narrow mapInPandas
-    chain — one id-only spread exchange (_spread), no payload shuffle, linear scale-out; a real ingest would read
+    chain — NO exchange (r18: the trivial decode costs less than the r17 id-spread bought; scan splits parallelize it at scale), no payload shuffle, linear scale-out; a real ingest would read
     the payload column from parquet instead of synthesizing it."""
     from ..multimodal.assets import ppm_pixel_stats, synth_ppm_assets
 
@@ -696,7 +696,7 @@ def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel interleave breaks the hash. All outputs are integer SUMS
     (never floored means), keeping negative-division semantics out of
     the parity surface. Same fused narrow mapInPandas chain as the
-    PPM/BMP/GIF image twins: one id-only spread exchange (_spread), no payload shuffle, linear scale-out. Codec
+    PPM/BMP/GIF image twins: NO exchange (r18: the trivial decode costs less than the r17 id-spread bought; scan splits parallelize it at scale), no payload shuffle, linear scale-out. Codec
     unit-tested in tests/test_multimodal.py (roundtrip, junk-chunk
     walking, pad alignment, loud non-PCM failure)."""
     from ..multimodal.assets import synth_wav_assets, wav_pcm_stats
@@ -967,14 +967,21 @@ def image_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
     from .textq import _near_cand_pairs
 
+    from pyspark.sql import Observation
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sig = ppm_dhash(synth_ppm_dup_assets(docs)).localCheckpoint(eager=True)
+    # the rep count (the hamming-tier input) rides the checkpoint job
+    # via Observation instead of a separate count() — one barrier job
+    # fewer per invocation (r18, guide §1.2; the pagerank/CC pattern)
+    gobs = Observation()
     groups = (
         sig.groupBy("simhash")
         .agg(F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .observe(gobs, F.count(F.lit(1)).alias("n_reps"))
         .localCheckpoint(eager=True)
     )
-    hmax = img_max_hamming(groups.count())
+    hmax = img_max_hamming(int(gobs.get["n_reps"] or 0))
     rep_pairs = _near_cand_pairs(
         groups.select(F.col("rep").alias("doc_id"), "simhash"),
         max_hamming=hmax,
