@@ -121,19 +121,37 @@ def connected_components(
     test and is computed from a carried ``old`` column on the already-
     materialized frame — no extra join.
     """
-    # localCheckpoint (eager) rather than persist: it MATERIALIZES and
-    # truncates lineage, so round N's plan doesn't re-derive the whole
-    # upstream query (the input is often an expensive dedup pipeline)
-    # and doesn't grow with the iteration count.
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     if not distinct_pairs:
         sym = sym.distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # Strategy probe and local solve share ONE job (r18, guide §1.2):
+    # pull at most cap+1 rows through the Arrow collector — if the pull
+    # returns <= cap rows, it IS the complete edge set and the driver
+    # union-find proceeds on it directly. The old sequence paid three
+    # barrier jobs for the same decision (eager localCheckpoint, then
+    # count(), then toPandas()), ~2 jobs of pure fixed latency on every
+    # dedup/near-dup pipeline that ends here. The persist makes the
+    # upstream work (often the whole minhash pipeline) reusable by the
+    # distributed path when the probe overflows; a bounded cap+1 slice
+    # (<= ~8 MB through the driver) is the only thing ever collected.
+    sym = sym.persist()
+    head = sym.limit(LOCAL_SOLVE_MAX_EDGES + 1).toPandas()
+    if len(head) <= LOCAL_SOLVE_MAX_EDGES:
+        out = _solve_local(head, sym)
+        sym.unpersist(blocking=False)
+        return out
+    del head
+    # big graph: localCheckpoint (eager) rather than persist for the
+    # LOOP input — it truncates lineage, so round N's plan doesn't
+    # re-derive the whole upstream query and doesn't grow with the
+    # iteration count; the probe's cache makes the re-materialization a
+    # cache read, not a recompute.
+    ckpt = sym.localCheckpoint(eager=True)
+    sym.unpersist(blocking=False)
+    sym = ckpt
     n_edges = sym.count()  # cheap: sym is materialized
-    if n_edges <= LOCAL_SOLVE_MAX_EDGES:
-        return _solve_local(sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -164,15 +182,15 @@ def connected_components(
 LOCAL_SOLVE_MAX_EDGES = 500_000
 
 
-def _solve_local(sym: DataFrame) -> DataFrame:
+def _solve_local(pdf, sym: DataFrame) -> DataFrame:
     """Driver-side union-find over a small (bounded) symmetric edge
-    list; returns the same (node, component=min reachable id) frame as
-    the distributed loop, with the same column types as the input.
-    The pull and the return trip both ride Arrow (toPandas /
-    createDataFrame-from-pandas), not row-at-a-time Py4J."""
+    list, already pulled to pandas by the caller's strategy probe (one
+    Arrow collect serves both the size decision and the solve — r18);
+    ``sym`` supplies the schema/session for the return frame. The
+    return trip rides Arrow (createDataFrame-from-pandas), not
+    row-at-a-time Py4J."""
     import pandas as pd
 
-    pdf = sym.toPandas()
     parent: dict = {}
 
     def find(x):
