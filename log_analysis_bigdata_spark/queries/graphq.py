@@ -182,8 +182,16 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per round's plan), so the standalone count was a pure barrier
         contrib_src = pre.repartition(nparts, "src").persist()
         try:
+            # checkpoint_every=PR_ITERS (r18): the whole 3-round budget
+            # nests into ONE lazy plan and materializes as one job —
+            # loop barrier jobs 3 → 1 (guide §1.2); exit/latch
+            # semantics unchanged, see _pr_loop
             ranks, _rounds = _pr_loop(
-                contrib_src, ranks, session_default, initial_n=n_nodes
+                contrib_src,
+                ranks,
+                session_default,
+                initial_n=n_nodes,
+                checkpoint_every=PR_ITERS,
             )
         finally:
             contrib_src.unpersist(blocking=False)
@@ -198,6 +206,7 @@ def _pr_loop(
     max_iter: int = PR_ITERS,
     stop_shift: int = 0,
     initial_n: int | None = None,
+    checkpoint_every: int = 1,
 ) -> tuple[DataFrame, int]:
     """Run up to ``max_iter`` damped-update rounds; returns the final
     rank frame and the number of rounds actually executed.
@@ -214,8 +223,28 @@ def _pr_loop(
       reach exact equality. Callers opting in accept ranks from the
       first sub-threshold round instead of the full budget.
 
+    ``checkpoint_every=k`` (r18, guide §1.2 — fewer barrier jobs)
+    materializes one eager localCheckpoint per WINDOW of k rounds
+    instead of per round: the k join+agg rounds nest into one lazy plan
+    and execute as ONE job (one barrier, one scheduler round-trip). The
+    fixpoint/shrink tests move to the window's LAST round, which is
+    exit-equivalent: a fixpoint at any round j inside the window makes
+    every later round reproduce the same frame bit-for-bit (module
+    docstring), so "last round unchanged" fires iff some round in the
+    window reached the fixpoint, and the returned frame is that same
+    fixpoint frame. The node count is monotonically non-increasing
+    across rounds (a step's nodes are the dsts reachable from the
+    current frame), so comparing the window-end count to the window-
+    start baseline detects any mid-window shrink — the latch semantics
+    are unchanged. ``stop_shift>0`` forces k=1: its exit is a
+    threshold on ONE round's movement, not a window's.
+    (Plan note: only the window's last round references the previous
+    frame twice — the mid-window rounds reference it once — so the
+    nested plan grows linearly in k, and the duplicated subtree's
+    exchanges dedupe through ReuseExchange/AQE stage reuse.)
+
     Both tests ride the checkpoint materialization via Observation:
-    zero additional jobs per round.
+    zero additional jobs per window.
 
     PRECONDITION: every ranked node must appear as a ``dst`` in
     ``contrib_src`` (true for bidirectional edge sets, as the
@@ -233,6 +262,9 @@ def _pr_loop(
     spark = contrib_src.sparkSession
     if session_default is None:
         session_default = spark.conf.get("spark.sql.shuffle.partitions")
+    if stop_shift > 0:
+        checkpoint_every = 1  # per-round threshold needs per-round frames
+    checkpoint_every = max(1, checkpoint_every)
     rounds = 0
     # baseline row count for the shrink guard — a node lost in round 1
     # must register as a shrink too. The registered query passes it in
@@ -240,16 +272,17 @@ def _pr_loop(
     # callers pay one count of their own frame.
     prev_n: int = ranks.count() if initial_n is None else initial_n
     ever_shrank = False
-    for _ in range(max_iter):
+
+    def one_round(cur: DataFrame) -> DataFrame:
         guard_parallelism(spark, session_default)
-        step = (
+        return (
             contrib_src.join(
                 # shuffle_hash with ranks as build side: the persisted
                 # edge frame's hashpartitioning(src) satisfies the join
                 # requirement (no re-exchange; a broadcast would ship
                 # the node-sized frame to every executor each round and
                 # a sort-merge would re-sort the cached side per round)
-                ranks.withColumnRenamed("node", "src").hint(
+                cur.withColumnRenamed("node", "src").hint(
                     "shuffle_hash"
                 ),
                 "src",
@@ -274,14 +307,35 @@ def _pr_loop(
                 .alias("rank")
             )
         )
+
+    while rounds < max_iter:
+        window = min(checkpoint_every, max_iter - rounds)
+        final_window = rounds + window >= max_iter
+        cur = ranks
+        if final_window and window > 1 and not ever_shrank:
+            # Last window of the budget with nothing left to decide:
+            # no exit test can shorten the run and no fixpoint claim
+            # follows, so skip the old-join + Observation entirely —
+            # the window is a straight-line nest of `window` rounds
+            # (each referencing the previous frame ONCE — no duplicated
+            # subtree to re-execute) materialized by one checkpoint.
+            for _ in range(window):
+                cur = one_round(cur)
+            ranks = cur.localCheckpoint(eager=True)
+            rounds += window
+            break
+        for _ in range(window - 1):  # mid-window rounds: lazy, no obs
+            cur = one_round(cur)
+        step = one_round(cur)
         # bidirectional edges → every node has in- and out-edges, so
-        # step's node set equals ranks' and the left join below never
-        # invents or drops nodes; `old` is null-free after round 0 too,
-        # the coalesce is belt-and-braces for an empty frame
+        # step's node set equals the previous frame's and the left join
+        # below never invents or drops nodes; `old` is null-free after
+        # round 0 too, the coalesce is belt-and-braces for an empty
+        # frame
         obs = Observation()
         nxt = (
             step.join(
-                ranks.select(
+                cur.select(
                     "node", F.col("rank").alias("old")
                 ),
                 "node",
@@ -307,7 +361,7 @@ def _pr_loop(
             .localCheckpoint(eager=True)
         )
         ranks = nxt
-        rounds += 1
+        rounds += window
         got = obs.get
         n = got["n"] or 0
         if n != prev_n:
