@@ -1208,16 +1208,78 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     base.unpersist(blocking=False)
 
-    m_q = meta.filter("keep_q")
-    m_s2 = m_q.join(drops, "doc_id", "left_anti")
-    m_s3 = m_s2.filter(F.col("source") != "src0").join(
-        contam, "doc_id", "left_anti"
-    )
+    # Fused attrition accounting (r18, guide §2.3 "aggregate before you
+    # shuffle" / §1.2): stages 0-4 are cumulative predicates over the
+    # SAME checkpointed metadata frame, so one pass with per-stage
+    # membership flags + ONE conditional aggregation replaces five
+    # separate agg subtrees (each with its own partial/final exchange
+    # and its own replay of the drops/contam joins — the anti-joins ran
+    # 4x/3x across the old stage frames, now once). Anti-join ≡ left
+    # join + IS NULL here because drops (one row per clustered node)
+    # and contam (distinct) are unique by doc_id. Integer counts/sums —
+    # values identical by construction; the oracle is unchanged.
     h = F.expr(
         "locate(substr(md5(CAST(doc_id AS STRING)), 1, 1),"
         " '0123456789abcdef') - 1"
     )
-    m_s4 = m_s3.filter(h < 13)
+    in_s2 = F.col("keep_q") & F.col("_dropped").isNull()
+    in_s3 = in_s2 & (F.col("source") != "src0") & F.col("_contam").isNull()
+    flg = (
+        meta.join(
+            drops.withColumn("_dropped", F.lit(True)), "doc_id", "left"
+        )
+        .join(contam.withColumn("_contam", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.col("keep_q").alias("in_s1"),
+            in_s2.alias("in_s2"),
+            in_s3.alias("in_s3"),
+            (in_s3 & (h < 13)).alias("in_s4"),
+        )
+    )
+
+    def cnt(flag):
+        return F.coalesce(
+            F.sum(F.when(F.col(flag), 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    def tok(flag):
+        return F.coalesce(
+            F.sum(F.when(F.col(flag), F.col("n_tok"))), F.lit(0)
+        ).cast("long")
+
+    summary = flg.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("t0"),
+        cnt("in_s1").alias("n1"),
+        tok("in_s1").alias("t1"),
+        cnt("in_s2").alias("n2"),
+        tok("in_s2").alias("t2"),
+        cnt("in_s3").alias("n3"),
+        tok("in_s3").alias("t3"),
+        cnt("in_s4").alias("n4"),
+        tok("in_s4").alias("t4"),
+    )
+    names = ["raw", "quality", "dedup", "decontaminated", "train_split"]
+    rows04 = summary.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage_idx"),
+                        F.lit(names[i]).alias("stage"),
+                        F.col(f"n{i}").alias("n_units"),
+                        F.col(f"t{i}").alias("n_tokens"),
+                    )
+                    for i in range(5)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+    m_s4 = flg.filter("in_s4")
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -1231,27 +1293,16 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bin")
         .agg(F.sum("n_tok").alias("tokens"))
     )
-
-    def stage_row(df: DataFrame, idx: int, name: str, tok: str = "n_tok"):
-        return df.agg(
-            F.count(F.lit(1)).alias("n_units"),
-            F.coalesce(F.sum(tok), F.lit(0)).alias("n_tokens"),
-        ).select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.col("n_units").cast("long").alias("n_units"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-        )
-
-    return (
-        stage_row(meta, 0, "raw")
-        .unionByName(stage_row(m_q, 1, "quality"))
-        .unionByName(stage_row(m_s2, 2, "dedup"))
-        .unionByName(stage_row(m_s3, 3, "decontaminated"))
-        .unionByName(stage_row(m_s4, 4, "train_split"))
-        .unionByName(stage_row(bins, 5, "packed", tok="tokens"))
-        .orderBy("stage_idx")
+    packed = bins.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.coalesce(F.sum("tokens"), F.lit(0)).alias("n_tokens"),
+    ).select(
+        F.lit(5).alias("stage_idx"),
+        F.lit("packed").alias("stage"),
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+    return rows04.unionByName(packed).orderBy("stage_idx")
 
 
 # --- Quality-aware survivor selection (round 10, VERDICT r9 task 6) ---------
